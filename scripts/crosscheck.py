@@ -1,0 +1,29 @@
+#!/usr/bin/env python3
+"""One-time fidelity check: run the ACTUAL reference NoteParser
+(/root/reference/md2csv.py) over the fixture conversation files dumped
+by graft.tools.CrossCheck and emit the same canonical format, then diff
+against scala_replay.txt. Dev-only; not part of the engine."""
+import sys, os, glob, re
+sys.path.insert(0, '/root/reference')
+import md2csv  # noqa: E402
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/crosscheck'
+lines_out = []
+for path in sorted(glob.glob(os.path.join(outdir, 'conv*.txt')),
+                   key=lambda p: int(re.search(r'conv(\d+)', p).group(1))):
+    conv = re.search(r'(conv\d+)', os.path.basename(path)).group(1)
+    p = md2csv.NoteParser()
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            p.parse_line(line.strip())
+    for c in p.concepts.values():
+        props = ','.join(f'{k}={v}' for k, v in sorted(c['props'].items()))
+        lines_out.append(f"{conv} NODE {c['id']}|{c['name']}|{c['type']}|{c['parent'] or ''}|{props}")
+    for r in p.relations:
+        props = ','.join(f'{k}={v}' for k, v in sorted(r.items())
+                         if k not in ('source', 'target', 'type', '_o_source_', '_o_target_'))
+        lines_out.append(f"{conv} EDGE {r['source']}|{r['target']}|{r['type']}|{r['_o_source_']}|{r['_o_target_']}|{props}")
+
+with open(os.path.join(outdir, 'python_ref.txt'), 'w', encoding='utf-8') as f:
+    f.write('\n'.join(lines_out) + '\n')
+print(f"wrote {outdir}/python_ref.txt ({len(lines_out)} lines)")

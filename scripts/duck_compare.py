@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""Replicates the driver's DuckDB oracle comparison locally.
+Usage: duck_compare.py <verify_out_dir> <sf_dir>"""
+import duckdb, json, sys, os
+
+out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
+sf = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+con = duckdb.connect()
+for t in ['documents', 'embeddings', 'lineitem', 'orders', 'events',
+          'nation', 'region', 'customer', 'supplier', 'part']:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_df = con.sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
+        duck_df = con.sql(sql).df()
+        cols = sorted(spark_df.columns)
+        if cols != sorted(duck_df.columns):
+            print(f"{name}: SCHEMA MISMATCH {cols} vs {sorted(duck_df.columns)}"); fail += 1
+            continue
+        s = spark_df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        d = duck_df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        ok = s.equals(d)
+        print(f"{name}: rows {len(s)}/{len(d)} {'MATCH' if ok else 'MISMATCH'}")
+        if not ok:
+            fail += 1
+            merged = s.merge(d, how='outer', indicator=True)
+            print(merged[merged['_merge'] != 'both'].head(6).to_string())
+    except Exception as e:
+        print(f"{name}: ERROR {e}"); fail += 1
+for d in sorted(os.listdir(out)):
+    if d not in oracle and os.path.isdir(os.path.join(out, d)):
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{d}/*.parquet')").fetchone()[0]
+        print(f"{d}: rows-only {n}{' (EMPTY!)' if n == 0 else ''}")
+        if n == 0:
+            fail += 1
+sys.exit(1 if fail else 0)

@@ -1,13 +1,77 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.TranscriptGen
+import graft.operators.TripleExtract
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` keys reference the SURVEY.md §2 operator inventory ids.
+  * Every SQL-expressible operator has a DuckDB oracle in [[oracleSql]];
+  * KG-pipeline operators over synthesized transcripts are rows-only.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: full KG extraction over deterministic fixture transcripts
+    * → (subj, pred, obj) triples. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = TranscriptGen.df(spark, nConvs = 20)
+    val (nodes, edges) = TripleExtract.extract(t)
+    TripleExtract.triples(nodes, edges).toDF()
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- KG pipeline over synthesized transcripts (rows-only checks) --
+    "kg_triples" -> ((s, dir) => {
+      val t = TranscriptGen.df(s, TranscriptGen.convsForSfDir(dir))
+      val (nodes, edges) = TripleExtract.extract(t)
+      TripleExtract.triples(nodes, edges).toDF()
+    }),
+    "kg_nodes_relational" -> ((s, dir) => {
+      val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 200L))
+      val (nodes, _) = TripleExtract.extractRelational(t)
+      nodes.toDF().withColumn("props", to_json(col("props"))) // map → json for parquet/duckdb friendliness
+    }),
+
+    // ---- oracle-checkable operators over the driver's testdata -------
+    // X1: md5(name)[:8] entity key (md2csv.py:20-22)
+    "x1_md5_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        substring(md5(col("text")), 1, 8).as("cid")).orderBy("doc_id")),
+
+    // X2/F6: concept-definition regex over grammar-shaped lines built
+    // from table columns (md2csv.py:39-43)
+    "x2_concept_parse" -> ((s, dir) => {
+      val line = concat(lit("- doc"), col("doc_id"), lit(" @"), col("lang"),
+        lit(" source="), col("source"))
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_extract(line, "^(-+)\\s*(.*?)\\s*@(\\w+)", 2).as("cname"),
+        regexp_extract(line, "^(-+)\\s*(.*?)\\s*@(\\w+)", 3).as("ctype"))
+        .orderBy("doc_id")
+    }),
+
+    // W3/O2: global top-k with deterministic tiebreak (rag_query.py:111)
+    "w3_topk_docs" -> ((s, dir) =>
+      docs(s, dir).orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(10).select(col("doc_id"), col("n_chars")))
+  )
+
+  /** DuckDB-equivalent SQL per query (column names must match). */
+  def oracleSql: Map[String, String] = Map(
+    "x1_md5_id" ->
+      "SELECT doc_id, substr(md5(text),1,8) AS cid FROM documents ORDER BY doc_id",
+    "x2_concept_parse" ->
+      ("SELECT doc_id, " +
+        "regexp_extract('- doc' || doc_id || ' @' || lang || ' source=' || source, '^(-+)\\s*(.*?)\\s*@(\\w+)', 2) AS cname, " +
+        "regexp_extract('- doc' || doc_id || ' @' || lang || ' source=' || source, '^(-+)\\s*(.*?)\\s*@(\\w+)', 3) AS ctype " +
+        "FROM documents ORDER BY doc_id"),
+    "w3_topk_docs" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+  )
 }

@@ -1,0 +1,153 @@
+package graft.fixtures
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.model.Turn
+
+/** Deterministic, seeded transcript synthesizer (FIXTURES.md §1-2).
+  *
+  * Generates the authoritative input shape
+  * `(conv_id, turn_idx, role, text, tool, ts)` whose `text` mixes
+  * grammar-conforming note lines (the reference's convert.pmpt:44-61
+  * contract consumed by md2csv.py) with filler prose and malformed
+  * lines. Entity surface forms are Zipf-distributed so hot-key skew is
+  * actually exercised (SURVEY.md §7.4). Generation is *distributed*
+  * (spark.range → flatMap, seeded per conversation) so bench-scale
+  * inputs never materialize on the driver.
+  */
+object TranscriptGen {
+
+  val BaseEpochMs: Long = 1735689600000L // 2025-01-01T00:00:00Z, fixed (no Date.now)
+
+  /** xorshift64* PRNG — deterministic, allocation-free. */
+  final class Rng(seed0: Long) {
+    private var s: Long = if (seed0 == 0L) 0x9E3779B97F4A7C15L else seed0
+    def nextLong(): Long = {
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      s * 0x2545F4914F6CDD1DL
+    }
+    def nextInt(n: Int): Int = { val v = nextLong() >>> 1; (v % n).toInt }
+    def nextDouble(): Double = (nextLong() >>> 11) * (1.0 / (1L << 53))
+  }
+
+  // ---- vocabulary -------------------------------------------------------
+  private val cjkStems = Vector("神经网络", "激活函数", "梯度下降", "学习率", "知识图谱",
+    "卷积层", "损失函数", "反向传播", "正则化", "注意力机制", "决策树", "支持向量机",
+    "随机森林", "马尔可夫链", "贝叶斯网络", "特征工程", "数据增强", "迁移学习")
+  private val asciiStems = Vector("Adam", "Dropout", "Softmax", "ResNet", "Tokenizer",
+    "Embedding", "Encoder", "Decoder", "Sampler", "Optimizer", "Scheduler", "Pipeline")
+  /** Zipf(s≈1.2) over V surface forms: hot entities dominate. */
+  val entities: Vector[String] = {
+    val v = Vector.newBuilder[String]
+    cjkStems.foreach(v += _)
+    asciiStems.foreach(v += _)
+    (0 until 170).foreach { i =>
+      v += (if (i % 2 == 0) cjkStems(i % cjkStems.size) + "变体" + i
+            else asciiStems(i % asciiStems.size) + "_v" + i)
+    }
+    v.result()
+  }
+  private val zipfCum: Array[Double] = {
+    val w = entities.indices.map(i => 1.0 / math.pow(i + 1, 1.2)).toArray
+    val total = w.sum
+    w.scanLeft(0.0)(_ + _).tail.map(_ / total)
+  }
+  private def zipfEntity(r: Rng): String = {
+    val u = r.nextDouble()
+    var lo = 0; var hi = zipfCum.length - 1
+    while (lo < hi) { val mid = (lo + hi) / 2; if (zipfCum(mid) < u) lo = mid + 1 else hi = mid }
+    entities(lo)
+  }
+
+  private val types = Vector("模型", "组件", "算法", "方法", "数据", "Type1", "Type2")
+  private val relTypes = Vector("包含", "依赖", "继承", "相关", "扩展", "uses")
+  private val propKeysCjk = Vector("描述", "来源", "版本", "重要性", "状态")
+  private val propKeysAscii = Vector("weight", "status", "version")
+  private val quotedVals = Vector("\"模拟生物神经网络的计算模型\"", "\"机器学习\"",
+    "\"梯度 下降 速率\"", "\"training phase\"", "\"a b\"") // w/ and w/o spaces → exercises truncation quirk
+  private val plainVals = Vector("Sigmoid", "0.01", "高", "中", "v1.0", "draft", "2024")
+  private val fillers = Vector(
+    "plain filler prose 普通文本 no markers",
+    "讨论了一下模型的收敛行为，还不错。",
+    "ok let me check the logs for that run",
+    "* 坏列表符号 should be ignored",
+    "+ another bad bullet",
+    "今天的 agenda: 复习上次的概念。",
+    "tool output: 42 rows returned")
+
+  private def props(r: Rng, n: Int): String =
+    (0 until n).map { _ =>
+      val k = if (r.nextInt(2) == 0) propKeysCjk(r.nextInt(propKeysCjk.size))
+              else propKeysAscii(r.nextInt(propKeysAscii.size))
+      val v = if (r.nextInt(3) == 0) quotedVals(r.nextInt(quotedVals.size))
+              else plainVals(r.nextInt(plainVals.size))
+      s"$k=$v"
+    }.mkString(" ", " ", "")
+
+  /** One grammar/filler line, seeded. Covers every md2csv.py branch and
+    * the SURVEY.md §7.3 quirk cases. */
+  private def genLine(r: Rng): String = r.nextInt(20) match {
+    case 0 => "## 【核心概念】"
+    case 1 => "## 【关联关系】" // does NOT reset current_concept (quirk #3)
+    case 2 | 3 | 4 =>
+      val ind = "-" * (1 + (if (r.nextInt(4) == 0) r.nextInt(3) else 0)) // mostly indent 1, some 2-3
+      s"$ind ${zipfEntity(r)} @${types(r.nextInt(types.size))}" +
+        (if (r.nextInt(2) == 0) props(r, 1 + r.nextInt(2)) else "")
+    case 5 =>
+      // space-indented nested concept — strip() makes it indent 1 (quirk #1)
+      s"  - ${zipfEntity(r)} @${types(r.nextInt(types.size))} 类型=Sigmoid"
+    case 6 | 7 | 8 =>
+      s"- ${zipfEntity(r)} --> ${zipfEntity(r)} : ${relTypes(r.nextInt(relTypes.size))}" +
+        (if (r.nextInt(3) == 0) props(r, 1 + r.nextInt(2)) else "")
+    case 9 =>
+      s"- ${zipfEntity(r)} --> ${zipfEntity(r)} : 类型=${relTypes(r.nextInt(relTypes.size))}" // 类型= unwrap
+    case 10 =>
+      s"- 未定义源${r.nextInt(50)} --> 未定义目标${r.nextInt(50)} : 关联" // dangling endpoints (quirk #5)
+    case 11 =>
+      s"重要性=高 weight=${r.nextInt(100)}" // bare prop line → current concept
+    case 12 =>
+      s"- ${zipfEntity(r)} @组件 --> ${zipfEntity(r)} : 混合" // matches concept AND relation branch
+    case _ => fillers(r.nextInt(fillers.size))
+  }
+
+  /** Deterministic turns of one conversation. */
+  def genConv(seed: Long, convIdx: Long): Seq[Turn] = {
+    val r = new Rng(seed * 0x9E3779B97F4A7C15L + convIdx + 1)
+    val convId = f"c$convIdx%08d"
+    val nTurns = 4 + r.nextInt(37)
+    val roles = Vector("user", "assistant", "tool")
+    (0 until nTurns).map { t =>
+      val nLines = 1 + r.nextInt(6)
+      val lines = (0 until nLines).map { _ =>
+        val l = genLine(r)
+        if (r.nextInt(6) == 0) "  " + l + " " else l // stray whitespace → strip()
+      }
+      val role = roles((t + r.nextInt(2)) % 3)
+      val tool = if (role == "tool") Vector("search", "python", "browse")(r.nextInt(3)) else null
+      Turn(convId, t, role, lines.mkString("\n"), tool,
+        new Timestamp(BaseEpochMs + convIdx * 3600000L + t * 60000L))
+    }
+  }
+
+  /** Distributed transcripts table; rows deterministically scrambled
+    * (seeded md5 sort) so the engine must restore (conv_id, turn_idx)
+    * order itself (FIXTURES.md §1). */
+  def transcripts(spark: SparkSession, nConvs: Long, seed: Long = 42L): Dataset[Turn] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(nConvs)
+      .flatMap(i => genConv(seed, i))
+      .orderBy(md5(concat($"conv_id", lit(":"), $"turn_idx")))
+      .as[Turn]
+  }
+
+  def df(spark: SparkSession, nConvs: Long, seed: Long = 42L): DataFrame =
+    transcripts(spark, nConvs, seed).toDF()
+
+  /** Conversation count for a testdata sf dir ("sf0.001" → 20 convs…),
+    * keeping driver Verify/Bench runtimes sane while scaling with sf. */
+  def convsForSfDir(sfDir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.001)
+    math.max(10L, (sf * 20000).toLong) // sf0.001→20, sf0.01→200, sf0.1→2000 convs (~22 turns each)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Core data model of the KG-construction engine.
+  *
+  * Shapes mirror the reference's fundamental abstractions
+  * (see SURVEY.md §1.1; /root/reference/md2csv.py:16-17,46-53,85-93)
+  * re-expressed as typed Spark rows.
+  */
+object model {
+
+  /** One transcript turn — the authoritative input shape
+    * (BASELINE.json input_hint). */
+  final case class Turn(
+      conv_id: String,
+      turn_idx: Int,
+      role: String,
+      text: String,
+      tool: String,
+      ts: Timestamp)
+
+  /** One physical line of a turn after split + strip, with all
+    * grammar fields pre-extracted by Catalyst expressions
+    * (md2csv.py:34-99 regexes as columns). Empty string == no match. */
+  final case class ParsedLine(
+      conv_id: String,
+      turn_idx: Int,
+      pos: Int,              // line index within the turn
+      line: String,          // stripped line (md2csv.py:182 strip()); blanked pre-shuffle
+      isHeader: Boolean,     // ## 【核心概念】 (md2csv.py:34)
+      cIndent: Int,          // dash count; 0 = not a concept line (md2csv.py:39-40)
+      cid: String,           // md5id(cName) if concept line, else ""
+      cName: String,
+      cType: String,
+      relSrcId: String,      // md5id of relation endpoints (md2csv.py:86-87)
+      relDstId: String,
+      relSrc: String,        // relation groups (md2csv.py:62-66); relType=="" = no match
+      relDst: String,
+      relType: String,
+      relPropKeys: Seq[String], // relation-props-str k=v pairs (md2csv.py:78-83)
+      relPropVals: Seq[String],
+      propKeys: Seq[String], // whole-line k=v pairs (md2csv.py:97-105)
+      propVals: Seq[String])
+
+  /** Graph node (reference concept dict, md2csv.py:46-53). */
+  final case class Node(
+      conv_id: String,
+      id: String,            // md5(name)[:8] (md2csv.py:20-22)
+      name: String,
+      ntype: String,
+      parent: String,        // parent node id or null
+      props: Map[String, String])
+
+  /** Graph edge (reference relation dict, md2csv.py:85-93).
+    * Duplicates retained, like the reference list. */
+  final case class Edge(
+      conv_id: String,
+      src: String,
+      dst: String,
+      etype: String,
+      srcName: String,
+      dstName: String,
+      props: Map[String, String],
+      ord: Long)             // stable intra-conversation ordering
+
+  /** Scored artifact: the (subj, pred, obj) triple
+    * (csv2ttl.py:128 / csv2rdf-jsonld.py:105-109). */
+  final case class Triple(conv_id: String, subj: String, pred: String, obj: String)
+
+  /** NER mention span (bilstm_crf_ner.py:599-628 output shape). */
+  final case class Mention(
+      conv_id: String,
+      turn_idx: Int,
+      text: String,
+      mtype: String,
+      begin: Int,
+      end: Int)              // exclusive
+
+  /** md5(name) hex prefix — the entity key everywhere in the reference
+    * (md2csv.py:20-22, identical copy csv2rdf-jsonld.py:12-14). */
+  def md5id(name: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(name.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString.substring(0, 8)
+  }
+}

@@ -1,0 +1,303 @@
+package graft.operators
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model._
+
+/** The KG triple-extraction engine: re-expresses the reference's
+  * NoteParser grammar (/root/reference/md2csv.py:24-105) Spark-first.
+  *
+  * Design (SURVEY.md §7.1 stages 1-4):
+  *   - every regex rule is a *Catalyst expression column* computed on the
+  *     scan side under whole-stage codegen (north_star: "pattern rules
+  *     re-expressed as Catalyst expressions") — the shuffle then carries
+  *     only small structured fields, never the raw text;
+  *   - the per-conversation stateful fold (current-concept carry,
+  *     last-wins upsert, prop reset on redefinition) runs EITHER as
+  *     [[extract]]: ONE hash shuffle on conv_id + sortWithinPartitions +
+  *     a streaming mapPartitions fold (the 100-TB scale path: one wide
+  *     dependency total, no window buffering), OR as
+  *     [[extractRelational]]: pure window/groupBy relational form (the
+  *     declarative path, W1/A2 of SURVEY.md §2.6/2.5) — both are tested
+  *     equal to the reference replay oracle.
+  */
+object TripleExtract {
+
+  /** Grammar patterns — byte-for-byte the reference's regexes
+    * (md2csv.py:34,39,62,72,78). `(?U)` gives Java the Unicode \w \s
+    * semantics Python `re` has by default. */
+  object Grammar {
+    val Header = "## 【核心概念】"
+    val Concept = "(?U)^(-+)\\s*(.*?)\\s*@(\\w+)"
+    val Relation = "(?U)^-+\\s*(.*?)\\s*-->\\s*(.*?)\\s*:\\s*([^\\s]+)(?:\\s+(.*))?$"
+    val TypeUnwrap = "(?U)^类型\\s*=\\s*(.+)"
+    val Prop = "(?U)(\\w+)\\s*=\\s*([^\\s=]+|\"[^\"]+\")"
+    val SrcStrip = "(?U)^[\\s-]+"
+  }
+  import Grammar._
+
+  /** Python str.strip() (md2csv.py:182) as an expression. */
+  def pyStrip(c: Column): Column = regexp_replace(c, "(?U)^\\s+|\\s+$", "")
+
+  /** Quoted-value strip: only when the token both starts AND ends with a
+    * quote (md2csv.py:81-83,103-104), then strip() — replicates the
+    * truncated-quote quirk exactly. */
+  private def unquote(v: Column): Column = pyStrip(
+    when(v.startsWith("\"") && v.endsWith("\""),
+      v.substr(lit(2), greatest(length(v) - 2, lit(0))))
+      .otherwise(v))
+
+  /** md5(name)[:8] — entity key (md2csv.py:20-22), built-in and
+    * byte-identical to the reference. */
+  def entityId(c: Column): Column = substring(md5(c), 1, 8)
+
+  /** Stage 1+2: turns → stripped lines → all grammar fields as Catalyst
+    * columns. Narrow (no shuffle); regexes run under codegen at the scan. */
+  def parsed(transcripts: DataFrame): Dataset[ParsedLine] = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    val lines = transcripts
+      .select(col("conv_id"), col("turn_idx"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "raw")))
+      .withColumn("line", pyStrip(col("raw")))
+
+    val relTypeRaw = pyStrip(regexp_extract(col("line"), Relation, 3))
+    lines.select(
+      col("conv_id"), col("turn_idx"), col("pos"), col("line"),
+      col("line").startsWith(Header).as("isHeader"),
+      length(regexp_extract(col("line"), Concept, 1)).as("cIndent"),
+      pyStrip(regexp_extract(col("line"), Concept, 2)).as("cName"),
+      regexp_extract(col("line"), Concept, 3).as("cType"),
+      // relation branch (md2csv.py:62-93); relType=="" ⇔ no match
+      pyStrip(regexp_replace(pyStrip(regexp_extract(col("line"), Relation, 1)), SrcStrip, ""))
+        .as("relSrc"),
+      pyStrip(regexp_extract(col("line"), Relation, 2)).as("relDst"),
+      when(relTypeRaw.rlike(TypeUnwrap),
+        regexp_extract(relTypeRaw, TypeUnwrap, 1)).otherwise(relTypeRaw).as("relType"),
+      regexp_extract_all(regexp_extract(col("line"), Relation, 4), lit(Prop), lit(1))
+        .as("relPropKeys"),
+      transform(
+        regexp_extract_all(regexp_extract(col("line"), Relation, 4), lit(Prop), lit(2)),
+        unquote _).as("relPropVals"),
+      // whole-line prop pairs (md2csv.py:97-105) — includes relation-line
+      // leakage and 类型= tokens by construction (quirk #2)
+      regexp_extract_all(col("line"), lit(Prop), lit(1)).as("propKeys"),
+      transform(regexp_extract_all(col("line"), lit(Prop), lit(2)), unquote _).as("propVals"))
+      .withColumn("cid", when(col("cIndent") > 0, entityId(col("cName"))).otherwise(lit("")))
+      .withColumn("relSrcId", when(col("relType") =!= "", entityId(col("relSrc"))).otherwise(lit("")))
+      .withColumn("relDstId", when(col("relType") =!= "", entityId(col("relDst"))).otherwise(lit("")))
+      .select("conv_id", "turn_idx", "pos", "line", "isHeader", "cIndent", "cid", "cName",
+        "cType", "relSrcId", "relDstId", "relSrc", "relDst", "relType",
+        "relPropKeys", "relPropVals", "propKeys", "propVals")
+      .as[ParsedLine]
+  }
+
+  // -------------------------------------------------------------------
+  // Kernel path: ONE shuffle (hash by conv_id) + in-partition sort +
+  // streaming fold. This is the scale path: per-conversation state is
+  // bounded (turns are bounded), partitions stream, nothing collects.
+  // -------------------------------------------------------------------
+
+  /** Union row emitted by the fold (split downstream). */
+  final case class KgOut(
+      kind: String, // "node" | "edge"
+      conv_id: String, id: String, name: String, ntype: String, parent: String,
+      src: String, dst: String, etype: String, srcName: String, dstName: String,
+      props: Map[String, String], ord: Long)
+
+  private final class ConvState {
+    // insertion-ordered like a Python dict (md2csv.py:16)
+    val concepts = mutable.LinkedHashMap.empty[String, (String, String, String)] // cid -> (name,type,parent)
+    val props = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[String, String]]
+    val edges = mutable.ArrayBuffer.empty[KgOut]
+    var current: String = null
+
+    def feed(l: ParsedLine): Unit = {
+      if (l.isHeader) { current = null; return } // md2csv.py:34-36 (early return)
+      if (l.cIndent > 0) { // md2csv.py:39-57
+        concepts(l.cid) = (l.cName, l.cType, current)
+        props(l.cid) = mutable.LinkedHashMap.empty // redefinition resets props
+        if (l.cIndent == 1) current = l.cid
+      }
+      if (l.relType.nonEmpty) { // md2csv.py:62-93
+        val m = mutable.LinkedHashMap.empty[String, String]
+        var i = 0
+        while (i < l.relPropKeys.length) { m(l.relPropKeys(i)) = l.relPropVals(i); i += 1 }
+        edges += KgOut("edge", l.conv_id, null, null, null, null,
+          l.relSrcId, l.relDstId, l.relType, l.relSrc, l.relDst, m.toMap, edges.length.toLong)
+      }
+      if (current != null && l.propKeys.nonEmpty) { // md2csv.py:97-105
+        val p = props(current)
+        var i = 0
+        while (i < l.propKeys.length) { p(l.propKeys(i)) = l.propVals(i); i += 1 }
+      }
+    }
+
+    def flush(convId: String): Iterator[KgOut] =
+      concepts.iterator.map { case (cid, (name, tpe, parent)) =>
+        KgOut("node", convId, cid, name, tpe, parent, null, null, null, null, null,
+          props(cid).toMap, 0L)
+      } ++ edges.iterator
+  }
+
+  /** Stage 3-4 fold: conv-partitioned, turn-ordered, streaming. */
+  def extractUnion(transcripts: DataFrame, partitions: Int = 0): Dataset[KgOut] = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    // shed the raw text before the shuffle — only structured fields travel
+    val p = parsed(transcripts).withColumn("line", lit("")).as[ParsedLine]
+    val n = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    p.repartition(n, col("conv_id"))
+      .sortWithinPartitions("conv_id", "turn_idx", "pos")
+      .mapPartitions { it =>
+        new Iterator[KgOut] {
+          private var cur: Iterator[KgOut] = Iterator.empty
+          private var pending: ParsedLine = _
+          private var done = false
+          private def advance(): Unit = {
+            while (!cur.hasNext && !done) {
+              if (pending == null && !it.hasNext) { done = true }
+              else {
+                val first = if (pending != null) pending else it.next()
+                pending = null
+                val st = new ConvState
+                st.feed(first)
+                var conv = first.conv_id
+                var break = false
+                while (!break && it.hasNext) {
+                  val l = it.next()
+                  if (l.conv_id == conv) st.feed(l)
+                  else { pending = l; break = true }
+                }
+                cur = st.flush(conv)
+              }
+            }
+          }
+          def hasNext: Boolean = { advance(); cur.hasNext }
+          def next(): KgOut = { advance(); cur.next() }
+        }
+      }
+  }
+
+  /** Kernel-path nodes+edges. Caller should persist `union` if both
+    * outputs are consumed (KgPipeline does). */
+  def splitUnion(union: Dataset[KgOut]): (Dataset[Node], Dataset[Edge]) = {
+    val spark = union.sparkSession
+    import spark.implicits._
+    val nodes = union.filter(col("kind") === "node")
+      .select(col("conv_id"), col("id"), col("name"), col("ntype"), col("parent"), col("props"))
+      .as[Node]
+    val edges = union.filter(col("kind") === "edge")
+      .select(col("conv_id"), col("src"), col("dst"), col("etype"),
+        col("srcName"), col("dstName"), col("props"), col("ord"))
+      .as[Edge]
+    (nodes, edges)
+  }
+
+  def extract(transcripts: DataFrame): (Dataset[Node], Dataset[Edge]) =
+    splitUnion(extractUnion(transcripts))
+
+  // -------------------------------------------------------------------
+  // Relational path: the same semantics in pure windows/groupBys
+  // (W1 carry-forward, A2 last-wins — SURVEY.md §2.5/2.6). More shuffles
+  // than the kernel but fully declarative; used for plan-level checks
+  // and as a second independent implementation in tests.
+  // -------------------------------------------------------------------
+
+  private val Reset = " RESET"
+
+  def extractRelational(transcripts: DataFrame): (Dataset[Node], Dataset[Edge]) = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx", "pos")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wCur = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    val p = parsed(transcripts)
+      .withColumn("ord", row_number().over(w))
+      .withColumn("marker",
+        when(col("isHeader"), lit(Reset))
+          .when(col("cIndent") === 1, col("cid")))
+      // current_concept BEFORE this line's own update → parent (md2csv.py:50)
+      .withColumn("ccBefore", last(col("marker"), ignoreNulls = true).over(wPrev))
+      // current_concept AFTER this line's update → prop owner (md2csv.py:97)
+      .withColumn("ccAfter", last(col("marker"), ignoreNulls = true).over(wCur))
+      .withColumn("ccBefore", when(col("ccBefore") === Reset, lit(null)).otherwise(col("ccBefore")))
+      .withColumn("ccAfter", when(col("ccAfter") === Reset, lit(null)).otherwise(col("ccAfter")))
+
+    val defs = p.filter(col("cIndent") > 0)
+      .select(col("conv_id"), col("cid"), col("cName"), col("cType"),
+        col("ccBefore").as("parent"), col("ord"))
+    // last-wins upsert (md2csv.py:46; A2)
+    val wDef = Window.partitionBy("conv_id", "cid").orderBy(col("ord").desc)
+    val lastDefs = defs.withColumn("rn", row_number().over(wDef))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumnRenamed("ord", "defOrd")
+
+    // prop events: whole-line pairs attributed to the current concept;
+    // only those at/after the owner's LAST definition survive (props
+    // reset on redefinition, md2csv.py:46-53)
+    val events = p.filter(size(col("propKeys")) > 0 && col("ccAfter").isNotNull)
+      .select(col("conv_id"), col("ccAfter").as("owner"), col("ord"),
+        posexplode(arrays_zip(col("propKeys"), col("propVals"))).as(Seq("pairIdx", "kv")))
+      .select(col("conv_id"), col("owner"), col("ord"), col("pairIdx"),
+        col("kv.propKeys").as("k"), col("kv.propVals").as("v"))
+      .join(lastDefs.select(col("conv_id"), col("cid").as("owner"), col("defOrd")),
+        Seq("conv_id", "owner"))
+      .filter(col("ord") >= col("defOrd"))
+    val wProp = Window.partitionBy("conv_id", "owner", "k")
+      .orderBy(col("ord").desc, col("pairIdx").desc)
+    val propsMap = events.withColumn("rn", row_number().over(wProp))
+      .filter(col("rn") === 1)
+      .groupBy(col("conv_id"), col("owner"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("k"), col("v"))))).as("props"))
+
+    val nodes = lastDefs
+      .join(propsMap.withColumnRenamed("owner", "cid"), Seq("conv_id", "cid"), "left")
+      .select(col("conv_id"), col("cid").as("id"), col("cName").as("name"),
+        col("cType").as("ntype"), col("parent"),
+        coalesce(col("props"), map()).as("props"))
+      .as[Node]
+
+    // edges: duplicates retained in line order (md2csv.py:93)
+    val rel = p.filter(col("relType") =!= "")
+    val relPairs = rel
+      .select(col("conv_id"), col("ord"), col("relSrcId"), col("relDstId"), col("relType"),
+        col("relSrc"), col("relDst"),
+        posexplode_outer(arrays_zip(col("relPropKeys"), col("relPropVals")))
+          .as(Seq("pairIdx", "kv")))
+    val wRelProp = Window.partitionBy("conv_id", "ord", "kv.relPropKeys")
+      .orderBy(col("pairIdx").desc)
+    val edges = relPairs
+      .withColumn("rn", when(col("kv").isNull, lit(1)).otherwise(row_number().over(wRelProp)))
+      .filter(col("rn") === 1)
+      .groupBy(col("conv_id"), col("ord"), col("relSrcId"), col("relDstId"),
+        col("relType"), col("relSrc"), col("relDst"))
+      .agg(map_from_entries(array_sort(collect_list(
+        when(col("kv").isNotNull, struct(col("kv.relPropKeys").as("k"), col("kv.relPropVals").as("v")))))).as("props"))
+      .select(col("conv_id"), col("relSrcId").as("src"), col("relDstId").as("dst"),
+        col("relType").as("etype"), col("relSrc").as("srcName"), col("relDst").as("dstName"),
+        coalesce(col("props"), map()).as("props"), col("ord").cast("long").as("ord"))
+      .as[Edge]
+
+    (nodes, edges)
+  }
+
+  /** Scored artifact: relation triples (by surface name) + PARENT_OF
+    * triples (README.md:265-272 Cypher). */
+  def triples(nodes: Dataset[Node], edges: Dataset[Edge]): Dataset[Triple] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val rel = edges.select(col("conv_id"), col("srcName").as("subj"),
+      col("etype").as("pred"), col("dstName").as("obj"))
+    val parentOf = nodes.as("c")
+      .join(nodes.as("p"),
+        col("c.conv_id") === col("p.conv_id") && col("c.parent") === col("p.id"))
+      .select(col("c.conv_id").as("conv_id"), col("p.name").as("subj"),
+        lit("PARENT_OF").as("pred"), col("c.name").as("obj"))
+    rel.unionByName(parentOf).as[Triple]
+  }
+}

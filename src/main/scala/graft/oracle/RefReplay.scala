@@ -1,0 +1,105 @@
+package graft.oracle
+
+import scala.collection.mutable
+import graft.model.md5id
+
+/** Line-faithful Scala replay of the reference's NoteParser
+  * (/root/reference/md2csv.py:14-105) — the correctness ORACLE used by
+  * the test suite (SURVEY.md §5.2 item 3). It deliberately mirrors the
+  * Python control flow statement-for-statement (sequential non-exclusive
+  * branches, mutable dicts, last-wins upsert) rather than being
+  * Spark-shaped; the Spark engine in graft.operators.TripleExtract is
+  * validated against this.
+  *
+  * Quirks replicated on purpose (SURVEY.md §7.3):
+  *  - lines are strip()ped before parse (md2csv.py:182), so markdown
+  *    space-indentation is lost and only dash-count carries "indent";
+  *  - an indent-1 concept's parent is the *previous* indent-1 concept;
+  *  - the relation branch does not return: `k=v` tokens on relation
+  *    lines also merge into the current concept's props (md2csv.py:97);
+  *  - re-defining a concept (same name ⇒ same md5 id) resets its props;
+  *  - relation endpoints are keyed by name-hash even if never defined;
+  *  - quoted values are stripped only if they both start AND end with
+  *    a quote; the leftmost-first alternation `[^\s=]+|"[^"]+"` means a
+  *    quoted value containing spaces is truncated at the first space.
+  */
+object RefReplay {
+
+  final case class RNode(id: String, name: String, ntype: String,
+      parent: Option[String], props: mutable.LinkedHashMap[String, String])
+  final case class REdge(src: String, dst: String, etype: String,
+      srcName: String, dstName: String, props: Map[String, String])
+
+  // Python `re` is Unicode-aware for \w and \s by default; (?U) gives
+  // Java the same semantics (md2csv.py:34,39,62,72,78).
+  private val Header = "## 【核心概念】"
+  private val Concept = "(?U)^(-+)\\s*(.*?)\\s*@(\\w+)".r
+  private val Relation = "(?U)^-+\\s*(.*?)\\s*-->\\s*(.*?)\\s*:\\s*([^\\s]+)(?:\\s+(.*))?$".r
+  private val TypeUnwrap = "(?U)^类型\\s*=\\s*(.+)".r
+  private val Prop = "(?U)(\\w+)\\s*=\\s*([^\\s=]+|\"[^\"]+\")".r
+
+  private def stripQuotes(v: String): String =
+    if (v.startsWith("\"") && v.endsWith("\"")) v.substring(1, math.max(v.length - 1, 1)) else v
+
+  final class Parser {
+    val concepts = mutable.LinkedHashMap.empty[String, RNode]
+    val relations = mutable.ArrayBuffer.empty[REdge]
+    var current: Option[String] = None
+
+    /** md2csv.py:24-105, one stripped line. */
+    def parseLine(raw: String): Unit = {
+      val line = raw.trim // fixtures restrict whitespace to ASCII ⇒ trim ≡ str.strip()
+      if (line.startsWith(Header)) { current = None; return }
+
+      Concept.findPrefixMatchOf(line).foreach { m =>
+        val indent = m.group(1).length
+        val name = m.group(2).trim
+        val ctype = m.group(3)
+        val cid = md5id(name)
+        concepts(cid) = RNode(cid, name, ctype, current, mutable.LinkedHashMap.empty)
+        if (indent == 1) current = Some(cid)
+      }
+
+      Relation.findFirstMatchIn(line).foreach { m =>
+        var source = m.group(1).trim.replaceAll("(?U)^[\\s-]+", "")
+        val target = m.group(2).trim
+        var relType = m.group(3).trim
+        TypeUnwrap.findPrefixMatchOf(relType).foreach(t => relType = t.group(1))
+        val props = Option(m.group(4)).map { ps =>
+          Prop.findAllMatchIn(ps).map(p =>
+            p.group(1).trim -> stripQuotes(p.group(2)).trim).toSeq
+        }.getOrElse(Seq.empty)
+        relations += REdge(md5id(source), md5id(target), relType, source, target,
+          props.foldLeft(Map.empty[String, String])(_ + _))
+      }
+
+      if (current.nonEmpty && line.contains('=')) {
+        val owner = concepts(current.get)
+        Prop.findAllMatchIn(line).foreach { p =>
+          owner.props(p.group(1).trim) = stripQuotes(p.group(2)).trim
+        }
+      }
+    }
+  }
+
+  /** Run the replay over one conversation's lines (turns pre-ordered by
+    * turn_idx; each turn's text split on \n, matching md2csv.py:180-182
+    * reading a file line by line). */
+  def parse(lines: Iterator[String]): (Seq[RNode], Seq[REdge]) = {
+    val p = new Parser
+    lines.foreach(p.parseLine)
+    (p.concepts.values.toSeq, p.relations.toSeq)
+  }
+
+  /** Golden (subj, pred, obj) triples of one conversation: the relation
+    * list (names as subjects/objects, csv2ttl.py:128 semantics) plus the
+    * PARENT_OF edges derived from node.parent (README.md:265-272). */
+  def triples(lines: Iterator[String]): Seq[(String, String, String)] = {
+    val (nodes, edges) = parse(lines)
+    val byId = nodes.map(n => n.id -> n).toMap
+    val rel = edges.map(e => (e.srcName, e.etype, e.dstName))
+    val parents = nodes.flatMap(n =>
+      n.parent.flatMap(byId.get).map(p => (p.name, "PARENT_OF", n.name)))
+    rel ++ parents
+  }
+}

@@ -1,0 +1,36 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import graft.fixtures.TranscriptGen
+import graft.oracle.RefReplay
+
+/** Dumps fixture conversations as line files + the RefReplay oracle's
+  * canonical parse, so the ACTUAL Python reference
+  * (/root/reference/md2csv.py NoteParser) can be run on the same files
+  * and diffed (one-time fidelity evidence; see scripts/crosscheck.py).
+  * No SparkSession needed — pure generator + replay. */
+object CrossCheck {
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "/tmp/crosscheck"
+    val nConvs = if (args.length > 1) args(1).toInt else 40
+    Files.createDirectories(Paths.get(outDir))
+    val sb = new StringBuilder
+    (0 until nConvs).foreach { i =>
+      val turns = TranscriptGen.genConv(42L, i.toLong)
+      val lines = turns.sortBy(_.turn_idx).flatMap(_.text.split("\n", -1))
+      Files.write(Paths.get(s"$outDir/conv$i.txt"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      val (nodes, edges) = RefReplay.parse(lines.iterator.map(_.trim))
+      nodes.foreach { n =>
+        val props = n.props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+        sb ++= s"conv$i NODE ${n.id}|${n.name}|${n.ntype}|${n.parent.getOrElse("")}|$props\n"
+      }
+      edges.foreach { e =>
+        val props = e.props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+        sb ++= s"conv$i EDGE ${e.src}|${e.dst}|${e.etype}|${e.srcName}|${e.dstName}|$props\n"
+      }
+    }
+    Files.write(Paths.get(s"$outDir/scala_replay.txt"), sb.toString.getBytes("UTF-8"))
+    println(s"wrote $outDir")
+  }
+}

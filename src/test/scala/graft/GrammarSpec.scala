@@ -1,0 +1,129 @@
+package graft
+
+import graft.fixtures.TranscriptGen
+import graft.operators.TripleExtract
+import graft.oracle.RefReplay
+import graft.model._
+
+/** End-to-end grammar fidelity: both Spark extraction paths (kernel +
+  * relational) must reproduce the reference replay oracle exactly on
+  * seeded fixture conversations that exercise every md2csv.py branch and
+  * every SURVEY.md §7.3 quirk. RefReplay itself is validated
+  * byte-identical to the actual Python (scripts/crosscheck.py). */
+class GrammarSpec extends SparkSpec {
+
+  private val NConvs = 25
+
+  /** Canonical comparable form of one node / edge. */
+  private def nodeKey(conv: String, id: String, name: String, ntype: String,
+      parent: String, props: Map[String, String]): String =
+    s"$conv|N|$id|$name|$ntype|${Option(parent).getOrElse("")}|" +
+      props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+  private def edgeKey(conv: String, e: (String, String, String, String, String, Map[String, String])): String =
+    s"$conv|E|${e._1}|${e._2}|${e._3}|${e._4}|${e._5}|" +
+      e._6.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+
+  private lazy val oracle: Set[String] = (0 until NConvs).flatMap { i =>
+    val conv = f"c$i%08d"
+    val lines = TranscriptGen.genConv(42L, i.toLong)
+      .sortBy(_.turn_idx).flatMap(_.text.split("\n", -1))
+    val (nodes, edges) = RefReplay.parse(lines.iterator.map(_.trim))
+    nodes.map(n => nodeKey(conv, n.id, n.name, n.ntype, n.parent.orNull, n.props.toMap)) ++
+      edges.map(e => edgeKey(conv, (e.src, e.dst, e.etype, e.srcName, e.dstName, e.props)))
+  }.toSet
+
+  // multiset for edges (reference retains duplicates)
+  private lazy val oracleEdgeBag: Map[String, Int] = (0 until NConvs).flatMap { i =>
+    val conv = f"c$i%08d"
+    val lines = TranscriptGen.genConv(42L, i.toLong)
+      .sortBy(_.turn_idx).flatMap(_.text.split("\n", -1))
+    RefReplay.parse(lines.iterator.map(_.trim))._2
+      .map(e => edgeKey(conv, (e.src, e.dst, e.etype, e.srcName, e.dstName, e.props)))
+  }.groupBy(identity).view.mapValues(_.size).toMap
+
+  private def collectKeys(nodes: org.apache.spark.sql.Dataset[Node],
+      edges: org.apache.spark.sql.Dataset[Edge]): (Set[String], Map[String, Int]) = {
+    val n = nodes.collect().map(x =>
+      nodeKey(x.conv_id, x.id, x.name, x.ntype, x.parent, x.props)).toSet
+    val e = edges.collect().map(x =>
+      edgeKey(x.conv_id, (x.src, x.dst, x.etype, x.srcName, x.dstName, x.props)))
+    (n ++ e.toSet, e.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  private lazy val transcripts = TranscriptGen.df(spark, NConvs).cache()
+
+  test("kernel path reproduces the reference replay exactly (incl. edge multiplicity)") {
+    val (nodes, edges) = TripleExtract.extract(transcripts)
+    val (keys, bag) = collectKeys(nodes, edges)
+    assert(keys === oracle, s"diff: missing=${(oracle -- keys).take(5)} extra=${(keys -- oracle).take(5)}")
+    assert(bag === oracleEdgeBag)
+  }
+
+  test("relational (window) path reproduces the reference replay exactly") {
+    val (nodes, edges) = TripleExtract.extractRelational(transcripts)
+    val (keys, bag) = collectKeys(nodes, edges)
+    assert(keys === oracle, s"diff: missing=${(oracle -- keys).take(5)} extra=${(keys -- oracle).take(5)}")
+    assert(bag === oracleEdgeBag)
+  }
+
+  test("kernel path is invariant to partition count (2 vs 8)") {
+    val u2 = TripleExtract.extractUnion(transcripts, partitions = 2)
+    val u8 = TripleExtract.extractUnion(transcripts, partitions = 8)
+    val (n2, e2) = TripleExtract.splitUnion(u2)
+    val (n8, e8) = TripleExtract.splitUnion(u8)
+    assert(collectKeys(n2, e2) === collectKeys(n8, e8))
+  }
+
+  test("triples P/R vs oracle == 1.0 on clean fixtures (north rule ≥0.95)") {
+    val (nodes, edges) = TripleExtract.extract(transcripts)
+    val got = TripleExtract.triples(nodes, edges).collect()
+      .map(t => (t.conv_id, t.subj, t.pred, t.obj)).toSet
+    val want = (0 until NConvs).flatMap { i =>
+      val conv = f"c$i%08d"
+      val lines = TranscriptGen.genConv(42L, i.toLong)
+        .sortBy(_.turn_idx).flatMap(_.text.split("\n", -1))
+      RefReplay.triples(lines.iterator.map(_.trim)).map(t => (conv, t._1, t._2, t._3))
+    }.toSet
+    val inter = (got & want).size.toDouble
+    val p = inter / got.size
+    val r = inter / want.size
+    assert(p >= 0.95 && r >= 0.95, s"P=$p R=$r")
+    assert(got === want) // exact on clean fixtures
+  }
+
+  test("grammar quirks: single hand-written conversation") {
+    import spark.implicits._
+    val text = Seq(
+      "## 【核心概念】",
+      "- 神经网络 @模型 描述=\"模拟生物神经网络的计算模型\" 来源=\"机器学习\"",
+      "  - 激活函数 @组件 类型=Sigmoid", // stripped → indent 1; its 类型 prop lands on itself
+      "-- 子概念A @类型 重要性=高",       // indent 2: parent=激活函数, prop goes to 激活函数
+      "## 【关联关系】",                  // does NOT reset current
+      "- 神经网络 --> 激活函数 : 包含",
+      "- 梯度下降 --> 学习率 : 类型=依赖",  // unwrap + 类型 prop leaks to 子概念A? no: current=激活函数
+      "- 梯度下降 --> 学习率 : 依赖 时间=\"训练阶段\"", // dup-ish edge + prop leakage
+      "- 未定义源 --> 未定义目标 : 关联",
+      "* 坏列表符号",
+      "重要性=低")
+    val ts = new java.sql.Timestamp(TranscriptGen.BaseEpochMs)
+    val df = Seq(Turn("t1", 0, "user", text.mkString("\n"), null, ts)).toDF()
+    val (nodes, edges) = TripleExtract.extract(df)
+    val (keys, _) = collectKeys(nodes, edges)
+    val (oNodes, oEdges) = RefReplay.parse(text.iterator.map(_.trim))
+    val want = oNodes.map(n => nodeKey("t1", n.id, n.name, n.ntype, n.parent.orNull, n.props.toMap)).toSet ++
+      oEdges.map(e => edgeKey("t1", (e.src, e.dst, e.etype, e.srcName, e.dstName, e.props))).toSet
+    assert(keys === want)
+    // spot-check the quirks are actually present
+    val byName = nodes.collect().map(n => n.name -> n).toMap
+    // the later relation lines' 类型= tokens leak into the current
+    // concept's props (quirk #2) and overwrite the original Sigmoid:
+    assert(byName("激活函数").props.get("类型").contains("依赖"))
+    // indent-2 concept's prop leaked to the current top-level concept:
+    assert(byName("激活函数").props.get("重要性").contains("低")) // later bare prop line overwrote 高
+    assert(byName("子概念A").props.isEmpty)
+    assert(byName("子概念A").parent === md5id("激活函数"))
+    // relation-line 类型= token leaked into current concept's props:
+    assert(byName("激活函数").props.get("时间").contains("训练阶段"))
+    assert(edges.collect().count(_.etype == "依赖") === 2) // unwrapped + plain
+  }
+}
