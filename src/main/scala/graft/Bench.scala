@@ -1,24 +1,48 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.fixtures.TranscriptGen
+
+/** Driver benchmark main: runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds plus
+  * the headline triples/sec of the KG pipeline (the BASELINE.json
+  * metric). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> ((System.nanoTime() - t0) / 1e9, n)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // headline: triples/sec of the end-to-end extraction at this sf
+    val nConvs = TranscriptGen.convsForSfDir(sfDir)
+    val t = TranscriptGen.df(spark, nConvs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t.count() // materialize input outside the timed section
+    val t0 = System.nanoTime()
+    val (nodes, edges) = operators.TripleExtract.extract(t)
+    val nTriples = operators.TripleExtract.triples(nodes, edges).count()
+    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    val triplesPerSec = nTriples / pipelineSec
+    t.unpersist()
+
+    val qs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum + pipelineSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""triples":$nTriples,"triples_per_sec":$triplesPerSec,""" +
+      s""""pipeline_sec":$pipelineSec,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

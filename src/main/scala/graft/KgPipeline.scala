@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Canonicalize, EntityLinking, TripleExtract}
+import graft.sources.Checkpoint
+
+/** End-to-end KG-construction job (SURVEY.md §7.1): transcripts →
+  * parse → extract → link → canonicalize → materialized node/edge
+  * tables + triples, with per-stage counters.
+  *
+  * Scale shape: one shuffle for extraction (hash by conv_id), one
+  * groupBy for node dedup, broadcast/salted joins for linking, bounded
+  * CC iterations for fuzzy canonicalization. Outputs are written
+  * bucketed by conv_id hash (Iceberg-style layout: partition dirs +
+  * manifest markers via Checkpoint) so downstream consumers get
+  * co-located conversations.
+  */
+object KgPipeline {
+
+  final case class Result(
+      nodes: DataFrame, edges: DataFrame, triples: DataFrame,
+      counters: Map[String, Long])
+
+  /** Core batch run (no fuzzy step — the reference links exactly). */
+  def run(transcripts: DataFrame, fuzzy: Boolean = false): Result = {
+    val spark = transcripts.sparkSession
+    val union = TripleExtract.extractUnion(transcripts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nodes, edges) = TripleExtract.splitUnion(union)
+    val (canonNodes, canonEdges) =
+      if (fuzzy) {
+        val sim = EntityLinking.fuzzyIdEdges(nodes.toDF().select(col("name")), threshold = 0.8)
+        Canonicalize.canonicalizeGraph(nodes, edges, sim)
+      } else (Canonicalize.dedupNodes(nodes), Canonicalize.dedupEdges(edges))
+    val triples = TripleExtract.triples(nodes, edges).toDF()
+    val counters = Map(
+      "turns" -> transcripts.count(),
+      "nodes_raw" -> nodes.count(),
+      "edges_raw" -> edges.count(),
+      "nodes_canonical" -> canonNodes.count(),
+      "edges_canonical" -> canonEdges.count(),
+      "triples" -> triples.count())
+    union.unpersist()
+    Result(canonNodes, canonEdges, triples, counters)
+  }
+
+  /** Resumable variant: extraction is checkpointed per conv_id bucket
+    * with lineage markers; a killed run resumes exactly-once. */
+  def runResumable(transcripts: DataFrame, outDir: String,
+      buckets: Int = 16, groupSize: Int = 4): Map[Int, Long] = {
+    val spark = transcripts.sparkSession
+    Checkpoint.runResumable(
+      transcripts,
+      slice => {
+        val (nodes, edges) = TripleExtract.extract(slice.drop("bucket"))
+        TripleExtract.triples(nodes, edges).toDF()
+          .join(slice.select(col("conv_id"), col("bucket")).distinct(), Seq("conv_id"))
+      },
+      outDir, buckets, groupSize)
+    Checkpoint.counters(spark, outDir)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evaluation metrics (SURVEY.md A9; the north rule's P/R ≥ 0.95 gate).
+  * Pure DataFrame aggregations — no UDAF needed. */
+object Metrics {
+
+  final case class PRF(precision: Double, recall: Double, f1: Double,
+      got: Long, want: Long, inter: Long)
+
+  /** Set-based P/R/F1 of predicted vs golden triples, keyed on all
+    * columns of the triple (distinct semantics, like the reference's
+    * span-set comparison). */
+  def triplePRF(got: DataFrame, want: DataFrame): PRF = {
+    val g = got.distinct().cache()
+    val w = want.distinct().cache()
+    val inter = g.intersect(w).count()
+    val ng = g.count(); val nw = w.count()
+    g.unpersist(); w.unpersist()
+    val p = if (ng == 0) 0.0 else inter.toDouble / ng
+    val r = if (nw == 0) 0.0 else inter.toDouble / nw
+    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    PRF(p, r, f1, ng, nw, inter)
+  }
+
+  /** Per-label weighted P/R/F1 over aligned (pred, gold) label pairs
+    * excluding 'O' — sklearn `weighted` semantics replicated relationally
+    * (bilstm_crf_ner.py:566-576). Input df: (pred: string, gold: string). */
+  def weightedLabelPRF(pairs: DataFrame): PRF = {
+    val spark = pairs.sparkSession
+    val stats = pairs.cache()
+    val perLabel = stats
+      .select(col("gold").as("label"))
+      .groupBy("label").agg(count(lit(1)).as("support"))
+      .join(
+        stats.filter(col("pred") === col("gold"))
+          .groupBy(col("gold").as("label")).agg(count(lit(1)).as("tp")),
+        Seq("label"), "left")
+      .join(
+        stats.groupBy(col("pred").as("label")).agg(count(lit(1)).as("predCount")),
+        Seq("label"), "left")
+      .na.fill(0L, Seq("tp", "predCount"))
+      .filter(col("label") =!= "O")
+      .withColumn("prec", when(col("predCount") > 0, col("tp") / col("predCount")).otherwise(lit(0.0)))
+      .withColumn("rec", when(col("support") > 0, col("tp") / col("support")).otherwise(lit(0.0)))
+      .withColumn("f1", when(col("prec") + col("rec") > 0,
+        lit(2) * col("prec") * col("rec") / (col("prec") + col("rec"))).otherwise(lit(0.0)))
+    val agg = perLabel.agg(
+      (sum(col("prec") * col("support")) / sum("support")).as("p"),
+      (sum(col("rec") * col("support")) / sum("support")).as("r"),
+      (sum(col("f1") * col("support")) / sum("support")).as("f")).collect()(0)
+    stats.unpersist()
+    PRF(agg.getDouble(0), agg.getDouble(1), agg.getDouble(2), 0, 0, 0)
+  }
+}

@@ -2,13 +2,17 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.fixtures.TranscriptGen
-import graft.operators.TripleExtract
+import graft.functions.Embeddings
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` keys reference the SURVEY.md §2 operator inventory ids.
-  * Every SQL-expressible operator has a DuckDB oracle in [[oracleSql]];
+  * Query keys reference the SURVEY.md §2 operator inventory. Every
+  * SQL-expressible operator carries a DuckDB oracle in [[oracleSql]]
+  * (column names aligned; float aggregates computed in DECIMAL and cast
+  * to DOUBLE; DuckDB regexp_replace gets the 'g' flag Spark implies).
   * KG-pipeline operators over synthesized transcripts are rows-only.
   */
 object SparkEntry {
@@ -21,12 +25,14 @@ object SparkEntry {
     TripleExtract.triples(nodes, edges).toDF()
   }
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  private val PropPat = "([a-zA-Z0-9_]+)\\s*=\\s*([^\\s=]+|\"[^\"]+\")"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- KG pipeline over synthesized transcripts (rows-only checks) --
+
+    // ================= KG pipeline (rows-only; fixture transcripts) ====
     "kg_triples" -> ((s, dir) => {
       val t = TranscriptGen.df(s, TranscriptGen.convsForSfDir(dir))
       val (nodes, edges) = TripleExtract.extract(t)
@@ -35,43 +41,471 @@ object SparkEntry {
     "kg_nodes_relational" -> ((s, dir) => {
       val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 200L))
       val (nodes, _) = TripleExtract.extractRelational(t)
-      nodes.toDF().withColumn("props", to_json(col("props"))) // map → json for parquet/duckdb friendliness
+      nodes.toDF().withColumn("props", to_json(col("props")))
     }),
+    "kg_canonical" -> ((s, dir) => {
+      val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 500L))
+      val r = KgPipeline.run(t)
+      r.nodes.withColumn("props", to_json(col("props")))
+    }),
+    "kg_mentions" -> ((s, dir) => {
+      val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 500L))
+      NerTag.mentions(t.toDF(), NerTag.fixtureDict).toDF()
+    }),
+    "kg_fuzzy_pairs" -> ((s, dir) => {
+      val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 300L))
+      val (nodes, _) = TripleExtract.extract(t)
+      EntityLinking.fuzzyCandidates(nodes.toDF().select(col("name")), threshold = 0.5)
+    }),
+    "kg_ttl" -> ((s, dir) => {
+      import s.implicits._
+      val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 300L))
+      val r = KgPipeline.run(t) // exporters consume CANONICAL tables
+      graft.sources.Exporters.ttlLines(
+        r.nodes.as[graft.model.Node], r.edges.as[graft.model.Edge])
+    }),
+    "kg_jsonld" -> ((s, dir) => {
+      import s.implicits._
+      val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 300L))
+      val r = KgPipeline.run(t)
+      graft.sources.Exporters.jsonld(
+        r.nodes.as[graft.model.Node], r.edges.as[graft.model.Edge])
+    }),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(s, TranscriptGen.convsForSfDir(dir)))),
+    "ann_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      Similarity.annTopK(emb, "embedding", q.length, q, 10, "vec_id")
+        .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
+    }),
+    "dedup_neardup_drop" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(tbl(s, dir, "documents"), "doc_id", "text", 0.8)
+        .select("doc_id")),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        bits = 16, bandBits = 4, maxDist = 3)),
 
-    // ---- oracle-checkable operators over the driver's testdata -------
+    // ================= oracle-checked (testdata tables) ================
     // X1: md5(name)[:8] entity key (md2csv.py:20-22)
     "x1_md5_id" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
+      tbl(s, dir, "documents").select(col("doc_id"),
         substring(md5(col("text")), 1, 8).as("cid")).orderBy("doc_id")),
 
-    // X2/F6: concept-definition regex over grammar-shaped lines built
-    // from table columns (md2csv.py:39-43)
+    // X2/F6: concept-definition regex (md2csv.py:39-43)
     "x2_concept_parse" -> ((s, dir) => {
       val line = concat(lit("- doc"), col("doc_id"), lit(" @"), col("lang"),
         lit(" source="), col("source"))
-      docs(s, dir).select(
+      tbl(s, dir, "documents").select(
         col("doc_id"),
         regexp_extract(line, "^(-+)\\s*(.*?)\\s*@(\\w+)", 2).as("cname"),
         regexp_extract(line, "^(-+)\\s*(.*?)\\s*@(\\w+)", 3).as("ctype"))
         .orderBy("doc_id")
     }),
 
-    // W3/O2: global top-k with deterministic tiebreak (rag_query.py:111)
-    "w3_topk_docs" -> ((s, dir) =>
-      docs(s, dir).orderBy(col("n_chars").desc, col("doc_id"))
-        .limit(10).select(col("doc_id"), col("n_chars")))
+    // X3: relation regex incl. 类型-free 3-group form (md2csv.py:62-66)
+    "x3_relation_parse" -> ((s, dir) => {
+      val n = tbl(s, dir, "nation"); val r = tbl(s, dir, "region")
+      val line = concat(lit("- "), col("n_name"), lit(" --> "), col("r_name"),
+        lit(" : belongs_to"))
+      val pat = "^-+\\s*(.*?)\\s*-->\\s*(.*?)\\s*:\\s*([^\\s]+)(?:\\s+(.*))?$"
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(regexp_extract(line, pat, 1).as("src"),
+          regexp_extract(line, pat, 2).as("dst"),
+          regexp_extract(line, pat, 3).as("rtype"))
+        .orderBy("src")
+    }),
+
+    // X4: k=v prop-pair extraction incl. quoted-value truncation quirk
+    "x4_props_parse" -> ((s, dir) => {
+      val line = concat(lit("size="), col("p_size"), lit(" brand=\""), col("p_brand"),
+        lit("\" type=\""), col("p_type"), lit("\""))
+      tbl(s, dir, "part").select(col("p_partkey"),
+        array_join(regexp_extract_all(line, lit(PropPat), lit(1)), "|").as("keys"),
+        array_join(regexp_extract_all(line, lit(PropPat), lit(2)), "|").as("vals"))
+        .orderBy("p_partkey")
+    }),
+
+    // X13: URL→filename sanitize (web_crawler.py:269-274)
+    "x13_url_sanitize" -> ((s, dir) => {
+      val url = concat(lit("https://ex.com/"), col("source"), lit("/"),
+        col("doc_id"), lit("?q=1"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        substring(regexp_replace(regexp_replace(url, "^https?://", ""),
+          "[\\\\/:*?\"<>|]", ""), 1, 100).as("fname"))
+        .orderBy("doc_id")
+    }),
+
+    // X15: relation phrase concat (embedding_generator.py:55)
+    "x15_relation_phrase" -> ((s, dir) => {
+      val n = tbl(s, dir, "nation"); val r = tbl(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(concat_ws(" ", col("n_name"), lit("LOCATED_IN"), col("r_name"))
+          .as("phrase"))
+        .orderBy("phrase")
+    }),
+
+    // X17/W3: brute-force cosine top-k (rag_query.py:104-111)
+    "x17_cosine_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Embeddings.cosine(col("embedding"), col("q")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
+    // X19: class-type membership (csv2ttl.py:11,43-53)
+    "x19_class_membership" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("lang").isin("en", "zh"), lit("class"))
+          .otherwise(lit("individual")).as("kind"))
+        .orderBy("doc_id")),
+
+    // F3: dangling-edge filter = left-semi on both endpoints
+    "f3_dangling_filter" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      li.join(tbl(s, dir, "orders").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(tbl(s, dir, "part").select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .orderBy("l_orderkey", "l_partkey")
+    }),
+
+    // J1: id→URI lookup = broadcast hash join + agg (csv2ttl.py:31-48)
+    "j1_lookup_join" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("c_mktsegment")),
+
+    // J2: parent-name resolve self-joinish lookup (csv2rdf-jsonld.py:65-68)
+    "j2_parent_resolve" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+        .orderBy("n_name")),
+
+    // J9: anti-join (seen-set exclusion, constructor.py:208-210)
+    "j9_anti_join" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders").filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy("c_custkey")),
+
+    // G2: PARENT_OF edge derivation (README.md:265-272)
+    "g2_parent_edges" -> ((s, dir) =>
+      tbl(s, dir, "nation")
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("parent"), col("n_name").as("child"),
+          lit("PARENT_OF").as("etype"))
+        .orderBy("child")),
+
+    // A1: prop-key union (md2csv.py:109-114) — JSON props keys of events
+    "a1_propkey_union" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(explode(regexp_extract_all(col("props"),
+          lit("\"([a-zA-Z0-9_]+)\"\\s*:"), lit(1))).as("k"))
+        .distinct().orderBy("k")),
+
+    // A2: last-writer-wins by key (md2csv.py:46-53)
+    "a2_lastwins" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      tbl(s, dir, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // A4: duplicate-relation removal (README.md:303-311)
+    "a4_dedup_edges" -> ((s, dir) =>
+      tbl(s, dir, "events").select(col("user_id"), col("event_type")).distinct()
+        .orderBy("user_id", "event_type")),
+
+    // A5: duplicate counts (command_set.txt dedup-count queries)
+    "a5_dup_counts" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy(substring(md5(col("lang")), 1, 8).as("id"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .orderBy("id")),
+
+    // A8: char-frequency vocab build (bilstm_crf_ner.py:113-128)
+    "a8_vocab_build" -> ((s, dir) => {
+      val chars = tbl(s, dir, "documents")
+        .select(explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) === 1)
+      val freq = chars.groupBy("ch").agg(count(lit(1)).as("c")).filter(col("c") >= 5)
+      freq.withColumn("id", row_number().over(Window.orderBy(col("c").desc, col("ch"))))
+        .orderBy("id")
+    }),
+
+    // W1: current-concept carry-forward window (md2csv.py:19,55-57)
+    "w1_carry_forward" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tbl(s, dir, "events").select(col("user_id"), col("event_id"),
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+          .over(w).as("last_click"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W2: stable ordering row_number (BASELINE.json invariant)
+    "w2_stable_order" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      tbl(s, dir, "events").select(col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W5: rolling history window (read_instruct.py:261-265)
+    "w5_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+      tbl(s, dir, "events").select(col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("s"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // O4: drop-until-fits batch trim (read_v2.py:43-53)
+    "o4_batch_trim" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tbl(s, dir, "documents").select(col("lang"), col("doc_id"),
+        sum(col("n_chars")).over(w).cast("long").as("cum"))
+        .filter(col("cum") <= 20000)
+        .orderBy("lang", "doc_id")
+    }),
+
+    // O5/O6: union + distinct (rag_query.py:34-58 concat; sets)
+    "o5_union_distinct" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("lang").as("v")).union(d.select(col("source").as("v")))
+        .distinct().orderBy("v")
+    }),
+
+    // A9-adjacent classic agg with decimal-exact sums (oracle sanity)
+    "q1_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- training-data ops over documents --------------------------
+    "dedup_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("h")),
+
+    "dedup_minhash" -> ((s, dir) => {
+      val words = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      words.groupBy("doc_id").agg(
+        min(md5(concat(lit("0|"), col("w")))).as("h0"),
+        min(md5(concat(lit("1|"), col("w")))).as("h1"),
+        min(md5(concat(lit("2|"), col("w")))).as("h2"),
+        min(md5(concat(lit("3|"), col("w")))).as("h3"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_id")).orderBy("doc_id")),
+
+    "text_stats" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.tokenEstimateRef(col("text")).as("n_est"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id"))
   )
 
-  /** DuckDB-equivalent SQL per query (column names must match). */
+  /** DuckDB-equivalent SQL (column names must match the Spark side). */
   def oracleSql: Map[String, String] = Map(
     "x1_md5_id" ->
       "SELECT doc_id, substr(md5(text),1,8) AS cid FROM documents ORDER BY doc_id",
-    "x2_concept_parse" ->
-      ("SELECT doc_id, " +
-        "regexp_extract('- doc' || doc_id || ' @' || lang || ' source=' || source, '^(-+)\\s*(.*?)\\s*@(\\w+)', 2) AS cname, " +
-        "regexp_extract('- doc' || doc_id || ' @' || lang || ' source=' || source, '^(-+)\\s*(.*?)\\s*@(\\w+)', 3) AS ctype " +
-        "FROM documents ORDER BY doc_id"),
-    "w3_topk_docs" ->
-      "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+
+    "x2_concept_parse" -> ("""
+      SELECT doc_id,
+        regexp_extract('- doc' || doc_id || ' @' || lang || ' source=' || source,
+          '^(-+)\s*(.*?)\s*@(\w+)', 2) AS cname,
+        regexp_extract('- doc' || doc_id || ' @' || lang || ' source=' || source,
+          '^(-+)\s*(.*?)\s*@(\w+)', 3) AS ctype
+      FROM documents ORDER BY doc_id"""),
+
+    "x3_relation_parse" -> ("""
+      WITH l AS (SELECT '- ' || n_name || ' --> ' || r_name || ' : belongs_to' AS line, n_name
+                 FROM nation JOIN region ON n_regionkey = r_regionkey)
+      SELECT regexp_extract(line, '^-+\s*(.*?)\s*-->\s*(.*?)\s*:\s*([^\s]+)(?:\s+(.*))?$', 1) AS src,
+             regexp_extract(line, '^-+\s*(.*?)\s*-->\s*(.*?)\s*:\s*([^\s]+)(?:\s+(.*))?$', 2) AS dst,
+             regexp_extract(line, '^-+\s*(.*?)\s*-->\s*(.*?)\s*:\s*([^\s]+)(?:\s+(.*))?$', 3) AS rtype
+      FROM l ORDER BY src"""),
+
+    "x4_props_parse" -> ("""
+      WITH l AS (SELECT p_partkey,
+        'size=' || p_size || ' brand="' || p_brand || '" type="' || p_type || '"' AS line
+        FROM part)
+      SELECT p_partkey,
+        array_to_string(regexp_extract_all(line, '([a-zA-Z0-9_]+)\s*=\s*([^\s=]+|"[^"]+")', 1), '|') AS keys,
+        array_to_string(regexp_extract_all(line, '([a-zA-Z0-9_]+)\s*=\s*([^\s=]+|"[^"]+")', 2), '|') AS vals
+      FROM l ORDER BY p_partkey"""),
+
+    "x13_url_sanitize" -> ("""
+      SELECT doc_id,
+        substr(regexp_replace(regexp_replace(
+          'https://ex.com/' || source || '/' || doc_id || '?q=1',
+          '^https?://', '', 'g'), '[\\/:*?"<>|]', '', 'g'), 1, 100) AS fname
+      FROM documents ORDER BY doc_id"""),
+
+    "x15_relation_phrase" -> ("""
+      SELECT concat_ws(' ', n_name, 'LOCATED_IN', r_name) AS phrase
+      FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY phrase"""),
+
+    "x17_cosine_topk" -> ("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS sim
+      FROM embeddings, q ORDER BY sim DESC, vec_id LIMIT 10"""),
+
+    "x19_class_membership" -> ("""
+      SELECT doc_id, CASE WHEN lang IN ('en','zh') THEN 'class' ELSE 'individual' END AS kind
+      FROM documents ORDER BY doc_id"""),
+
+    "f3_dangling_filter" -> ("""
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      ORDER BY l_orderkey, l_partkey"""),
+
+    "j1_lookup_join" -> ("""
+      SELECT c_mktsegment, count(*) AS cnt,
+        (sum(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+
+    "j2_parent_resolve" -> ("""
+      SELECT n_name, count(*) AS cnt FROM customer
+      JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""),
+
+    "j9_anti_join" -> ("""
+      SELECT c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      ORDER BY c_custkey"""),
+
+    "g2_parent_edges" -> ("""
+      SELECT r_name AS parent, n_name AS child, 'PARENT_OF' AS etype
+      FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY child"""),
+
+    "a1_propkey_union" -> ("""
+      SELECT DISTINCT unnest(regexp_extract_all(props, '"([a-zA-Z0-9_]+)"\s*:', 1)) AS k
+      FROM events ORDER BY k"""),
+
+    "a2_lastwins" -> ("""
+      SELECT user_id, event_id, event_type FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      ORDER BY user_id"""),
+
+    "a4_dedup_edges" -> ("""
+      SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"""),
+
+    "a5_dup_counts" -> ("""
+      SELECT substr(md5(lang),1,8) AS id, count(*) AS cnt FROM documents
+      GROUP BY 1 HAVING count(*) > 1 ORDER BY id"""),
+
+    "a8_vocab_build" -> ("""
+      WITH chars AS (SELECT unnest(string_split(text, '')) AS ch FROM documents),
+      freq AS (SELECT ch, count(*) AS c FROM chars WHERE length(ch) = 1
+               GROUP BY ch HAVING count(*) >= 5)
+      SELECT ch, c, row_number() OVER (ORDER BY c DESC, ch) AS id FROM freq ORDER BY id"""),
+
+    "w1_carry_forward" -> ("""
+      SELECT user_id, event_id,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      FROM events ORDER BY user_id, event_id"""),
+
+    "w2_stable_order" -> ("""
+      SELECT user_id, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events ORDER BY user_id, event_id"""),
+
+    "w5_rolling_window" -> ("""
+      SELECT user_id, event_id,
+        (sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))::DOUBLE AS s
+      FROM events ORDER BY user_id, event_id"""),
+
+    "o4_batch_trim" -> ("""
+      WITH c AS (SELECT lang, doc_id,
+        sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents)
+      SELECT lang, doc_id, cum::BIGINT AS cum FROM c WHERE cum <= 20000
+      ORDER BY lang, doc_id"""),
+
+    "o5_union_distinct" -> ("""
+      SELECT DISTINCT v FROM (SELECT lang AS v FROM documents
+        UNION ALL SELECT source AS v FROM documents) ORDER BY v"""),
+
+    "q1_agg" -> ("""
+      SELECT l_returnflag, l_linestatus,
+        (sum(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty,
+        (sum(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sum_price,
+        (sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))))::DOUBLE AS revenue,
+        count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+
+    "dedup_exact_groups" -> ("""
+      SELECT md5(text) AS h, min(doc_id) AS keep, count(*) AS cnt
+      FROM documents GROUP BY 1 ORDER BY h"""),
+
+    "dedup_minhash" -> ("""
+      WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+                 FROM documents)
+      SELECT doc_id, min(md5('0|' || w)) AS h0, min(md5('1|' || w)) AS h1,
+             min(md5('2|' || w)) AS h2, min(md5('3|' || w)) AS h3
+      FROM w GROUP BY doc_id ORDER BY doc_id"""),
+
+    "text_langid" -> ("""
+      WITH m AS (SELECT doc_id, text,
+        greatest(length(text), 1) AS total,
+        length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin,
+        length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS cyr
+        FROM documents)
+      SELECT doc_id, CASE WHEN cjk * 4 > total THEN 'zh'
+        WHEN cyr * 2 > latin AND cyr > 0 THEN 'ru'
+        WHEN latin * 2 > total THEN 'en' ELSE 'other' END AS lang_id
+      FROM m ORDER BY doc_id"""),
+
+    "text_stats" -> ("""
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        CAST(floor(length(text) / 2) AS BIGINT) AS n_est,
+        length(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[\x{4e00}-\x{9fff}]|[^\sA-Za-z0-9]', 0)) AS n_subwords
+      FROM documents ORDER BY doc_id"""),
+
+    "text_fingerprint" -> ("""
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id""")
   )
 }

@@ -1,0 +1,84 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/** BIOES tag-sequence decode/encode kernels.
+  *
+  * [[decode]] replicates the reference's tolerant state machine
+  * (/root/reference/NER-model/bilstm_crf_ner.py:599-628, duplicate impl
+  * ner_visualizer.py:349-380) exactly, including its quirks:
+  *   - B- with an open entity flushes the old one and starts anew;
+  *   - I-/E- whose type mismatches the open entity (or with no open
+  *     entity) do NOTHING — the char is skipped but the entity stays
+  *     open, so a malformed sequence can yield non-contiguous text;
+  *   - S- flushes any open entity, then emits the singleton;
+  *   - O flushes; a trailing open entity is flushed at end.
+  *
+  * [[encode]] is the inverse used to build fixtures
+  * (ner_visualizer.py:288-320 reconstruct_labels): find all
+  * occurrences of each entity, stamp S- or B-/I-/E- over 'O's.
+  */
+object Bioes {
+
+  /** Decoded span: (surface, type, begin, end) — begin/end are the
+    * first/last consumed char positions (end exclusive); for malformed
+    * sequences `surface` may not equal text.substring(begin, end). */
+  final case class Span(text: String, mtype: String, begin: Int, end: Int)
+
+  def decode(text: String, labels: Seq[String]): Seq[Span] = {
+    val out = mutable.ArrayBuffer.empty[Span]
+    val sb = new StringBuilder
+    var mtype = ""
+    var begin = -1
+    var last = -1
+    def flush(): Unit = {
+      if (sb.nonEmpty) { out += Span(sb.toString, mtype, begin, last + 1) }
+      sb.clear(); mtype = ""; begin = -1; last = -1
+    }
+    val n = math.min(text.length, labels.length) // zip() stops at shorter
+    var i = 0
+    while (i < n) {
+      val label = labels(i)
+      val c = text.charAt(i)
+      if (label.startsWith("B-")) {
+        flush()
+        sb += c; mtype = label.substring(2); begin = i; last = i
+      } else if (label.startsWith("I-") && sb.nonEmpty && mtype == label.substring(2)) {
+        sb += c; last = i
+      } else if (label.startsWith("E-") && sb.nonEmpty && mtype == label.substring(2)) {
+        sb += c; last = i
+        flush()
+      } else if (label.startsWith("S-")) {
+        flush()
+        out += Span(c.toString, label.substring(2), i, i + 1)
+      } else if (label == "O") {
+        flush()
+      } // any other label (incl. mismatched I-/E-): no-op, entity stays open
+      i += 1
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Inverse: stamp labels for each (entity, type) over an all-'O'
+    * sequence, at every occurrence (ner_visualizer.py:298-320). */
+  def encode(text: String, entities: Seq[(String, String)]): Seq[String] = {
+    val labels = Array.fill(text.length)("O")
+    entities.foreach { case (entity, etype) =>
+      if (entity.nonEmpty) {
+        var start = text.indexOf(entity)
+        while (start != -1) {
+          if (entity.length == 1) labels(start) = s"S-$etype"
+          else {
+            labels(start) = s"B-$etype"
+            var i = start + 1
+            while (i < start + entity.length - 1) { labels(i) = s"I-$etype"; i += 1 }
+            labels(start + entity.length - 1) = s"E-$etype"
+          }
+          start = text.indexOf(entity, start + entity.length)
+        }
+      }
+    }
+    labels.toSeq
+  }
+}

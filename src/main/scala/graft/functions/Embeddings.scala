@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Deterministic feature-hash embeddings — the clean-room stand-in for
+  * the reference's SentenceTransformer encode
+  * (/root/reference/embedding_generator.py:24,33,59; SURVEY.md X16).
+  * No torch / no external model: tokens are hashed into `dim` buckets
+  * (signed hashing-trick), then L2-normalized — deterministic across
+  * runs and partitionings, so downstream cosine top-k is testable.
+  * Runs as a batched mapPartitions kernel returning Array[Float]
+  * (native ArrayType(FloatType), unlike the reference's stringified
+  * CSV round-trip, rag_query.py:73-76).
+  */
+object Embeddings {
+
+  val DefaultDim = 64
+
+  /** Pure kernel: token = maximal run of letters/digits (CJK chars
+    * count as single-char tokens), signed feature hashing, L2 norm. */
+  def embed(text: String, dim: Int = DefaultDim): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (text != null) {
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        val c = text.charAt(i)
+        if (Character.isLetterOrDigit(c)) {
+          var j = i
+          val cjkStart = Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN
+          if (cjkStart) j = i + 1
+          else {
+            while (j < n && Character.isLetterOrDigit(text.charAt(j)) &&
+              Character.UnicodeScript.of(text.charAt(j)) != Character.UnicodeScript.HAN) j += 1
+          }
+          val tok = text.substring(i, j).toLowerCase
+          val h = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c)
+          val idx = math.floorMod(h, dim)
+          val sign = if (((h >>> 31) & 1) == 0) 1f else -1f
+          v(idx) += sign
+          i = j
+        } else i += 1
+      }
+    }
+    var norm = 0.0
+    var k = 0
+    while (k < dim) { norm += v(k).toDouble * v(k); k += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      k = 0
+      while (k < dim) { v(k) *= inv; k += 1 }
+    }
+    v
+  }
+
+  /** Add an `embedding` column to a DataFrame with a text column —
+    * batched mapPartitions kernel (SURVEY.md §2.10). */
+  def withEmbedding(df: DataFrame, textCol: String, dim: Int = DefaultDim): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)))
+    val idx = df.schema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val e = embed(row.getString(idx), dim)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ e.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Cosine similarity between two ArrayType(Float) columns, computed
+    * in double with a single sequential fold — X17
+    * (rag_query.py:104-108) as pure Catalyst expressions (codegen). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.{Edge, Node}
+
+/** Canonicalization: duplicate-node merge with edge redirect + duplicate-
+  * relation removal, per the reference's Cypher dedup spec
+  * (/root/reference/README.md:276-311; SURVEY.md A3/A4/G3), plus
+  * connected-components label propagation for fuzzy surface-form
+  * clusters (north_star "GraphFrames-style iterative label propagation
+  * over a DataFrame edge list" — implemented directly on DataFrames, no
+  * GraphFrames jar exists in this environment).
+  */
+object Canonicalize {
+
+  /** A3: one survivor per id. The Cypher keeps `nodes[0]` (collection
+    * order — nondeterministic in Neo4j); we pick deterministically:
+    * min (conv_id) then the node row from that conversation, so output
+    * is invariant to partitioning (SURVEY.md §7.4). Cross-conversation
+    * merge is exactly the reference's multi-file Neo4j import followed
+    * by its dedup Cypher. */
+  def dedupNodes(nodes: Dataset[Node]): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("conv_id"))
+    nodes.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** A3 second half + A4: redirect edges of removed duplicates — a no-op
+    * under hash-identity (duplicates share the id, so src/dst already
+    * point at the survivor) — then drop duplicate (src, dst, type)
+    * edges keeping the first by stable order (README.md:303-311). */
+  def dedupEdges(edges: Dataset[Edge]): DataFrame = {
+    val w = Window.partitionBy("src", "dst", "etype")
+      .orderBy(col("conv_id"), col("ord"))
+    edges.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** A5: duplicate histograms (the reference's dedup-count Cypher,
+    * command_set.txt) — also the hot-key detector that drives skew
+    * salting decisions. */
+  def duplicateCounts(nodes: Dataset[Node]): DataFrame =
+    nodes.groupBy("id").count().filter(col("count") > 1)
+
+  /** Connected components over an undirected edge list (a, b) via
+    * alternating min-label propagation until fixpoint. Each round is a
+    * shuffle; lineage is truncated per round with localCheckpoint so
+    * deep graphs don't blow the plan (SURVEY.md §4.2). Returns
+    * (vertex, component) where component = min vertex id (min-hash pick
+    * = deterministic canonical representative, matching the spec's
+    * "keep nodes[0]" made deterministic). */
+  def connectedComponents(edgesAB: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edgesAB.sparkSession
+    import spark.implicits._
+    // symmetric closure once; self map v->v for isolated endpoints
+    val sym = edgesAB.select(col("a"), col("b"))
+      .union(edgesAB.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("a").as("v"), col("a").as("comp"))
+      .union(sym.select(col("b").as("v"), col("b").as("comp")))
+      .groupBy("v").agg(min("comp").as("comp"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // propagate: each vertex takes min(own, neighbours' comp)
+      val prop = sym.join(labels.withColumnRenamed("v", "b2"), col("b") === col("b2"))
+        .select(col("a").as("v"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy("v").agg(min("comp").as("comp"))
+        .localCheckpoint(eager = true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.v") === col("o.v"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** G3 generalized: cluster nodes whose surface forms were linked as
+    * aliases (similarityEdges: nameA, nameB), pick canonical id = min
+    * md5-id in the component, rewrite node ids and redirect edge
+    * endpoints. With an empty similarity edge list this degrades to
+    * exact-id dedup. */
+  def canonicalizeGraph(nodes: Dataset[Node], edges: Dataset[Edge],
+      similarityEdges: DataFrame): (DataFrame, DataFrame) = {
+    val cc = connectedComponents(
+      similarityEdges.select(col("a"), col("b")))
+    val mapping = cc.select(col("v").as("id"), col("comp").as("canonical"))
+    val n0 = dedupNodes(nodes)
+    val remapped = n0.join(mapping, Seq("id"), "left")
+      .withColumn("id", coalesce(col("canonical"), col("id")))
+      .drop("canonical")
+    // after remap, several nodes may share the canonical id → keep one
+    val w = Window.partitionBy("id").orderBy(col("conv_id"), col("name"))
+    val canonNodes = remapped.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val srcMap = mapping.withColumnRenamed("id", "src")
+      .withColumnRenamed("canonical", "srcCanon")
+    val dstMap = mapping.withColumnRenamed("id", "dst")
+      .withColumnRenamed("canonical", "dstCanon")
+    val canonEdges = edges.toDF()
+      .join(srcMap, Seq("src"), "left")
+      .join(dstMap, Seq("dst"), "left")
+      .withColumn("src", coalesce(col("srcCanon"), col("src")))
+      .withColumn("dst", coalesce(col("dstCanon"), col("dst")))
+      .drop("srcCanon", "dstCanon")
+    val dedupedEdges = {
+      val we = Window.partitionBy("src", "dst", "etype")
+        .orderBy(col("conv_id"), col("ord"))
+      canonEdges.withColumn("rn", row_number().over(we))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    (canonNodes, dedupedEdges)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Embeddings
+
+/** Document deduplication suite for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  * All operate on a DataFrame with (idCol, textCol); all are
+  * shuffle-frugal: exact dedup is one hash aggregate, the near-dup
+  * variants generate candidate pairs via banding/bucketing (never the
+  * O(n²) cross join) and verify only candidates.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keep min id per md5(text) group.
+    * One shuffle (partial agg map-side). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_h", md5(col(textCol)))
+      .withColumn("_keep", min(col(idCol)).over(Window.partitionBy("_h")))
+      .filter(col(idCol) === col("_keep"))
+      .drop("_h", "_keep")
+
+  /** Exact-dup groups: (hash, keep, count) — the metrics view. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep"), count(lit(1)).as("cnt"))
+
+  /** Word shingles (n-gram sets) of normalized text. */
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        s => s =!= ""))
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle → minhash signature → band →
+    * bucket join → verified Jaccard (the standard web-dedup pipeline).
+    * Returns candidate pairs (a, b, jaccard ≥ threshold). */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.7,
+      shingleN: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", array((0 until numHashes).map { seed =>
+        array_min(transform(col("sh"), s => xxhash64(lit(seed), s)))
+      }: _*))
+    val banded = withSig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("rows")))))
+      .select(col("id"), col("sh"), hash(col("col.band"), col("col.rows")).as("bucket"))
+      .distinct()
+    banded.as("x").join(banded.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.sh").as("shA"), col("y.sh").as("shB"))
+      .distinct()
+      .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("shA")) + size(col("shB")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Drop near-duplicates: connected components over minhash pairs,
+    * keep min id per component. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, threshold = threshold)
+    val cc = Canonicalize.connectedComponents(
+      pairs.select(col("a").cast("string").as("a"), col("b").cast("string").as("b")))
+    df.join(cc.select(col("v").cast(df.schema(idCol).dataType).as(idCol),
+        col("comp")), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol).cast("string"))
+      .drop("comp")
+  }
+
+  /** SimHash: 64-bit fingerprint where bit b = sign of the weighted sum
+    * of token-hash bits. Near-dups have small Hamming distance. Pure
+    * expressions (token hash via xxhash64, per-bit majority vote). */
+  def simhash(c: Column, bits: Int = 16): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until bits).map { b =>
+      // +1 when bit set, -1 otherwise; majority > 0 → bit b set
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+  }
+
+  /** SimHash near-dup pairs: block on bit-bands of the fingerprint
+    * (fingerprints equal in any band become candidates), verify by
+    * Hamming distance ≤ maxDist. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, bandBits: Int = 4, maxDist: Int = 2): DataFrame = {
+    val withFp = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("fp"))
+    val bands = bits / bandBits
+    val bandCols = array((0 until bands).map { b =>
+      shiftright(col("fp"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)) * lit(100) + lit(b)
+    }: _*)
+    val banded = withFp.select(col("id"), col("fp"), explode(bandCols).as("bucket"))
+    val hamming = (a: Column, b: Column) =>
+      (0 until bits).map(i =>
+        shiftright(a.bitwiseXOR(b), i).bitwiseAND(lit(1L)).cast("int")).reduce(_ + _)
+    banded.as("x").join(banded.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.fp").as("fpA"), col("y.fp").as("fpB"))
+      .distinct()
+      .withColumn("dist", hamming(col("fpA"), col("fpB")))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+  }
+
+  /** n-gram Jaccard similarity of two text columns (direct pairwise
+    * verification primitive). */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = wordShingles(a, n); val sb = wordShingles(b, n)
+    val inter = size(array_intersect(sa, sb))
+    inter / (size(sa) + size(sb) - inter)
+  }
+
+  /** Embedding-cosine near-dup pairs: LSH-bucket embeddings (random
+    * hyperplanes), verify cosine within buckets. */
+  def embeddingNearDup(df: DataFrame, idCol: String, embCol: String,
+      dim: Int, threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+    val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("bucket", Similarity.lshBucket(col("emb"), dim, bits))
+    withB.as("x").join(withB.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Embeddings.cosine(col("x.emb"), col("y.emb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

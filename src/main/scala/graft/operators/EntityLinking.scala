@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.md5id
+
+/** Entity linking (SURVEY.md J8; north_star):
+  *  1. broadcast-dictionary EXACT surface-form match — the reference's
+  *     only linking mechanism (md2csv.py:86-87: endpoints keyed by
+  *     md5(name); csv2rdf-jsonld.py:41-43);
+  *  2. salted sort-merge join against a large alias table — the scale
+  *     path when the dictionary is too big to broadcast and alias keys
+  *     are Zipf-hot (explicit skew handling demanded by the north rule);
+  *  3. MinHash-banded blocking for FUZZY candidates — an extension
+  *     beyond the reference (which matches exactly), generating
+  *     candidate pairs without the O(n²) cross join.
+  */
+object EntityLinking {
+
+  /** Exact linking via broadcast dictionary: mentions(name) ⋈ alias
+    * table(alias → canonical_id). Broadcast hash join — zero shuffle on
+    * the big side. */
+  def linkExact(mentions: DataFrame, aliases: DataFrame): DataFrame =
+    mentions.join(broadcast(aliases), mentions("name") === aliases("alias"), "left")
+      .drop("alias")
+
+  /** Exact linking at scale: alias table too large to broadcast, hot
+    * aliases skewed. Salt the PROBE side with a random-ish but
+    * deterministic salt derived from the row, replicate the BUILD side
+    * S ways, join on (alias, salt) — spreads each hot key over S
+    * reducers. AQE skew-join complements this at runtime. */
+  def linkSalted(mentions: DataFrame, aliases: DataFrame, salt: Int = 8): DataFrame = {
+    val salted = mentions.withColumn("_salt",
+      pmod(xxhash64(col("name"), col("conv_id"), col("turn_idx")), lit(salt)))
+    val replicated = aliases
+      .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+      .withColumn("_salt", col("_salt").cast("long"))
+    salted.join(replicated,
+        salted("name") === replicated("alias") && salted("_salt") === replicated("_salt"),
+        "left")
+      .drop("alias", "_salt")
+  }
+
+  // ---- MinHash-banded fuzzy candidate generation ----------------------
+
+  /** Character n-gram shingles of a (lowercased, space-normalized)
+    * surface form, as a DataFrame column. */
+  def shingles(c: Column, n: Int = 2): Column = {
+    val norm = lower(regexp_replace(c, "\\s+", ""))
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+      i => norm.substr(i, lit(n))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * min over shingle hashes. xxhash64(seed, shingle) is a proper
+    * independent-ish family and stays inside codegen. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** Candidate pairs via LSH banding: signature split into `bands`
+    * bands of `rowsPerBand`; names sharing any band bucket become a
+    * candidate pair; pairs are then verified with true Jaccard over
+    * shingles. Output: (nameA, nameB, jaccard) with nameA < nameB,
+    * jaccard >= threshold. Never computes the O(n²) cross product —
+    * only the banded buckets join. */
+  def fuzzyCandidates(names: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, shingleN: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = names.select(col("name")).distinct()
+      .withColumn("sh", shingles(col("name"), shingleN))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col("name"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("rows")))))
+      .select(col("name"), col("sh"), hash(col("col.band"), col("col.rows")).as("bucket"))
+      .distinct()
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.name") < col("y.name"))
+      .select(col("x.name").as("a"), col("y.name").as("b"),
+        col("x.sh").as("shA"), col("y.sh").as("shB"))
+      .distinct()
+    pairs
+      .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("shA")) + size(col("shB")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Fuzzy-link candidates as similarity edges between entity IDs
+    * (input for Canonicalize.canonicalizeGraph): id(a) — id(b). */
+  def fuzzyIdEdges(names: DataFrame, threshold: Double = 0.6): DataFrame =
+    fuzzyCandidates(names, threshold = threshold)
+      .select(substring(md5(col("a")), 1, 8).as("a"),
+        substring(md5(col("b")), 1, 8).as("b"))
+}

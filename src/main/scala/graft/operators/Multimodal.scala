@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * frame-sample kernels over mapPartitions.
+  *
+  * The actual codec step is STUBBED (this container ships no
+  * image/audio libraries) with a deterministic fake decoder — the
+  * Spark-side contract (schema, batch iteration, partitioning, output
+  * shape) is real and tested; swap [[decodeStub]] for a JNI/FFI codec
+  * in production.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),   // image | audio | video
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Deterministic synthetic media table (fixture). */
+  def syntheticMedia(spark: SparkSession, n: Long): DataFrame = {
+    val rows = spark.range(n).select(
+      col("id").as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")), (pmod(col("id"), lit(3)) + 1).cast("int")).as("kind"),
+      lit("application/octet-stream").as("mime"),
+      when(pmod(col("id"), lit(3)) === 0, (pmod(col("id"), lit(64)) * 16 + 16).cast("int")).as("width"),
+      when(pmod(col("id"), lit(3)) === 0, (pmod(col("id"), lit(48)) * 16 + 16).cast("int")).as("height"),
+      when(pmod(col("id"), lit(3)) =!= 0, pmod(col("id"), lit(10000)) + 1000).as("duration_ms"),
+      // payload: deterministic bytes from the id (md5 chain)
+      unhex(concat(md5(col("id").cast("string")), md5(concat(col("id").cast("string"), lit("x"))))).as("payload"))
+    spark.createDataFrame(rows.rdd, mediaSchema) // pin exact schema incl. nullability
+  }
+
+  /** STUB decode: a real implementation would decode the codec here.
+    * The fake is deterministic in the payload bytes: "pixels" are the
+    * payload cycled to size, so tests can assert exact features. */
+  private[operators] def decodeStub(payload: Array[Byte], outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) { out(i) = payload(i % payload.length); i += 1 }
+    out
+  }
+
+  /** Feature extraction kernel: mapPartitions in fixed-size batches
+    * (the Spark-side shape a Pandas-UDF / Arrow kernel would have:
+    * per-batch setup amortized, columnar in, columnar out). Output:
+    * (media_id, kind, feature: array<float>). */
+  def extractFeatures(media: DataFrame, featureDim: Int = 16,
+      batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "codec init" happens once (stub: nothing) —
+        // the grouped iterator mirrors batched inference
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, kind, payload) =>
+            val decoded = decodeStub(payload, featureDim * 4)
+            val feat = new Array[Float](featureDim)
+            var i = 0
+            while (i < featureDim) {
+              feat(i) = ((decoded(i * 4) & 0xff) + (decoded(i * 4 + 1) & 0xff)) / 510.0f
+              i += 1
+            }
+            (id, kind, feat.toSeq)
+          }
+        }
+      }.toDF("media_id", "kind", "feature")
+  }
+
+  /** Frame sampling for video rows: every `everyMs` ms → one synthetic
+    * frame reference (UDTF shape: 1 row → N frames). */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("duration_ms"),
+        explode(sequence(lit(0L), coalesce(col("duration_ms"), lit(0L)), lit(everyMs)))
+          .as("frame_ts_ms"))
+
+  /** Image resize plumbing (stub decode → fixed-size thumbnail bytes). */
+  def thumbnails(media: DataFrame, side: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        (id, decodeStub(payload, side * side))
+      }).toDF("media_id", "thumb")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.Bioes
+import graft.model.Mention
+
+/** Mention detection: batched mapPartitions kernel producing per-char
+  * BIOES tag sequences + decoded entity spans (SURVEY.md §2 X5-X7;
+  * north_star "mention detection and NER-tag sequence decoding run as
+  * batched mapPartitions kernels").
+  *
+  * Clean-room stand-in for the reference's BiLSTM+CRF model
+  * (/root/reference/NER-model/bilstm_crf_ner.py:479-506): a
+  * deterministic dictionary tagger (greedy longest-match, broadcast
+  * dictionary — the Spark analogue of the model's vocab broadcast,
+  * bilstm_crf_ner.py:91-151) emitting the SAME tag alphabet
+  * {B,I,E,S}-{TYPE} ∪ {O}, decoded by the SAME tolerant state machine
+  * (bilstm_crf_ner.py:599-628). Downstream semantics are identical to
+  * the reference: text → tags → (entity, type) spans.
+  */
+object NerTag {
+
+  /** Greedy longest-match dictionary tagging → BIOES labels.
+    * Matches never overlap; leftmost-longest wins (deterministic). */
+  def tag(text: String, dict: Map[String, String], maxLen: Int): Seq[String] = {
+    val entities = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val labels = Array.fill(text.length)("O")
+    var i = 0
+    while (i < text.length) {
+      var l = math.min(maxLen, text.length - i)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val cand = text.substring(i, i + l)
+        if (dict.contains(cand)) hit = cand else l -= 1
+      }
+      if (hit != null) {
+        val t = dict(hit)
+        if (hit.length == 1) labels(i) = s"S-$t"
+        else {
+          labels(i) = s"B-$t"
+          var j = i + 1
+          while (j < i + hit.length - 1) { labels(j) = s"I-$t"; j += 1 }
+          labels(i + hit.length - 1) = s"E-$t"
+        }
+        entities += ((hit, t))
+        i += hit.length
+      } else i += 1
+    }
+    labels.toSeq
+  }
+
+  /** transcripts(conv_id, turn_idx, …, text) → Dataset[Mention] via
+    * tag → BIOES decode. The dictionary is broadcast once; the kernel
+    * streams partitions (no per-row task setup, mirroring the
+    * reference's batched inference, bilstm_crf_ner.py:180-211). */
+  def mentions(transcripts: DataFrame, dict: Map[String, String]): Dataset[Mention] = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(dict)
+    val maxLen = if (dict.isEmpty) 1 else dict.keysIterator.map(_.length).max
+    transcripts.select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        val d = bc.value
+        it.flatMap { case (conv, turn, text) =>
+          val labels = tag(text, d, maxLen)
+          Bioes.decode(text, labels).map(s =>
+            Mention(conv, turn, s.text, s.mtype, s.begin, s.end))
+        }
+      }
+  }
+
+  /** Tagged-corpus shape of the reference's NER JSON
+    * ({"text","labels"}, bilstm_crf_ner.py:224-229): decode a
+    * pre-labelled table — the engine's core tags→spans contract. */
+  def decodeLabelled(df: DataFrame): Dataset[Mention] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("conv_id"), col("turn_idx"), col("text"), col("labels"))
+      .as[(String, Int, String, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (conv, turn, text, labels) =>
+          Bioes.decode(text, labels).map(s =>
+            Mention(conv, turn, s.text, s.mtype, s.begin, s.end))
+        }
+      }
+  }
+
+  /** Default fixture dictionary: the reference's golden sample entities
+    * (NER-model/data/ner_sample.json) + fixture vocabulary. */
+  val goldenDict: Map[String, String] = Map(
+    "北京大学" -> "ORG", "清华大学" -> "ORG", "苹果公司" -> "ORG",
+    "北京市" -> "LOC", "海淀区" -> "LOC", "上海" -> "LOC",
+    "李明" -> "PER", "iPhone" -> "PRO",
+    "明天" -> "TIME", "下午三点" -> "TIME",
+    "2023年10月1日" -> "DATE", "国庆节" -> "DATE")
+
+  def fixtureDict: Map[String, String] =
+    goldenDict ++ graft.fixtures.TranscriptGen.entities.map(_ -> "PRO").toMap
+}

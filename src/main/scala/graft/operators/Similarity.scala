@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Embeddings
+
+/** Similarity search over embedding columns (SURVEY.md X17/W3;
+  * rag_query.py:92-122 brute-force cosine + argsort top-k), plus the
+  * scale path: LSH-bucketed ANN (random-hyperplane signs) that prunes
+  * the candidate set before exact re-scoring.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k against one query vector — the
+    * reference's exact semantics (rag_query.py:104-111): score all
+    * rows, take k best. Global TakeOrderedAndProject, no full sort. */
+  def bruteForceTopK(df: DataFrame, embCol: String, query: Array[Float],
+      k: Int, tieBreak: String): DataFrame = {
+    val q = typedLit(query.toSeq)
+    df.withColumn("similarity", Embeddings.cosine(col(embCol), q))
+      .orderBy(col("similarity").desc, col(tieBreak))
+      .limit(k)
+  }
+
+  /** Per-group top-k (the W3 window form). */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      k: Int, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc, col(tieBreak))
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products
+    * with seeded pseudo-random hyperplanes. Deterministic (hyperplanes
+    * derived from murmur3 of (seed, dim-index)); pure expressions. */
+  def lshBucket(emb: Column, dim: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { b =>
+      // hyperplane component h(b, i) in [-0.5, 0.5) from a hash — static
+      // per (b, i), so the projection is a fixed linear map
+      val terms = (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((b, i))
+        val w = (h.toDouble / Int.MaxValue) / 2.0
+        element_at(emb, i + 1).cast("double") * lit(w)
+      }
+      val dot = terms.reduce(_ + _)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** ANN top-k: candidates = rows sharing the query's LSH bucket in any
+    * of `tables` independent hash tables (multi-probe by table, not by
+    * bucket), then exact cosine re-score. At 100 TB this turns a full
+    * scan per query into `tables` bucket lookups (bucket column is a
+    * materialized partition/cluster key). */
+  def annTopK(df: DataFrame, embCol: String, dim: Int, query: Array[Float],
+      k: Int, tieBreak: String, bits: Int = 8, tables: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = spark.createDataFrame(Seq(Tuple1(query.toSeq))).toDF("q")
+    val qBuckets: Map[Int, Long] = (0 until tables).map { t =>
+      val c = lshBucketTable(col("q"), dim, bits, t)
+      t -> qdf.select(c).collect()(0).getLong(0)
+    }.toMap
+    val bucketed = df.withColumn("_cand",
+      (0 until tables).map(t =>
+        lshBucketTable(col(embCol), dim, bits, t) === lit(qBuckets(t))).reduce(_ || _))
+    bruteForceTopK(bucketed.filter(col("_cand")).drop("_cand"), embCol, query, k, tieBreak)
+  }
+
+  private def lshBucketTable(emb: Column, dim: Int, bits: Int, table: Int): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val terms = (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((table, b, i))
+        val w = (h.toDouble / Int.MaxValue) / 2.0
+        element_at(emb, i + 1).cast("double") * lit(w)
+      }
+      val dot = terms.reduce(_ + _)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** IVF-style coarse quantization: assign each row to the nearest of
+    * `centroids` (broadcast), cluster by cell; queries probe the
+    * nearest `nprobe` cells. Returns df + `cell` column. */
+  def ivfAssign(df: DataFrame, embCol: String, centroids: Array[Array[Float]]): DataFrame = {
+    val cellScores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(Embeddings.cosine(col(embCol), typedLit(c.toSeq)).as("sim"),
+        lit(i).as("cell"))
+    }
+    df.withColumn("cell", greatest(cellScores: _*).getField("cell"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (n-gram/script heuristic), quality scoring, token
+  * counting, and document fingerprinting. All pure Catalyst
+  * expressions — codegen'd, pushdown-friendly, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Script-ratio language ID: classify by dominant character class.
+    * (The engine analogue of per-document `lang` metadata; a real
+    * system would plug a fastText-style model into the same column
+    * contract.) */
+  def langId(c: Column): Column = {
+    val total = greatest(length(c), lit(1))
+    val cjk = length(c) - length(regexp_replace(c, "[\\x{4e00}-\\x{9fff}]", ""))
+    val latin = length(c) - length(regexp_replace(c, "[A-Za-z]", ""))
+    val cyr = length(c) - length(regexp_replace(c, "[\\x{0400}-\\x{04ff}]", ""))
+    when(cjk * 4 > total, lit("zh"))
+      .when(cyr * 2 > latin && cyr > 0, lit("ru"))
+      .when(latin * 2 > total, lit("en"))
+      .otherwise(lit("other"))
+  }
+
+  /** Whitespace token count (X8 generalization; `len(text)//2` CJK
+    * heuristic of read_v2.py:39-40 exposed separately). */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+
+  /** The reference's own token estimate: len(text) // 2
+    * (read_v2.py:39-40). */
+  def tokenEstimateRef(c: Column): Column = floor(length(c) / 2).cast("long")
+
+  /** BPE-ish subword count: runs of letters, digits, or single
+    * non-space symbols (regex token splitter). */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[\\x{4e00}-\\x{9fff}]|[^\\sA-Za-z0-9]"), lit(0)))
+
+  /** Quality score ∈ [0,1]: blend of length band, alpha ratio,
+    * punct ratio, stopword hit-rate, repetition penalty. */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("double")
+    val lenScore = when(len < 20, len / 20.0).when(len > 8000, lit(0.5)).otherwise(lit(1.0))
+    val alpha = (length(c) - length(regexp_replace(c,
+      "[A-Za-z\\x{4e00}-\\x{9fff}]", ""))).cast("double") / greatest(len, lit(1.0))
+    val punct = (length(c) - length(regexp_replace(c,
+      "[\\p{Punct}]", ""))).cast("double") / greatest(len, lit(1.0))
+    val punctScore = when(punct > 0.3, lit(0.0)).otherwise(lit(1.0) - punct / 0.3)
+    val words = split(lower(trim(c)), "\\s+")
+    val stop = typedLit(Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for"))
+    val stopHits = size(filter(words, w => array_contains(stop, w))).cast("double")
+    val stopScore = least(stopHits / greatest(size(words).cast("double") * 0.05, lit(1.0)), lit(1.0))
+    val distinctRatio = size(array_distinct(words)).cast("double") /
+      greatest(size(words).cast("double"), lit(1.0))
+    round(lenScore * 0.25 + alpha * 0.25 + punctScore * 0.2 +
+      stopScore * 0.1 + distinctRatio * 0.2, 4)
+  }
+
+  /** Document fingerprint: md5 of case/whitespace-normalized text —
+    * stable identity for exact-dup detection across formatting noise. */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** All-in-one enrichment. */
+  def enrich(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("lang_id", langId(col(textCol)))
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_subwords", subwordCount(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}

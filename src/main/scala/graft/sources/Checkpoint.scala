@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.net.URI
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resumable, exactly-once batch checkpointing with per-partition
+  * lineage + counters (north rule; SURVEY.md §4.2 / S16 semantics —
+  * the Spark-scale generalization of the reference's memoized HTML
+  * cache, constructor.py:94-101, and processed-files skip,
+  * automate_scripts.py:6-9,29).
+  *
+  * Scheme: the input is split into B deterministic buckets by
+  * pmod(hash(conv_id), B). Each bucket is processed and written as one
+  * partition directory `bucket=<b>` plus an atomic done-marker
+  * `_done_<b>.json` carrying lineage (bucket id, row count, input
+  * fingerprint). Resume = skip buckets whose marker exists; kill mid-run
+  * leaves either no marker (bucket rerun, output dir overwritten —
+  * idempotent) or a complete marker+data pair. Counters are recomputed
+  * from committed outputs, never trusted from a failed run
+  * (SURVEY.md §7.4).
+  */
+object Checkpoint {
+
+  def bucketed(df: DataFrame, buckets: Int, keyCol: String = "conv_id"): DataFrame =
+    df.withColumn("bucket", pmod(hash(col(keyCol)), lit(buckets)))
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    FileSystem.get(new URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  def doneBuckets(spark: SparkSession, outDir: String): Set[Int] = {
+    val f = fs(spark, outDir)
+    val p = new Path(outDir)
+    if (!f.exists(p)) Set.empty
+    else f.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_done_"))
+      .map(_.stripPrefix("_done_").stripSuffix(".json").toInt).toSet
+  }
+
+  /** Run `transform` over each not-yet-done bucket *group* and commit
+    * with markers. `groupSize` buckets are processed per Spark job so a
+    * kill loses at most one group's work. Returns (processed buckets,
+    * skipped buckets). */
+  def runResumable(
+      input: DataFrame,
+      transform: DataFrame => DataFrame,
+      outDir: String,
+      buckets: Int = 16,
+      groupSize: Int = 4,
+      keyCol: String = "conv_id"): (Seq[Int], Seq[Int]) = {
+    val spark = input.sparkSession
+    val f = fs(spark, outDir)
+    f.mkdirs(new Path(outDir))
+    val done = doneBuckets(spark, outDir)
+    val todo = (0 until buckets).filterNot(done)
+    val withBucket = bucketed(input, buckets, keyCol)
+    todo.grouped(groupSize).foreach { group =>
+      val slice = withBucket.filter(col("bucket").isin(group.map(Integer.valueOf): _*))
+      val out = transform(slice)
+      out.write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$outDir/data_tmp_${group.head}")
+      // atomic-ish commit: move each bucket dir into place, then marker
+      group.foreach { b =>
+        val src = new Path(s"$outDir/data_tmp_${group.head}/bucket=$b")
+        val dstParent = new Path(s"$outDir/data")
+        f.mkdirs(dstParent)
+        val dst = new Path(s"$outDir/data/bucket=$b")
+        if (f.exists(dst)) f.delete(dst, true)
+        if (f.exists(src)) f.rename(src, dst)
+        else f.mkdirs(dst) // empty bucket still gets committed
+        val rows = if (f.exists(dst))
+          spark.read.parquet(s"$outDir/data/bucket=$b").count() else 0L
+        val marker = new Path(s"$outDir/_done_$b.json")
+        val tmp = new Path(s"$outDir/._done_$b.json.tmp")
+        val os = f.create(tmp, true)
+        os.write(
+          s"""{"bucket":$b,"rows":$rows,"key":"$keyCol","buckets":$buckets}"""
+            .getBytes("UTF-8"))
+        os.close()
+        f.rename(tmp, marker)
+      }
+      f.delete(new Path(s"$outDir/data_tmp_${group.head}"), true)
+    }
+    (todo, done.toSeq.sorted)
+  }
+
+  /** Committed output (all done buckets). */
+  def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+    val done = doneBuckets(spark, outDir).toSeq.sorted
+    val paths = done.map(b => s"$outDir/data/bucket=$b")
+      .filter { p =>
+        val f = fs(spark, outDir)
+        val st = if (f.exists(new Path(p))) f.listStatus(new Path(p)) else Array.empty
+        st.exists(_.getPath.getName.endsWith(".parquet"))
+      }
+    if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(paths: _*)
+  }
+
+  /** Counters recomputed from committed markers (exactly-once evidence). */
+  def counters(spark: SparkSession, outDir: String): Map[Int, Long] = {
+    val f = fs(spark, outDir)
+    doneBuckets(spark, outDir).toSeq.sorted.map { b =>
+      val in = f.open(new Path(s"$outDir/_done_$b.json"))
+      val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close()
+      b -> "\"rows\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    }.toMap
+  }
+}

@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.model.{Edge, Node}
+
+/** Export sinks mirroring the reference's serializations (SURVEY.md
+  * §2.1 S9-S14): Neo4j bulk-import CSV (dynamic prop header), Turtle,
+  * and JSON-LD. All are expression-built `select`s over the node/edge
+  * tables followed by a distributed write — no driver-side row loops.
+  */
+object Exporters {
+
+  /** Types treated as owl:Class (csv2ttl.py:11; csv2owl.py:10 — X19).
+    * Note the reference reads the typo'd column `type:LABLE` at
+    * csv2ttl.py:42 so its class check never fires on md2csv output; we
+    * implement the *intended* semantics driven by ntype. */
+  val ClassTypes: Set[String] = Set("概念", "元素", "类别", "模型", "组件", "现象",
+    "类型", "目标", "方法", "算法", "属性", "操作", "主题", "任务", "组织")
+
+  private val Quote = "\""
+  private def csvQuote(c: Column): Column =
+    when(c.isNull, lit("")).otherwise(
+      when(c.rlike("[\",\n]"),
+        concat(lit(Quote), regexp_replace(c, Quote, Quote + Quote), lit(Quote)))
+        .otherwise(c))
+
+  /** S9/S14: Neo4j bulk-import CSVs with the dynamic union-of-props
+    * header (md2csv.py:107-158; format contract README.md:149-177).
+    * The header (A1 prop-key union, lexicographic) is an aggregate over
+    * the data — tiny, so collected; rows are written distributed. */
+  def neo4jNodeCsv(nodes: Dataset[Node], outDir: String): Seq[String] = {
+    val spark = nodes.sparkSession
+    val allProps: Seq[String] = nodes.toDF()
+      .select(explode_outer(map_keys(col("props"))).as("k"))
+      .where(col("k").isNotNull)
+      .distinct().orderBy("k")
+      .collect().map(_.getString(0)).toSeq
+    val header = Seq(":ID", "name", "type", "parent") ++ allProps.map(p => s"$p:LABEL")
+    val cols = Seq(col("id"), col("name"), col("ntype"), coalesce(col("parent"), lit(""))) ++
+      allProps.map(p => coalesce(col("props").getItem(p), lit("")))
+    writeCsv(nodes.toDF(), header, cols, outDir)
+    header
+  }
+
+  def neo4jEdgeCsv(edges: Dataset[Edge], outDir: String): Seq[String] = {
+    val allProps: Seq[String] = edges.toDF()
+      .select(explode_outer(map_keys(col("props"))).as("k"))
+      .where(col("k").isNotNull)
+      .distinct().orderBy("k")
+      .collect().map(_.getString(0)).toSeq
+    val header = Seq(":START_ID", ":END_ID", ":TYPE", "_o_source_", "_o_target_") ++
+      allProps.map(p => s"$p:LABEL")
+    // empty :TYPE falls back to RELATED at export (md2csv.py:150, quirk #6)
+    val cols = Seq(col("src"), col("dst"),
+      when(col("etype").isNull || col("etype") === "", lit("RELATED")).otherwise(col("etype")),
+      coalesce(col("srcName"), lit("")), coalesce(col("dstName"), lit(""))) ++
+      allProps.map(p => coalesce(col("props").getItem(p), lit("")))
+    writeCsv(edges.toDF(), header, cols, outDir)
+    header
+  }
+
+  private def writeCsv(df: DataFrame, header: Seq[String], cols: Seq[Column],
+      outDir: String): Unit = {
+    df.select(concat_ws(",", cols.map(csvQuote): _*).as("value"))
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "false")
+      .text(outDir)
+    // header written as a sidecar (Neo4j bulk import takes --nodes=header.csv,rows/)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(outDir + ".header.csv"), true)
+    out.write((header.mkString(",") + "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def uriFrag(c: Column): Column =
+    regexp_replace(regexp_replace(c, ":", "_"), " ", "_") // X14 (csv2ttl.py:79,119)
+
+  /** S11: Turtle lines as a DataFrame (write with .text). Dangling
+    * edges are dropped via left-semi joins on both endpoints (F3,
+    * csv2ttl.py:112-117). */
+  def ttlLines(nodes: Dataset[Node], edges: Dataset[Edge],
+      ontologyIri: String = "http://www.example.org/ontology#",
+      baseIri: String = "http://www.example.org/data/"): DataFrame = {
+    val isClass = col("ntype").isin(ClassTypes.toSeq: _*)
+    val uri = when(isClass, concat(lit("<" + ontologyIri), col("id"), lit(">")))
+      .otherwise(concat(lit("<" + baseIri), col("id"), lit(">")))
+    val lbl = regexp_replace(col("name"), "\"", "\\\\\"")
+    val typeLine = when(isClass,
+      concat(uri, lit(" a owl:Class ; rdfs:label \""), lbl, lit("\" .")))
+      .otherwise(concat(uri, lit(" a owl:NamedIndividual ; rdfs:label \""), lbl, lit("\" .")))
+    val nodeLines = nodes.toDF().select(typeLine.as("value"))
+    val propLines = nodes.toDF()
+      .select(uri.as("subj"), explode(col("props")).as(Seq("k", "v")))
+      .select(concat(col("subj"), lit(" <" + ontologyIri), uriFrag(col("k")),
+        lit("> \""), regexp_replace(col("v"), "\"", "\\\\\""), lit("\" .")).as("value"))
+    // one namespace decision per id even if the caller passed a
+    // non-canonical node table (deterministic min-type tiebreak)
+    val ids = nodes.toDF().groupBy(col("id")).agg(min(col("ntype")).as("ntype"))
+    val live = edges.toDF()
+      .join(ids.select(col("id").as("src"), col("ntype").as("srcType")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val srcNs = ids.select(col("id").as("src"),
+      when(col("ntype").isin(ClassTypes.toSeq: _*), lit(ontologyIri)).otherwise(lit(baseIri)).as("srcNs"))
+    val dstNs = ids.select(col("id").as("dst"),
+      when(col("ntype").isin(ClassTypes.toSeq: _*), lit(ontologyIri)).otherwise(lit(baseIri)).as("dstNs"))
+    val edgeLines = live
+      .join(srcNs, Seq("src")).join(dstNs, Seq("dst"))
+      .select(concat(lit("<"), col("srcNs"), col("src"), lit("> <" + ontologyIri),
+        uriFrag(col("etype")), lit("> <"), col("dstNs"), col("dst"), lit("> .")).as("value"))
+    nodeLines.union(propLines).union(edgeLines)
+  }
+
+  /** S13 + A6/A7: JSON-LD entity documents — each node with its
+    * grouped outgoing relations (objects deduped per predicate,
+    * csv2rdf-jsonld.py:140-153). */
+  def jsonld(nodes: Dataset[Node], edges: Dataset[Edge],
+      baseIri: String = "http://www.example.org/data/"): DataFrame = {
+    val rels = edges.toDF()
+      .join(nodes.toDF().select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src"), col("etype"))
+      .agg(array_sort(collect_set(concat(lit(baseIri), col("dst")))).as("objs"))
+      .groupBy(col("src"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("etype"), col("objs"))))).as("rels"))
+    nodes.toDF()
+      .join(rels.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(to_json(struct(
+        concat(lit(baseIri), col("id")).as("@id"),
+        col("ntype").as("@type"),
+        col("name"),
+        when(col("parent").isNotNull, concat(lit(baseIri), col("parent"))).as("parent"),
+        col("props"),
+        col("rels"))).as("value"))
+  }
+}

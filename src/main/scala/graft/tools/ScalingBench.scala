@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.fixtures.TranscriptGen
+import graft.operators.TripleExtract
+
+/** Scaling-efficiency evidence for the north rule ("throughput scaling
+  * efficiency ≥ 0.8 from N to 4N executors"): runs the identical KG
+  * extraction job on the identical input at two parallelism levels
+  * (local[N] and local[4N], shuffle.partitions = cores — the sandbox
+  * stand-in for two cluster sizes) and reports triples/sec at both plus
+  * eff = (thr_4N / thr_N) / 4.
+  *
+  * Usage: runMain graft.tools.ScalingBench [nConvs] [N]
+  */
+object ScalingBench {
+
+  private def run(cores: Int, nConvs: Long): (Long, Double) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = TranscriptGen.df(spark, nConvs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t.count()
+    // warm-up (JIT, codegen) on a slice, untimed
+    TripleExtract.extract(t.limit(2000))._2.count()
+    val t0 = System.nanoTime()
+    val union = TripleExtract.extractUnion(t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    union.count()
+    val tFold = System.nanoTime()
+    val (nodes, edges) = TripleExtract.splitUnion(union)
+    val n = TripleExtract.triples(nodes, edges).count()
+    val tEnd = System.nanoTime()
+    System.err.println(f"[phase] cores=$cores fold=${(tFold - t0) / 1e9}%.2f " +
+      f"triples=${(tEnd - tFold) / 1e9}%.2f")
+    val sec = (tEnd - t0) / 1e9
+    union.unpersist()
+    t.unpersist()
+    spark.stop()
+    // SparkSession.stop leaves the SparkContext stopped; clear state so
+    // the next builder creates a fresh context
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    (n, sec)
+  }
+
+  /** Interleaved repeats, best-of per config: cancels JIT warm-up order
+    * bias and machine noise (both runs see fully-warmed code at least
+    * once). */
+  def main(args: Array[String]): Unit = {
+    val nConvs = if (args.nonEmpty) args(0).toLong else 4000L
+    val n = if (args.length > 1) args(1).toInt else 8
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val runs = (0 until reps).flatMap(_ => Seq(n, n * 4)).map(c => c -> run(c, nConvs))
+    val triples = runs.head._2._1
+    require(runs.forall(_._2._1 == triples), s"output mismatch across runs: $runs")
+    val sec1 = runs.filter(_._1 == n).map(_._2._2).min
+    val sec4 = runs.filter(_._1 == n * 4).map(_._2._2).min
+    val thr1 = triples / sec1
+    val thr4 = triples / sec4
+    val eff = (thr4 / thr1) / 4.0
+    println(f"""{"nConvs":$nConvs,"triples":$triples,""" +
+      f""""N":$n,"sec_N":$sec1%.2f,"thr_N":$thr1%.0f,""" +
+      f""""4N":${n * 4},"sec_4N":$sec4%.2f,"thr_4N":$thr4%.0f,""" +
+      f""""scaling_efficiency":$eff%.3f}""")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Bioes
+import graft.operators.NerTag
+import graft.fixtures.TranscriptGen.Rng
+
+/** BIOES decode fidelity: the 6 golden sentences of the reference
+  * (/root/reference/NER-model/data/ner_sample.json) + malformed-sequence
+  * quirks of bilstm_crf_ner.py:599-628 + ScalaCheck round-trip through
+  * the inverse encoder (ner_visualizer.py:288-320). */
+class BioesSpec extends AnyFunSuite {
+
+  private def spans(text: String, labels: String*): Seq[(String, String)] =
+    Bioes.decode(text, labels).map(s => (s.text, s.mtype))
+
+  test("golden sample 1: 北京大学位于北京市海淀区 (BIO style, no E-)") {
+    assert(spans("北京大学位于北京市海淀区",
+      "B-ORG", "I-ORG", "I-ORG", "I-ORG", "O", "O",
+      "B-LOC", "I-LOC", "I-LOC", "B-LOC", "I-LOC", "I-LOC") ===
+      Seq(("北京大学", "ORG"), ("北京市", "LOC"), ("海淀区", "LOC")))
+  }
+
+  test("golden sample 2: 李明在清华大学读书") {
+    assert(spans("李明在清华大学读书",
+      "B-PER", "I-PER", "O", "B-ORG", "I-ORG", "I-ORG", "I-ORG", "O", "O") ===
+      Seq(("李明", "PER"), ("清华大学", "ORG")))
+  }
+
+  test("golden sample 4: product entity at end flushes (trailing open span)") {
+    assert(spans("苹果公司发布了新款iPhone手机",
+      "B-ORG", "I-ORG", "I-ORG", "I-ORG", "O", "O", "O", "O", "O",
+      "B-PRO", "I-PRO", "I-PRO") ===
+      Seq(("苹果公司", "ORG"), ("iPh", "PRO"))) // labels shorter than text: zip stops at 12
+  }
+
+  test("golden samples 5+6: TIME/DATE (char-aligned zip semantics)") {
+    assert(spans("明天下午三点开会",
+      "B-TIME", "I-TIME", "O", "O", "B-TIME", "I-TIME", "O", "O") ===
+      Seq(("明天", "TIME"), ("三点", "TIME")))
+    assert(spans("2023年10月1日是国庆节",
+      "B-DATE", "I-DATE", "I-DATE", "I-DATE", "I-DATE", "I-DATE", "O",
+      "B-DATE", "I-DATE", "I-DATE") ===
+      Seq(("2023年1", "DATE"), ("月1日", "DATE")))
+  }
+
+  test("malformed: orphan I- is dropped; type mismatch skips char but keeps span open") {
+    assert(spans("abc", "I-PER", "O", "O") === Seq.empty)
+    // B-PER, I-ORG (mismatch → skipped), I-PER (extends) → non-contiguous "ac"
+    assert(spans("abc", "B-PER", "I-ORG", "I-PER") === Seq(("ac", "PER")))
+    // E- with mismatched type does not close:
+    assert(spans("abc", "B-PER", "E-ORG", "E-PER") === Seq(("ac", "PER")))
+  }
+
+  test("S- flushes open entity then emits singleton; B- flushes previous") {
+    assert(spans("abcd", "B-PER", "I-PER", "S-LOC", "O") ===
+      Seq(("ab", "PER"), ("c", "LOC")))
+    assert(spans("abcd", "B-PER", "B-ORG", "I-ORG", "O") ===
+      Seq(("a", "PER"), ("bc", "ORG")))
+  }
+
+  test("S-/E- singletons and full BIOES") {
+    assert(spans("a", "S-PER") === Seq(("a", "PER")))
+    assert(spans("abc", "B-LOC", "I-LOC", "E-LOC") === Seq(("abc", "LOC")))
+  }
+
+  private val types = Vector("PER", "ORG", "LOC", "TIME", "DATE", "PRO")
+  private val alphabet = "甲乙丙丁戊己庚辛壬癸子丑寅卯辰巳午未申酉"
+
+  test("property: decode(encode(spans)) recovers non-overlapping distinct-char spans (500 seeded cases)") {
+    val r = new Rng(0xB10E5L)
+    (0 until 500).foreach { _ =>
+      // build text where each span uses unique chars (so text.find locates
+      // exactly the intended occurrence) separated by ASCII filler
+      val n = 1 + r.nextInt(4)
+      var pos = 0
+      val sb = new StringBuilder
+      val ents = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      (0 until n).foreach { _ =>
+        val l = 1 + r.nextInt(3)
+        sb.append("x" * (1 + r.nextInt(2)))
+        if (pos + l <= alphabet.length) {
+          val ent = alphabet.substring(pos, pos + l)
+          pos += l
+          sb.append(ent)
+          ents += ((ent, types(r.nextInt(types.size))))
+        }
+      }
+      val text = sb.toString
+      val labels = Bioes.encode(text, ents.toSeq)
+      val decoded = Bioes.decode(text, labels).map(s => (s.text, s.mtype))
+      assert(decoded.toSet === ents.toSet, s"text=$text ents=$ents labels=$labels")
+    }
+  }
+
+  test("dictionary tagger: greedy longest match, leftmost wins") {
+    val dict = Map("北京" -> "LOC", "北京大学" -> "ORG", "海淀区" -> "LOC")
+    val labels = NerTag.tag("北京大学位于海淀区", dict, 4)
+    assert(labels === Seq("B-ORG", "I-ORG", "I-ORG", "E-ORG", "O", "O",
+      "B-LOC", "I-LOC", "E-LOC"))
+    assert(Bioes.decode("北京大学位于海淀区", labels).map(s => (s.text, s.mtype)) ===
+      Seq(("北京大学", "ORG"), ("海淀区", "LOC")))
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.{Edge, Node, md5id}
+import graft.operators.{Canonicalize, EntityLinking}
+
+class CanonicalizeSpec extends SparkSpec {
+  import scala.collection.immutable.Map
+
+  private def node(conv: String, name: String, tpe: String = "T",
+      props: Map[String, String] = Map.empty): Node =
+    Node(conv, md5id(name), name, tpe, null, props)
+  private def edge(conv: String, s: String, d: String, t: String, ord: Long): Edge =
+    Edge(conv, md5id(s), md5id(d), t, s, d, Map.empty, ord)
+
+  test("A3: duplicate-node merge keeps deterministic survivor (min conv_id)") {
+    import spark.implicits._
+    val nodes = Seq(
+      node("c2", "神经网络", "模型", Map("v" -> "2")),
+      node("c1", "神经网络", "算法", Map("v" -> "1")),
+      node("c3", "激活函数")).toDS()
+    val out = Canonicalize.dedupNodes(nodes).collect()
+    assert(out.length === 2)
+    val kept = out.find(_.getAs[String]("name") == "神经网络").get
+    assert(kept.getAs[String]("conv_id") === "c1")
+    assert(kept.getAs[String]("ntype") === "算法")
+  }
+
+  test("A4: duplicate-relation removal keeps first by (conv_id, ord)") {
+    import spark.implicits._
+    val edges = Seq(
+      edge("c1", "a", "b", "依赖", 2),
+      edge("c1", "a", "b", "依赖", 1),
+      edge("c2", "a", "b", "依赖", 0),
+      edge("c1", "a", "b", "包含", 3)).toDS()
+    val out = Canonicalize.dedupEdges(edges).collect()
+    assert(out.length === 2)
+    assert(out.find(_.getAs[String]("etype") == "依赖").get.getAs[Long]("ord") === 1L)
+  }
+
+  test("A5: duplicate counts") {
+    import spark.implicits._
+    val nodes = Seq(node("c1", "x"), node("c2", "x"), node("c3", "y")).toDS()
+    val out = Canonicalize.duplicateCounts(nodes).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("count") === 2L)
+  }
+
+  test("connected components: min-label propagation, deterministic across partitioning") {
+    import spark.implicits._
+    val edges = Seq(("b", "a"), ("c", "b"), ("e", "d"), ("f", "f"), ("g", "h"),
+      ("h", "i"), ("i", "g")).toDF("a", "b")
+    val cc = Canonicalize.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc("a") === "a" && cc("b") === "a" && cc("c") === "a")
+    assert(cc("d") === "d" && cc("e") === "d")
+    assert(cc("f") === "f")
+    assert(cc("g") === "g" && cc("h") === "g" && cc("i") === "g")
+    // partition invariance
+    val cc2 = Canonicalize.connectedComponents(edges.repartition(7))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc2 === cc)
+  }
+
+  test("canonicalizeGraph: fuzzy alias clusters merge, edges redirected, dedup applied") {
+    import spark.implicits._
+    val nodes = Seq(node("c1", "神经网络"), node("c2", "神经网络模型"),
+      node("c1", "学习率")).toDS()
+    val edges = Seq(
+      edge("c1", "神经网络", "学习率", "依赖", 0),
+      edge("c2", "神经网络模型", "学习率", "依赖", 1)).toDS()
+    val sim = Seq((md5id("神经网络"), md5id("神经网络模型"))).toDF("a", "b")
+    val (cn, ce) = Canonicalize.canonicalizeGraph(nodes, edges, sim)
+    val canonical = Seq(md5id("神经网络"), md5id("神经网络模型")).min
+    assert(cn.count() === 2)
+    assert(cn.filter(col("id") === canonical).count() === 1)
+    // both edges now identical (src remapped) → deduped to one
+    val es = ce.collect()
+    assert(es.length === 1)
+    assert(es.head.getAs[String]("src") === canonical)
+  }
+
+  test("MinHash fuzzy candidates find near-duplicate surface forms, not unrelated ones") {
+    import spark.implicits._
+    val names = Seq("神经网络", "神经网络模型", "神经网络变体3", "支持向量机",
+      "support vector machine", "Adam", "AdamW").toDF("name")
+    val cand = EntityLinking.fuzzyCandidates(names, bands = 8, rowsPerBand = 1,
+      threshold = 0.4).collect()
+    val pairs = cand.map(r => Set(r.getString(0), r.getString(1)))
+    assert(pairs.contains(Set("神经网络", "神经网络模型")))
+    assert(!pairs.contains(Set("神经网络", "支持向量机")))
+    assert(!pairs.exists(p => p.contains("Adam") && p.contains("支持向量机")))
+  }
+
+  test("salted link equals broadcast-exact link") {
+    import spark.implicits._
+    val mentions = Seq(("c1", 0, "神经网络"), ("c1", 1, "Adam"), ("c2", 0, "未知"))
+      .toDF("conv_id", "turn_idx", "name")
+    val aliases = Seq(("神经网络", "e1"), ("Adam", "e2")).toDF("alias", "canonical_id")
+    val exact = EntityLinking.linkExact(mentions, aliases)
+      .select("conv_id", "turn_idx", "name", "canonical_id")
+      .collect().map(_.toSeq).toSet
+    val salted = EntityLinking.linkSalted(mentions, aliases, salt = 4)
+      .select("conv_id", "turn_idx", "name", "canonical_id")
+      .collect().map(_.toSeq).toSet
+    assert(salted === exact)
+    assert(exact.exists(r => r(2) == "未知" && r(3) == null)) // left join keeps unmatched
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.functions.Embeddings
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat today"),    // near dup of 1
+      (4L, "spark engines shuffle data between executors"),
+      (5L, "completely unrelated text about cooking pasta dishes"),
+      (6L, "spark engines shuffle data between executors often")    // near dup of 4
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per content hash") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted ===
+      Array(1L, 3L, 4L, 5L, 6L))
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.filter(col("cnt") > 1).count() === 1)
+  }
+
+  test("minhash LSH finds near-dup pairs without false positives") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 1, threshold = 0.4, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(pairs.contains((4L, 6L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(4L, 5L) })
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 4L) })
+  }
+
+  test("dropNearDuplicates keeps one representative per near-dup cluster") {
+    val out = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.4)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(5L))
+    assert(kept.intersect(Set(1L, 2L, 3L)).size === 1)
+    assert(kept.intersect(Set(4L, 6L)).size === 1)
+  }
+
+  test("simhash: identical text → identical fingerprint; near text → small hamming") {
+    import spark.implicits._
+    val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(5L)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: dup=1.0, near>0.3, unrelated=0") {
+    import spark.implicits._
+    val j = docs.as("x").join(docs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        Dedup.ngramJaccard(col("x.text"), col("y.text"), 2).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) > 0.3)
+    assert(j((1L, 5L)) === 0.0)
+  }
+
+  test("embedding near-dup via LSH buckets finds the exact dup") {
+    val withEmb = Embeddings.withEmbedding(docs, "text")
+    val pairs = Dedup.embeddingNearDup(withEmb, "doc_id", "embedding",
+      Embeddings.DefaultDim, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 5L) })
+  }
+
+  test("brute-force cosine top-k and ANN top-k agree on the top hit") {
+    val withEmb = Embeddings.withEmbedding(docs, "text")
+    val q = Embeddings.embed("quick brown fox jumps")
+    val bf = Similarity.bruteForceTopK(withEmb, "embedding", q, 3, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(Set(1L, 2L).contains(bf(0)))
+    val ann = Similarity.annTopK(withEmb, "embedding", Embeddings.DefaultDim,
+      q, 3, "doc_id", bits = 4, tables = 4)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(ann.nonEmpty && Set(1L, 2L, 3L).contains(ann(0)))
+  }
+
+  test("embedding kernel is deterministic and L2-normalized") {
+    val a = Embeddings.embed("hello world 世界")
+    val b = Embeddings.embed("hello world 世界")
+    assert(a.toSeq === b.toSeq)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(Embeddings.embed("").forall(_ == 0f))
+  }
+
+  test("text analysis: langId / tokens / quality / fingerprint") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "神经网络是一种模拟生物神经系统的计算模型非常有用"),
+      (3L, "   "),
+      (4L, "The  quick   brown fox")).toDF("id", "t")
+    val out = TextAnalysis.enrich(df, "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("lang_id") === "en")
+    assert(out(2L).getAs[String]("lang_id") === "zh")
+    assert(out(1L).getAs[Int]("n_tokens") === 12)
+    assert(out(3L).getAs[Int]("n_tokens") === 0)
+    assert(out(1L).getAs[Double]("quality") > out(3L).getAs[Double]("quality"))
+    // fingerprint ignores whitespace runs + case:
+    val fp4 = out(4L).getAs[String]("fingerprint")
+    val fpRef = TextAnalysis.enrich(Seq((9L, "the quick brown fox")).toDF("id", "t"), "t")
+      .collect()(0).getAs[String]("fingerprint")
+    assert(fp4 === fpRef)
+    // reference token estimate: len//2 (read_v2.py:39-40)
+    val est = df.select(TextAnalysis.tokenEstimateRef(col("t"))).collect().map(_.getLong(0))
+    assert(est(0) === ("The quick brown fox jumps over the lazy dog and runs away".length / 2).toLong)
+  }
+
+  test("multimodal plumbing: features deterministic, frame sampling, thumbnails") {
+    val media = Multimodal.syntheticMedia(spark, 30).cache()
+    assert(media.schema.fieldNames.toSeq ===
+      Multimodal.mediaSchema.fieldNames.toSeq)
+    val feats = Multimodal.extractFeatures(media, featureDim = 8)
+    assert(feats.count() === 30)
+    val f2 = Multimodal.extractFeatures(media, featureDim = 8)
+    assert(feats.exceptAll(f2).count() === 0) // deterministic
+    val row = feats.filter(col("media_id") === 0).collect()(0)
+    assert(row.getAs[Seq[Float]]("feature").forall(v => v >= 0f && v <= 1f))
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000)
+    assert(frames.count() > 0)
+    assert(frames.filter(col("frame_ts_ms") > col("duration_ms")).count() === 0)
+    val thumbs = Multimodal.thumbnails(media, side = 4)
+    assert(thumbs.collect().forall(_.getAs[Array[Byte]]("thumb").length === 16))
+  }
+}

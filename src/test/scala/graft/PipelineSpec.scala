@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.fixtures.TranscriptGen
+import graft.model.{Edge, Node, md5id}
+import graft.operators.TripleExtract
+import graft.sources.{Checkpoint, Exporters}
+
+class PipelineSpec extends SparkSpec {
+
+  private lazy val transcripts = TranscriptGen.df(spark, 15).cache()
+
+  test("KgPipeline.run end-to-end: counters consistent, canonical tables deduped") {
+    val r = KgPipeline.run(transcripts)
+    assert(r.counters("triples") > 0)
+    assert(r.counters("nodes_canonical") <= r.counters("nodes_raw"))
+    assert(r.counters("edges_canonical") <= r.counters("edges_raw"))
+    // canonical nodes: unique by id
+    assert(r.nodes.groupBy("id").count().filter(col("count") > 1).count() === 0)
+    // canonical edges: unique by (src,dst,etype)
+    assert(r.edges.groupBy("src", "dst", "etype").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
+  test("resumable checkpoint: kill simulation → exactly-once output") {
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    val c1 = KgPipeline.runResumable(transcripts, dir, buckets = 8, groupSize = 2)
+    assert(c1.size === 8)
+    val full = Checkpoint.readCommitted(spark, dir)
+    val totalRows = full.count()
+    assert(totalRows === c1.values.sum)
+    // simulate a crash that lost half the markers (their data dirs may
+    // remain — resume must redo them without duplicating output)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    Seq(1, 3, 5).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_done_$b.json"), false)
+    }
+    val c2 = KgPipeline.runResumable(transcripts, dir, buckets = 8, groupSize = 2)
+    assert(c2.size === 8)
+    val again = Checkpoint.readCommitted(spark, dir)
+    assert(again.count() === totalRows) // no dups, nothing lost
+    assert(c2 === c1)
+    // and the content equals a non-checkpointed run's triples
+    val direct = KgPipeline.run(transcripts).triples
+    assert(again.drop("bucket").exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(again.drop("bucket")).count() === 0)
+  }
+
+  test("Neo4j CSV export: dynamic union-of-props header, lexicographic (A1/S9)") {
+    import spark.implicits._
+    val nodes = Seq(
+      Node("c1", md5id("a"), "a", "模型", null, Map("b_key" -> "1", "z" -> "2")),
+      Node("c1", md5id("b"), "b", "组件", md5id("a"), Map("a_key" -> "x, y"))).toDS()
+    val dir = Files.createTempDirectory("graft_csv").toString + "/nodes"
+    val header = Exporters.neo4jNodeCsv(nodes, dir)
+    assert(header === Seq(":ID", "name", "type", "parent", "a_key:LABEL", "b_key:LABEL", "z:LABEL"))
+    val lines = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    assert(lines.exists(_.contains("\"x, y\""))) // comma value quoted
+    assert(lines.length === 2)
+  }
+
+  test("TTL export: class/individual namespaces + dangling-edge filter (F3/S11/X19)") {
+    import spark.implicits._
+    val nodes = Seq(
+      Node("c1", md5id("概念甲"), "概念甲", "模型", null, Map("描述" -> "x")),
+      Node("c1", md5id("实体乙"), "实体乙", "实例", null, Map.empty)).toDS()
+    val edges = Seq(
+      Edge("c1", md5id("概念甲"), md5id("实体乙"), "包含 子", "概念甲", "实体乙", Map.empty, 0),
+      Edge("c1", md5id("概念甲"), md5id("不存在"), "悬空", "概念甲", "不存在", Map.empty, 1)).toDS()
+    val lines = Exporters.ttlLines(nodes, edges).collect().map(_.getString(0))
+    assert(lines.exists(l => l.contains("ontology#" + md5id("概念甲")) && l.contains("owl:Class")))
+    assert(lines.exists(l => l.contains("data/" + md5id("实体乙")) && l.contains("owl:NamedIndividual")))
+    // predicate space → underscore (X14); dangling edge dropped (F3)
+    assert(lines.exists(_.contains("包含_子")))
+    assert(!lines.exists(_.contains("悬空")))
+  }
+
+  test("JSON-LD export: relations grouped per subject, objects deduped (A6/A7/S13)") {
+    import spark.implicits._
+    val nodes = Seq(
+      Node("c1", "id1", "a", "T", null, Map.empty),
+      Node("c1", "id2", "b", "T", null, Map.empty)).toDS()
+    val edges = Seq(
+      Edge("c1", "id1", "id2", "rel", "a", "b", Map.empty, 0),
+      Edge("c1", "id1", "id2", "rel", "a", "b", Map.empty, 1)).toDS() // dup object
+    val docs = Exporters.jsonld(nodes, edges).collect().map(_.getString(0))
+    val doc1 = docs.find(_.contains("\"@id\":\"http://www.example.org/data/id1\"")).get
+    assert("id2".r.findAllIn(doc1).size === 1 ||
+      doc1.split("data/id2", -1).length - 1 === 1) // deduped to one object ref
+  }
+
+  test("weighted label P/R/F1 (A9) matches hand computation") {
+    import spark.implicits._
+    // gold: 3×A, 1×B, pred: A right twice, once as B; B right
+    val pairs = Seq(("A", "A"), ("A", "A"), ("B", "A"), ("B", "B")).toDF("pred", "gold")
+    val m = Metrics.weightedLabelPRF(pairs)
+    // label A: support 3, tp 2, predCount 2 → p=1.0, r=2/3, f1=0.8
+    // label B: support 1, tp 1, predCount 2 → p=0.5, r=1.0, f1=2/3
+    assert(math.abs(m.precision - (1.0 * 3 + 0.5 * 1) / 4) < 1e-9)
+    assert(math.abs(m.recall - (2.0 / 3 * 3 + 1.0 * 1) / 4) < 1e-9)
+    assert(math.abs(m.f1 - (0.8 * 3 + (2.0 / 3) * 1) / 4) < 1e-9)
+  }
+
+  test("triple P/R on pipeline output vs oracle replay == 1.0") {
+    import spark.implicits._
+    val r = KgPipeline.run(transcripts)
+    val want = (0 until 15).flatMap { i =>
+      val conv = f"c$i%08d"
+      val lines = TranscriptGen.genConv(42L, i.toLong)
+        .sortBy(_.turn_idx).flatMap(_.text.split("\n", -1))
+      graft.oracle.RefReplay.triples(lines.iterator.map(_.trim))
+        .map(t => (conv, t._1, t._2, t._3))
+    }.toDF("conv_id", "subj", "pred", "obj")
+    val m = Metrics.triplePRF(r.triples, want)
+    assert(m.precision === 1.0 && m.recall === 1.0, m.toString)
+  }
+}
