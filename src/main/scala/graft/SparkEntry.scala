@@ -331,7 +331,50 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id"))
+        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+
+    // W4: bounded chunk split (read_instruct.py:58-139 as one window)
+    "w4_chunk_split" -> ((s, dir) =>
+      TextNorm.chunkIds(tbl(s, dir, "documents"), "lang", Seq("doc_id"),
+        col("n_chars"), maxLen = 20000)
+        .select(col("lang"), col("doc_id"), col("chunk_id"))
+        .orderBy("lang", "doc_id")),
+
+    // F5: verification-page predicate (substring-list reject,
+    // web_crawler.py:123-169)
+    "f5_marker_reject" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .filter(!col("text").contains("spark") && !col("text").contains("hash"))
+        .select(col("doc_id")).orderBy("doc_id")),
+
+    // J5: computed-key equi join (rag_query.py:154)
+    "j5_computed_key" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select(concat(lit("c"), col("o_custkey")).as("k"), col("o_totalprice"))
+      val c = tbl(s, dir, "customer")
+        .select(concat(lit("c"), col("c_custkey")).as("k"), col("c_mktsegment"))
+      o.join(c, Seq("k"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // A10: graph degree stats (constructor.py:300-302)
+    "a10_degrees" -> ((s, dir) => {
+      val edges = tbl(s, dir, "nation")
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("src"), col("n_name").as("dst"))
+      Bfs.degrees(edges).orderBy("id")
+    }),
+
+    // G1: BFS depth assignment (constructor.py:135-251), oracled by a
+    // recursive CTE
+    "g1_bfs" -> ((s, dir) => {
+      val edges = tbl(s, dir, "nation")
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("src"), col("n_name").as("dst"))
+      val roots = tbl(s, dir, "region").select(col("r_name").as("id"))
+      Bfs.expand(edges, roots, maxDepth = 2).orderBy("id")
+    })
   )
 
   /** DuckDB-equivalent SQL (column names must match the Spark side). */
@@ -506,6 +549,43 @@ object SparkEntry {
 
     "text_fingerprint" -> ("""
       SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id"""),
+
+    "w4_chunk_split" -> ("""
+      WITH c AS (SELECT lang, doc_id,
+        sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents)
+      SELECT lang, doc_id, CAST(floor((cum - 1) / 20000) AS INT) AS chunk_id
+      FROM c ORDER BY lang, doc_id"""),
+
+    "f5_marker_reject" -> ("""
+      SELECT doc_id FROM documents
+      WHERE text NOT LIKE '%spark%' AND text NOT LIKE '%hash%'
+      ORDER BY doc_id"""),
+
+    "j5_computed_key" -> ("""
+      SELECT c_mktsegment, count(*) AS cnt
+      FROM (SELECT 'c' || o_custkey AS k, o_totalprice FROM orders) o
+      JOIN (SELECT 'c' || c_custkey AS k, c_mktsegment FROM customer) c USING (k)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+
+    "a10_degrees" -> ("""
+      WITH e AS (SELECT r_name AS src, n_name AS dst
+                 FROM nation JOIN region ON n_regionkey = r_regionkey),
+      o AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY src),
+      i AS (SELECT dst AS id, count(*) AS in_deg FROM e GROUP BY dst)
+      SELECT coalesce(o.id, i.id) AS id,
+        coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg
+      FROM o FULL OUTER JOIN i ON o.id = i.id ORDER BY id"""),
+
+    "g1_bfs" -> ("""
+      WITH RECURSIVE e AS (SELECT r_name AS src, n_name AS dst
+                           FROM nation JOIN region ON n_regionkey = r_regionkey),
+      bfs(id, depth) AS (
+        SELECT r_name, 0 FROM region
+        UNION
+        SELECT e.dst, bfs.depth + 1 FROM bfs JOIN e ON e.src = bfs.id WHERE bfs.depth < 2)
+      SELECT id, min(depth) AS depth FROM bfs GROUP BY id ORDER BY id""")
   )
 }

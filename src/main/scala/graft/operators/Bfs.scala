@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph expansion (SURVEY.md G1/G4 — the crawler BFS of
+  * /root/reference/web_crawler2/constructor.py:135-251 re-expressed as
+  * DataFrame iteration): frontier = targets not yet visited (left-anti
+  * join), capped by maxDepth / maxNodes, lineage truncated per round
+  * with localCheckpoint.
+  */
+object Bfs {
+
+  /** BFS over an edge list (src, dst) from `roots` (single column
+    * "id"). Returns (id, depth) — min depth per reached vertex. */
+  def expand(edges: DataFrame, roots: DataFrame, maxDepth: Int,
+      maxNodes: Long = Long.MaxValue): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).persist()
+    var visited = roots.select(col("id"), lit(0).as("depth"))
+      .localCheckpoint(eager = true)
+    var frontier = visited
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth && visited.count() < maxNodes) {
+      depth += 1
+      val next = e.join(frontier.withColumnRenamed("id", "src").select("src"), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")  // J9 anti-join
+        .withColumn("depth", lit(depth))
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint(eager = true)
+        frontier = next
+      }
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** G4/J10: roots = vertices that are never anyone's child
+    * (visualizer.py:118-123). */
+  def roots(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id")).distinct()
+      .join(edges.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
+
+  /** A10: graph stats — node count + per-node out/in degree
+    * (constructor.py:300-302). */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .na.fill(0L, Seq("out_deg", "in_deg"))
+  }
+}

@@ -87,6 +87,15 @@ object NerTag {
       }
   }
 
+  /** X7: char→id tokenization with [UNK] default
+    * (bilstm_crf_ner.py:169,583) — vocab as a map literal (ships with
+    * the plan like a broadcast), lookup per char under codegen. */
+  def tokenizeChars(df: DataFrame, textCol: String,
+      vocab: Map[String, Int], unkId: Int): DataFrame =
+    df.withColumn("char_ids",
+      transform(split(col(textCol), ""),
+        c => coalesce(element_at(typedLit(vocab), c), lit(unkId))))
+
   /** Default fixture dictionary: the reference's golden sample entities
     * (NER-model/data/ner_sample.json) + fixture vocabulary. */
   val goldenDict: Map[String, String] = Map(

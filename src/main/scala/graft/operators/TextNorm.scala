@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text normalization stage (SURVEY.md X9-X12) + the W4 chunk splitter.
+  * Pure Catalyst expressions — the reference's per-line Python rewrites
+  * (md_formatter.py, pdf_extractor.py) as a codegen'd column chain.
+  */
+object TextNorm {
+
+  /** X9: markdown image/formula scrub → placeholders
+    * (md_formatter.py:12-23,92-110). */
+  def scrubMdImages(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "!\\[[^\\]]*\\]\\([^)]*\\)", "[图片]"),
+      "\\$\\$[^$]+\\$\\$", "[公式]")
+
+  /** X10: formula-line heuristic — math-symbol density > 0.1 or
+    * sub/superscript/TeX-command patterns (pdf_extractor.py:162-188). */
+  def isFormulaLike(c: Column): Column = {
+    val mathChars = length(c) - length(regexp_replace(c, "[=+\\-*/^_{}\\\\∑∏∫√≤≥≠±]", ""))
+    (mathChars.cast("double") / greatest(length(c), lit(1)) > 0.1) ||
+      c.rlike("\\\\[a-zA-Z]+\\{") || c.rlike("[a-zA-Z][_^][0-9a-zA-Z]")
+  }
+
+  /** X11: PDF dir-marker rewrite — PUA  → "- ● " (level 0),
+    *  → "    - ◆ " (level 1) (pdf_extractor.py:18-21,190-200). */
+  def rewriteDirMarkers(c: Column): Column =
+    regexp_replace(regexp_replace(c, "", "- ● "), "", "    - ◆ ")
+
+  /** X12: LaTeX inline $...$ → \( ... \) (pdf_extractor.py:156-160). */
+  def rewriteInlineLatex(c: Column): Column =
+    regexp_replace(c, "\\$([^$]+)\\$", "\\\\($1\\\\)")
+
+  /** Full normalization chain. */
+  def normalize(c: Column): Column =
+    rewriteInlineLatex(rewriteDirMarkers(scrubMdImages(c)))
+
+  /** W4: bounded chunk split — assign each ordered block to a chunk so
+    * chunks are ≈ maxLen (the Spark form of read_instruct.py:58-139's
+    * stack-based splitter: running length over the turn order, chunk id
+    * = floor(cumlen / maxLen)). One window pass, no driver loop. */
+  def chunkIds(df: DataFrame, partCol: String, orderCols: Seq[String],
+      lenCol: Column, maxLen: Long): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("cumlen", sum(lenCol).over(w))
+      .withColumn("chunk_id", floor((col("cumlen") - lit(1)) / lit(maxLen)).cast("int"))
+  }
+}

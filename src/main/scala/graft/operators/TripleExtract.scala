@@ -54,37 +54,51 @@ object TripleExtract {
   def entityId(c: Column): Column = substring(md5(c), 1, 8)
 
   /** Stage 1+2: turns → stripped lines → all grammar fields as Catalyst
-    * columns. Narrow (no shuffle); regexes run under codegen at the scan. */
+    * columns. Narrow (no shuffle); regexes run under whole-stage codegen
+    * at the scan via the custom [[graft.plans.RegexpExtractStruct]] /
+    * [[graft.plans.RegexpFindAllGroups]] expressions — ONE regex match
+    * per rule per line, exactly the reference's cost model
+    * (md2csv.py:39,62,78). */
   def parsed(transcripts: DataFrame): Dataset[ParsedLine] = {
     val spark = transcripts.sparkSession
     import spark.implicits._
+    import graft.plans.RegexpExtractStruct.regexp_groups
+    import graft.plans.RegexpFindAllGroups.regexp_findall_groups
     val lines = transcripts
       .select(col("conv_id"), col("turn_idx"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "raw")))
       .withColumn("line", pyStrip(col("raw")))
+      // one match per grammar rule (struct of groups, null = no match)
+      .withColumn("cM", regexp_groups(col("line"), Concept))
+      .withColumn("rM", regexp_groups(col("line"), Relation))
+      .withColumn("pairs", regexp_findall_groups(col("line"), Prop))
 
-    val relTypeRaw = pyStrip(regexp_extract(col("line"), Relation, 3))
+    val relTypeRaw = pyStrip(coalesce(col("rM.g3"), lit("")))
+    val tU = regexp_groups(relTypeRaw, TypeUnwrap)
     lines.select(
       col("conv_id"), col("turn_idx"), col("pos"), col("line"),
       col("line").startsWith(Header).as("isHeader"),
-      length(regexp_extract(col("line"), Concept, 1)).as("cIndent"),
-      pyStrip(regexp_extract(col("line"), Concept, 2)).as("cName"),
-      regexp_extract(col("line"), Concept, 3).as("cType"),
+      when(col("cM").isNull, lit(0)).otherwise(length(col("cM.g1"))).as("cIndent"),
+      pyStrip(coalesce(col("cM.g2"), lit(""))).as("cName"),
+      coalesce(col("cM.g3"), lit("")).as("cType"),
       // relation branch (md2csv.py:62-93); relType=="" ⇔ no match
-      pyStrip(regexp_replace(pyStrip(regexp_extract(col("line"), Relation, 1)), SrcStrip, ""))
+      pyStrip(regexp_replace(pyStrip(coalesce(col("rM.g1"), lit(""))), SrcStrip, ""))
         .as("relSrc"),
-      pyStrip(regexp_extract(col("line"), Relation, 2)).as("relDst"),
-      when(relTypeRaw.rlike(TypeUnwrap),
-        regexp_extract(relTypeRaw, TypeUnwrap, 1)).otherwise(relTypeRaw).as("relType"),
-      regexp_extract_all(regexp_extract(col("line"), Relation, 4), lit(Prop), lit(1))
-        .as("relPropKeys"),
-      transform(
-        regexp_extract_all(regexp_extract(col("line"), Relation, 4), lit(Prop), lit(2)),
-        unquote _).as("relPropVals"),
-      // whole-line prop pairs (md2csv.py:97-105) — includes relation-line
-      // leakage and 类型= tokens by construction (quirk #2)
-      regexp_extract_all(col("line"), lit(Prop), lit(1)).as("propKeys"),
-      transform(regexp_extract_all(col("line"), lit(Prop), lit(2)), unquote _).as("propVals"))
+      pyStrip(coalesce(col("rM.g2"), lit(""))).as("relDst"),
+      when(tU.isNotNull, tU.getField("g1")).otherwise(relTypeRaw).as("relType"),
+      // relation-props finditer over group 4 (md2csv.py:78-83)
+      regexp_findall_groups(coalesce(col("rM.g4"), lit("")), Prop).as("relPairs"),
+      col("pairs"))
+      .select(
+        col("conv_id"), col("turn_idx"), col("pos"), col("line"), col("isHeader"),
+        col("cIndent"), col("cName"), col("cType"), col("relSrc"), col("relDst"),
+        col("relType"),
+        transform(col("relPairs"), p => p.getField("g1")).as("relPropKeys"),
+        transform(col("relPairs"), p => unquote(p.getField("g2"))).as("relPropVals"),
+        // whole-line prop pairs (md2csv.py:97-105) — includes
+        // relation-line leakage and 类型= tokens (quirk #2)
+        transform(col("pairs"), p => p.getField("g1")).as("propKeys"),
+        transform(col("pairs"), p => unquote(p.getField("g2"))).as("propVals"))
       .withColumn("cid", when(col("cIndent") > 0, entityId(col("cName"))).otherwise(lit("")))
       .withColumn("relSrcId", when(col("relType") =!= "", entityId(col("relSrc"))).otherwise(lit("")))
       .withColumn("relDstId", when(col("relType") =!= "", entityId(col("relDst"))).otherwise(lit("")))
@@ -93,6 +107,10 @@ object TripleExtract {
         "relPropKeys", "relPropVals", "propKeys", "propVals")
       .as[ParsedLine]
   }
+
+  /** Streaming-safe alias: [[parsed]] is narrow-only (explode + selects)
+    * so it works unchanged on a streaming DataFrame. */
+  def parsedForStream(transcripts: DataFrame): Dataset[ParsedLine] = parsed(transcripts)
 
   // -------------------------------------------------------------------
   // Kernel path: ONE shuffle (hash by conv_id) + in-partition sort +

@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: when one Project extracts ≥2 capture groups from the
+  * SAME (subject, pattern) via stock `regexp_extract`, rewrite each to
+  * a field of a single [[RegexpExtractStruct]] (with `coalesce(…, '')`
+  * preserving regexp_extract's empty-string-on-no-match convention).
+  * Whole-stage codegen's common-subexpression elimination then runs the
+  * regex ONCE per row instead of once per group.
+  */
+object CollapseRegexpExtracts extends Rule[LogicalPlan] {
+
+  private def key(e: RegExpExtract): Option[(Expression, UTF8String)] = e match {
+    case RegExpExtract(s, Literal(p: UTF8String, StringType), Literal(_, IntegerType)) =>
+      Some((s.canonicalized, p))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p: Project =>
+      val counts = scala.collection.mutable.Map.empty[(Expression, UTF8String), Int]
+      p.projectList.foreach(_.foreach {
+        case re: RegExpExtract => key(re).foreach(k => counts(k) = counts.getOrElse(k, 0) + 1)
+        case _ =>
+      })
+      val hot = counts.filter(_._2 >= 2).keySet
+      if (hot.isEmpty) p
+      else p.transformExpressions {
+        case re @ RegExpExtract(subj, pat @ Literal(p0: UTF8String, StringType),
+            Literal(idx: Any, IntegerType))
+            if key(re).exists(hot.contains) && idx.asInstanceOf[Int] >= 1 =>
+          val struct = RegexpExtractStruct(subj, pat)
+          if (idx.asInstanceOf[Int] <= struct.groupCount)
+            Coalesce(Seq(
+              GetStructField(struct, idx.asInstanceOf[Int] - 1, Some(s"g$idx")),
+              Literal(UTF8String.fromString(""), StringType)))
+          else re
+      }
+  }
+}
+
+/** Session extensions: inject the optimizer rule + register
+  * `regexp_groups` for SQL use.
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => CollapseRegexpExtracts)
+    e.injectFunction((
+      FunctionIdentifier("regexp_groups"),
+      new ExpressionInfo(classOf[RegexpExtractStruct].getName, "regexp_groups"),
+      (exprs: Seq[Expression]) => RegexpExtractStruct(exprs.head, exprs(1))))
+  }
+}

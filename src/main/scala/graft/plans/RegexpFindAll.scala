@@ -1,0 +1,101 @@
+package graft.plans
+
+import java.util.regex.Pattern
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `regexp_findall_groups(subject, pattern)` — Python `re.finditer` as
+  * one expression: ALL matches, ALL capture groups, one scan. Returns
+  * `array<struct<g1:string,…,gN:string>>` (empty array when no match;
+  * non-participating groups are "").
+  *
+  * Replaces pairs of `regexp_extract_all(line, pat, 1)` /
+  * `(…, 2)` calls (each a full re-scan) in the prop-pair grammar
+  * (md2csv.py:78,99 finditer).
+  */
+case class RegexpFindAllGroups(subject: Expression, regexp: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = subject
+  override def right: Expression = regexp
+  override def nullIntolerant: Boolean = true
+
+  private lazy val patternStr: String =
+    regexp.eval(null).asInstanceOf[UTF8String].toString
+  @transient private lazy val compiled: Pattern = Pattern.compile(patternStr)
+  lazy val groupCount: Int = compiled.matcher("").groupCount()
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!regexp.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "pattern must be a foldable string literal")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(
+    StructType((1 to groupCount).map(i => StructField(s"g$i", StringType, nullable = true))),
+    containsNull = false)
+
+  override def nullable: Boolean = subject.nullable
+
+  protected override def nullSafeEval(subj: Any, _p: Any): Any = {
+    val m = compiled.matcher(subj.asInstanceOf[UTF8String].toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (m.find()) {
+      val arr = new Array[Any](groupCount)
+      var i = 1
+      while (i <= groupCount) {
+        val g = m.group(i)
+        arr(i - 1) = UTF8String.fromString(if (g == null) "" else g)
+        i += 1
+      }
+      out += InternalRow.fromSeq(arr.toIndexedSeq)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patternRef = ctx.addReferenceObj("pattern", compiled, classOf[Pattern].getName)
+    val n = groupCount
+    val rowClass = classOf[GenericInternalRow].getName
+    val arrClass = classOf[GenericArrayData].getName
+    val listClass = "java.util.ArrayList"
+    val utf8 = classOf[UTF8String].getName
+    nullSafeCodeGen(ctx, ev, (subj, _) => {
+      val matcher = ctx.freshName("matcher")
+      val rows = ctx.freshName("rows")
+      val values = ctx.freshName("values")
+      val g = ctx.freshName("g")
+      val i = ctx.freshName("i")
+      s"""
+         |java.util.regex.Matcher $matcher = $patternRef.matcher($subj.toString());
+         |$listClass<Object> $rows = new $listClass<Object>();
+         |while ($matcher.find()) {
+         |  Object[] $values = new Object[$n];
+         |  for (int $i = 1; $i <= $n; $i++) {
+         |    String $g = $matcher.group($i);
+         |    $values[$i - 1] = $utf8.fromString($g == null ? "" : $g);
+         |  }
+         |  $rows.add(new $rowClass($values));
+         |}
+         |${ev.value} = new $arrClass($rows.toArray());
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "regexp_findall_groups"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(subject = l, regexp = r)
+}
+
+object RegexpFindAllGroups {
+  def regexp_findall_groups(subject: Column, pattern: String): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      RegexpFindAllGroups(
+        org.apache.spark.sql.graft.shims.toExpression(subject),
+        Literal(UTF8String.fromString(pattern), StringType)))
+}

@@ -1,0 +1,107 @@
+package graft.plans
+
+import java.util.regex.{Matcher, Pattern}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `regexp_groups(subject, pattern)` — match `pattern` against `subject`
+  * ONCE (java.util.regex `find()`, like Spark's RegExpExtract) and
+  * return ALL capture groups as `struct<g1:string, …, gN:string>`, or
+  * null when the pattern does not match. Non-participating groups
+  * yield "" (matching `regexp_extract`'s convention so rewrites are
+  * drop-in).
+  *
+  * Motivation (SURVEY.md §2.10): the extraction grammar reads 3-5
+  * groups from the same pattern per line; stock `regexp_extract`
+  * re-matches once per group. This expression restores the reference's
+  * one-match-per-rule cost (md2csv.py:39,62) inside whole-stage
+  * codegen.
+  *
+  * The pattern must be a foldable literal (needed to derive the schema
+  * from its group count at analysis time).
+  */
+case class RegexpExtractStruct(subject: Expression, regexp: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = subject
+  override def right: Expression = regexp
+  override def nullIntolerant: Boolean = true
+
+  private lazy val patternStr: String =
+    regexp.eval(null).asInstanceOf[UTF8String].toString
+  @transient private lazy val compiled: Pattern = Pattern.compile(patternStr)
+  lazy val groupCount: Int = compiled.matcher("").groupCount()
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (!regexp.foldable) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "pattern must be a foldable string literal")
+    } else if (subject.dataType != StringType || regexp.dataType != StringType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "regexp_groups requires (string, string)")
+    } else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType =
+    StructType((1 to groupCount).map(i => StructField(s"g$i", StringType, nullable = true)))
+
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(subj: Any, _p: Any): Any = {
+    val m = compiled.matcher(subj.asInstanceOf[UTF8String].toString)
+    if (m.find()) {
+      val arr = new Array[Any](groupCount)
+      var i = 1
+      while (i <= groupCount) {
+        val g = m.group(i)
+        arr(i - 1) = UTF8String.fromString(if (g == null) "" else g)
+        i += 1
+      }
+      InternalRow.fromSeq(arr.toIndexedSeq)
+    } else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patternRef = ctx.addReferenceObj("pattern", compiled, classOf[Pattern].getName)
+    val n = groupCount
+    val rowClass = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
+    val utf8 = classOf[UTF8String].getName
+    nullSafeCodeGen(ctx, ev, (subj, _) => {
+      val matcher = ctx.freshName("matcher")
+      val values = ctx.freshName("values")
+      val g = ctx.freshName("g")
+      val i = ctx.freshName("i")
+      s"""
+         |java.util.regex.Matcher $matcher = $patternRef.matcher($subj.toString());
+         |if ($matcher.find()) {
+         |  Object[] $values = new Object[$n];
+         |  for (int $i = 1; $i <= $n; $i++) {
+         |    String $g = $matcher.group($i);
+         |    $values[$i - 1] = $utf8.fromString($g == null ? "" : $g);
+         |  }
+         |  ${ev.value} = new $rowClass($values);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "regexp_groups"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(subject = l, regexp = r)
+}
+
+object RegexpExtractStruct {
+  /** Column-API entry point. */
+  def regexp_groups(subject: Column, pattern: String): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      RegexpExtractStruct(
+        org.apache.spark.sql.graft.shims.toExpression(subject),
+        Literal(UTF8String.fromString(pattern), StringType)))
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model._
+import graft.operators.TripleExtract
+
+/** Structured Streaming variant of the KG extraction (engine extension;
+  * the reference is batch-only, SURVEY.md §2.9 — this is the
+  * streaming-shaped capability the harness asks for).
+  *
+  * transcripts readStream → same Catalyst parse (TripleExtract.parsed
+  * works unchanged on a streaming DataFrame — narrow ops only) →
+  * per-conversation stateful fold via flatMapGroupsWithState: state =
+  * the NoteParser state (current concept + accumulated concepts/props),
+  * emitting edge rows incrementally and node rows on state timeout
+  * (conversation considered closed after `convTimeoutMs` of event-time
+  * silence via watermark).
+  */
+object StreamingExtract {
+
+  /** Serializable fold state: mirrors ConvState but as immutable rows. */
+  final case class ConvAcc(
+      current: String,
+      // cid -> (name, type, parent); insertion order kept via seq
+      conceptOrder: Seq[String],
+      concepts: Map[String, (String, String, String)],
+      props: Map[String, Seq[(String, String)]],
+      edgeCount: Long)
+
+  object ConvAcc {
+    val empty: ConvAcc = ConvAcc(null, Seq.empty, Map.empty, Map.empty, 0L)
+  }
+
+  /** Incremental fold of one conversation's new lines; returns
+    * (updated state, edges emitted now). Node rows are derivable from
+    * the final state (emitted on timeout/close). */
+  def feed(acc0: ConvAcc, lines: Iterator[ParsedLine]): (ConvAcc, Seq[KgOut]) = {
+    var acc = acc0
+    val edges = Seq.newBuilder[KgOut]
+    lines.foreach { l =>
+      if (l.isHeader) acc = acc.copy(current = null)
+      else {
+        if (l.cIndent > 0) {
+          val order = if (acc.concepts.contains(l.cid)) acc.conceptOrder
+                      else acc.conceptOrder :+ l.cid
+          acc = acc.copy(
+            conceptOrder = order,
+            concepts = acc.concepts + (l.cid -> ((l.cName, l.cType, acc.current))),
+            props = acc.props + (l.cid -> Seq.empty),
+            current = if (l.cIndent == 1) l.cid else acc.current)
+        }
+        if (l.relType.nonEmpty) {
+          val m = l.relPropKeys.zip(l.relPropVals)
+            .foldLeft(Map.empty[String, String])(_ + _).toSeq
+          edges += KgOut("edge", l.conv_id, null, null, null, null,
+            l.relSrcId, l.relDstId, l.relType, l.relSrc, l.relDst, m.toMap, acc.edgeCount)
+          acc = acc.copy(edgeCount = acc.edgeCount + 1)
+        }
+        if (acc.current != null && l.propKeys.nonEmpty) {
+          val cur = acc.props.getOrElse(acc.current, Seq.empty)
+          val merged = l.propKeys.zip(l.propVals).foldLeft(cur) { case (s, (k, v)) =>
+            s.filterNot(_._1 == k) :+ (k -> v)
+          }
+          acc = acc.copy(props = acc.props + (acc.current -> merged))
+        }
+      }
+    }
+    (acc, edges.result())
+  }
+
+  def nodesOf(convId: String, acc: ConvAcc): Seq[KgOut] =
+    acc.conceptOrder.map { cid =>
+      val (name, tpe, parent) = acc.concepts(cid)
+      KgOut("node", convId, cid, name, tpe, parent, null, null, null, null, null,
+        acc.props.getOrElse(cid, Seq.empty).toMap, 0L)
+    }
+
+  final case class KgOut(
+      kind: String,
+      conv_id: String, id: String, name: String, ntype: String, parent: String,
+      src: String, dst: String, etype: String, srcName: String, dstName: String,
+      props: Map[String, String], ord: Long)
+
+  /** Conversation-close sentinel: a turn whose text is exactly this
+    * marker flushes the conversation's node rows deterministically
+    * (the producer's "conversation ended" signal). */
+  val EocMarker = "__EOC__"
+
+  /** Streaming query: parsed lines grouped by conv_id; edges emitted as
+    * they arrive, nodes when the conversation closes — via the
+    * [[EocMarker]] sentinel (deterministic) and/or a processing-time
+    * timeout (`convTimeoutMs > 0`; pass 0 for NoTimeout — note that
+    * with processing-time timeouts `processAllAvailable` may block in
+    * tests because timeout batches keep the trigger busy). */
+  def extractStream(transcripts: DataFrame, convTimeoutMs: Long = 30000L): Dataset[KgOut] = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (convTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
+    // IMPORTANT: requires ordered delivery within a micro-batch; the
+    // fold sorts each batch's lines by (turn_idx, pos) before feeding.
+    TripleExtract.parsedForStream(transcripts)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvAcc, KgOut](OutputMode.Append(), timeoutConf) {
+        case (convId, lines, state: GroupState[ConvAcc]) =>
+          if (state.hasTimedOut) {
+            val acc = state.get
+            state.remove()
+            nodesOf(convId, acc).iterator
+          } else {
+            val acc0 = state.getOption.getOrElse(ConvAcc.empty)
+            val sorted = lines.toSeq.sortBy(l => (l.turn_idx, l.pos))
+            val (close, real) = sorted.partition(_.line == EocMarker)
+            val (acc, edges) = feed(acc0, real.iterator)
+            if (close.nonEmpty) {
+              state.remove()
+              (edges ++ nodesOf(convId, acc)).iterator
+            } else {
+              state.update(acc)
+              if (convTimeoutMs > 0) state.setTimeoutDuration(convTimeoutMs)
+              edges.iterator
+            }
+          }
+      }
+  }
+}

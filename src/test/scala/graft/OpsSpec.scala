@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bfs, NerTag, TextNorm}
+
+/** TextNorm (X9-X12), chunk split (W4), BFS (G1/G4/J10/A10),
+  * char tokenize (X7). */
+class OpsSpec extends SparkSpec {
+
+  test("X9-X12 normalization chain") {
+    import spark.implicits._
+    val df = Seq(
+      "see ![fig](http://x/y.png) and $$E=mc^2$$ inline $a+b$ end",
+      "plain",
+      " chapter  section").toDF("t")
+    val out = df.select(TextNorm.normalize(col("t"))).collect().map(_.getString(0))
+    assert(out(0) === "see [图片] and [公式] inline \\(a+b\\) end")
+    assert(out(1) === "plain")
+    assert(out(2) === "- ●  chapter     - ◆  section")
+  }
+
+  test("X10 formula heuristic") {
+    import spark.implicits._
+    val df = Seq("x = y + z * 3 / 2 - 1 ^ 4", "normal prose sentence here",
+      "\\frac{a}{b}", "a_1 subscripted").toDF("t")
+    val out = df.select(TextNorm.isFormulaLike(col("t"))).collect().map(_.getBoolean(0))
+    assert(out.toSeq === Seq(true, false, true, true))
+  }
+
+  test("W4 chunk split: bounded running-length chunks, one window pass") {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", 0, 40L), ("c1", 1, 40L), ("c1", 2, 40L), // 120 cum
+      ("c1", 3, 40L), ("c2", 0, 10L)).toDF("conv", "idx", "len")
+    val out = TextNorm.chunkIds(df, "conv", Seq("idx"), col("len"), maxLen = 100)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(4))).toSet
+    // cum: 40,80,120,160 → chunks 0,0,1,1 ; c2 starts fresh
+    assert(out === Set(("c1", 0, 0), ("c1", 1, 0), ("c1", 2, 1), ("c1", 3, 1), ("c2", 0, 0)))
+  }
+
+  test("G1 BFS: depth-capped expansion with anti-join frontier; G4 roots; A10 degrees") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
+      .toDF("src", "dst")
+    val reached = Bfs.expand(edges, Seq("a").toDF("id"), maxDepth = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(reached === Map("a" -> 0, "b" -> 1, "c" -> 2))
+    val roots = Bfs.roots(edges).collect().map(_.getString(0)).toSet
+    assert(roots === Set("a", "x"))
+    val deg = Bfs.degrees(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(deg("b") === ((1L, 1L)) && deg("e") === ((0L, 1L)))
+  }
+
+  test("X7 char tokenize with UNK default") {
+    import spark.implicits._
+    val vocab = Map("北" -> 1, "京" -> 2, "a" -> 3)
+    val out = NerTag.tokenizeChars(Seq("北京ax").toDF("t"), "t", vocab, unkId = 0)
+      .select("char_ids").collect()(0).getSeq[Int](0)
+    assert(out === Seq(1, 2, 3, 0))
+  }
+}

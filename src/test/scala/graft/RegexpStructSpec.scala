@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.RegexpExtractStruct.regexp_groups
+import graft.plans.RegexpFindAllGroups.regexp_findall_groups
+import graft.plans.{CollapseRegexpExtracts, GraftExtensions}
+
+/** Custom Catalyst expressions: one-match group structs, finditer
+  * arrays, codegen, and the CollapseRegexpExtracts optimizer rule. */
+class RegexpStructSpec extends SparkSpec {
+
+  private val ConceptPat = "(?U)^(-+)\\s*(.*?)\\s*@(\\w+)"
+
+  test("regexp_groups matches regexp_extract per group; null when no match") {
+    import spark.implicits._
+    val df = Seq("- 神经网络 @模型 k=v", "no match here", "-- 子概念 @类型").toDF("line")
+    val out = df.select(
+      regexp_groups(col("line"), ConceptPat).as("m"),
+      regexp_extract(col("line"), ConceptPat, 1).as("e1"),
+      regexp_extract(col("line"), ConceptPat, 2).as("e2"),
+      regexp_extract(col("line"), ConceptPat, 3).as("e3")).collect()
+    out.foreach { r =>
+      val m = r.getStruct(0)
+      if (m == null) {
+        assert(r.getString(1) === "" && r.getString(2) === "")
+      } else {
+        assert(m.getString(0) === r.getString(1))
+        assert(m.getString(1) === r.getString(2))
+        assert(m.getString(2) === r.getString(3))
+      }
+    }
+    assert(out.count(_.getStruct(0) != null) === 2)
+  }
+
+  test("regexp_groups survives codegen (no fallback errors) and non-participating group is ''") {
+    import spark.implicits._
+    val pat = "^a(b)?(c)$"
+    val df = Seq("ac", "abc").toDF("s")
+    val rows = df.select(regexp_groups(col("s"), pat).as("m")).collect()
+    assert(rows(0).getStruct(0).getString(0) === "") // (b)? not participating
+    assert(rows(0).getStruct(0).getString(1) === "c")
+    assert(rows(1).getStruct(0).getString(0) === "b")
+  }
+
+  test("regexp_findall_groups == finditer (all matches, all groups, one scan)") {
+    import spark.implicits._
+    val prop = "(?U)(\\w+)\\s*=\\s*([^\\s=]+|\"[^\"]+\")"
+    val df = Seq("""描述="梯度 下降" k=v x=1""", "nothing").toDF("s")
+    val rows = df.select(regexp_findall_groups(col("s"), prop).as("ps")).collect()
+    val ps = rows(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(ps.map(p => (p.getString(0), p.getString(1))) ===
+      Seq(("描述", "\"梯度"), ("k", "v"), ("x", "1"))) // leftmost-first truncation quirk
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](0).isEmpty)
+  }
+
+  test("CollapseRegexpExtracts rewrites repeated regexp_extract into one struct") {
+    val shared = spark // force init of the shared session first
+    // new SparkSession on the SAME SparkContext but with our extensions
+    // (clear active/default so getOrCreate doesn't hand back `shared`;
+    // never stop() — that would kill the shared context)
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne shared)
+      import s2.implicits._
+      // repartition blocks ConvertToLocalRelation from pre-evaluating
+      // the projection, so the optimized plan keeps the Project
+      val df = Seq("- 神经网络 @模型", "junk").toDF("line")
+        .repartition(2)
+        .select(
+          regexp_extract(col("line"), ConceptPat, 1).as("a"),
+          regexp_extract(col("line"), ConceptPat, 2).as("b"),
+          regexp_extract(col("line"), ConceptPat, 3).as("c"))
+      val optimized = df.queryExecution.optimizedPlan
+      val structs = optimized.expressions.flatMap(_.collect {
+        case e: graft.plans.RegexpExtractStruct => e
+      })
+      assert(structs.nonEmpty, optimized.toString)
+      val extracts = optimized.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.RegExpExtract => e
+      })
+      assert(extracts.isEmpty, optimized.toString)
+      // semantics preserved incl. no-match → ""
+      assert(df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ===
+        Set(("-", "神经网络", "模型"), ("", "", "")))
+      // SQL registration works too
+      assert(s2.sql("SELECT regexp_groups('- x @t', '^(-+)\\\\s*(.*?)\\\\s*@(\\\\w+)').g2")
+        .collect()(0).getString(0) === "x")
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+  }
+}

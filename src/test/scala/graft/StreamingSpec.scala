@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.fixtures.TranscriptGen
+import graft.model.Turn
+import graft.oracle.RefReplay
+import graft.streaming.StreamingExtract
+
+/** Structured Streaming extraction: edges emitted incrementally match
+  * the batch oracle when turns arrive in order. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming fold emits the same edges as the reference replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val turns: Seq[Turn] = (0 until 5).flatMap(i => TranscriptGen.genConv(42L, i.toLong))
+    val source = MemoryStream[Turn]
+    // feed whole conversations (ordered within the batch) BEFORE start:
+    // AvailableNow plans exactly the data available at query start
+    source.addData(turns)
+    val q = StreamingExtract.extractStream(source.toDF(), convTimeoutMs = 1000L)
+      .writeStream.format("memory").queryName("kg_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    q.exception.foreach(throw _)
+    q.stop()
+    val got = spark.sql("SELECT * FROM kg_stream").collect()
+      .filter(_.getAs[String]("kind") == "edge")
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[String]("src"),
+        r.getAs[String]("dst"), r.getAs[String]("etype")))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val want = (0 until 5).flatMap { i =>
+      val conv = f"c$i%08d"
+      val lines = TranscriptGen.genConv(42L, i.toLong)
+        .sortBy(_.turn_idx).flatMap(_.text.split("\n", -1))
+      RefReplay.parse(lines.iterator.map(_.trim))._2
+        .map(e => (conv, e.src, e.dst, e.etype))
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got === want)
+  }
+
+  test("stateful fold across micro-batches: current concept carries over; EOC flushes nodes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ts = new java.sql.Timestamp(TranscriptGen.BaseEpochMs)
+    val source = MemoryStream[Turn]
+    val q = StreamingExtract.extractStream(source.toDF(), convTimeoutMs = 0L)
+      .writeStream.format("memory").queryName("kg_stream2")
+      .outputMode("append").start()
+    source.addData(Turn("s1", 0, "user", "- 概念甲 @模型", null, ts))
+    q.processAllAvailable()
+    // second batch: a relation + a prop line that must attach to 概念甲
+    // (state carried from batch 1), then the EOC sentinel flushes nodes
+    source.addData(Turn("s1", 1, "user", "- 概念甲 --> 概念乙 : 包含\nweight=5", null, ts))
+    q.processAllAvailable()
+    source.addData(Turn("s1", 2, "user", StreamingExtract.EocMarker, null, ts))
+    q.processAllAvailable()
+    q.exception.foreach(throw _)
+    q.stop()
+    val rows = spark.sql("SELECT * FROM kg_stream2").collect()
+    val edges = rows.filter(_.getAs[String]("kind") == "edge")
+    assert(edges.length === 1 && edges.head.getAs[String]("etype") === "包含")
+    val nodes = rows.filter(r => r.getAs[String]("kind") == "node" &&
+      r.getAs[String]("conv_id") == "s1")
+    assert(nodes.exists(n => n.getAs[String]("name") == "概念甲" &&
+      n.getAs[Map[String, String]]("props").get("weight").contains("5")))
+  }
+}
