@@ -20,21 +20,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warm-up: session init, parquet footers, codegen baseline
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    TranscriptGen.df(spark, 10).count()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> ((System.nanoTime() - t0) / 1e9, n)
     }
-    // headline: triples/sec of the end-to-end extraction at this sf
-    val nConvs = TranscriptGen.convsForSfDir(sfDir)
+    // headline: triples/sec of the end-to-end extraction at this sf.
+    // 10× the query-battery conversation count so the timed job is long
+    // enough to amortize fixed costs; one untimed warm-up run covers
+    // JIT + codegen compilation.
+    val nConvs = TranscriptGen.convsForSfDir(sfDir) * 10
     val t = TranscriptGen.df(spark, nConvs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t.count() // materialize input outside the timed section
+    operators.TripleExtract.extract(t.limit(2000))._2.count() // warm-up
     val t0 = System.nanoTime()
-    val (nodes, edges) = operators.TripleExtract.extract(t)
+    val union = operators.TripleExtract.extractUnion(t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nodes, edges) = operators.TripleExtract.splitUnion(union)
     val nTriples = operators.TripleExtract.triples(nodes, edges).count()
     val pipelineSec = (System.nanoTime() - t0) / 1e9
     val triplesPerSec = nTriples / pipelineSec
+    union.unpersist()
     t.unpersist()
 
     val qs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }

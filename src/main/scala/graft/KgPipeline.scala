@@ -22,6 +22,22 @@ object KgPipeline {
       nodes: DataFrame, edges: DataFrame, triples: DataFrame,
       counters: Map[String, Long])
 
+  /** Like [[run]] but without the per-stage counter jobs — for callers
+    * that only consume the outputs (each counter is a full count job).
+    * Caller should trigger an action before the returned union is GC'd. */
+  def runLite(transcripts: DataFrame, fuzzy: Boolean = false):
+      (DataFrame, DataFrame, DataFrame) = {
+    val union = TripleExtract.extractUnion(transcripts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nodes, edges) = TripleExtract.splitUnion(union)
+    val (canonNodes, canonEdges) =
+      if (fuzzy) {
+        val sim = EntityLinking.fuzzyIdEdges(nodes.toDF().select(col("name")), threshold = 0.8)
+        Canonicalize.canonicalizeGraph(nodes, edges, sim)
+      } else (Canonicalize.dedupNodes(nodes), Canonicalize.dedupEdges(edges))
+    (canonNodes, canonEdges, TripleExtract.triples(nodes, edges).toDF())
+  }
+
   /** Core batch run (no fuzzy step — the reference links exactly). */
   def run(transcripts: DataFrame, fuzzy: Boolean = false): Result = {
     val spark = transcripts.sparkSession

@@ -35,8 +35,8 @@ object SparkEntry {
     // ================= KG pipeline (rows-only; fixture transcripts) ====
     "kg_triples" -> ((s, dir) => {
       val t = TranscriptGen.df(s, TranscriptGen.convsForSfDir(dir))
-      val (nodes, edges) = TripleExtract.extract(t)
-      TripleExtract.triples(nodes, edges).toDF()
+      val (_, _, triples) = KgPipeline.runLite(t)
+      triples
     }),
     "kg_nodes_relational" -> ((s, dir) => {
       val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 200L))
@@ -45,8 +45,8 @@ object SparkEntry {
     }),
     "kg_canonical" -> ((s, dir) => {
       val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 500L))
-      val r = KgPipeline.run(t)
-      r.nodes.withColumn("props", to_json(col("props")))
+      val (nodes, _, _) = KgPipeline.runLite(t)
+      nodes.withColumn("props", to_json(col("props")))
     }),
     "kg_mentions" -> ((s, dir) => {
       val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 500L))
@@ -60,16 +60,16 @@ object SparkEntry {
     "kg_ttl" -> ((s, dir) => {
       import s.implicits._
       val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 300L))
-      val r = KgPipeline.run(t) // exporters consume CANONICAL tables
+      val (nodes, edges, _) = KgPipeline.runLite(t) // exporters consume CANONICAL tables
       graft.sources.Exporters.ttlLines(
-        r.nodes.as[graft.model.Node], r.edges.as[graft.model.Edge])
+        nodes.as[graft.model.Node], edges.as[graft.model.Edge])
     }),
     "kg_jsonld" -> ((s, dir) => {
       import s.implicits._
       val t = TranscriptGen.df(s, math.min(TranscriptGen.convsForSfDir(dir), 300L))
-      val r = KgPipeline.run(t)
+      val (nodes, edges, _) = KgPipeline.runLite(t)
       graft.sources.Exporters.jsonld(
-        r.nodes.as[graft.model.Node], r.edges.as[graft.model.Edge])
+        nodes.as[graft.model.Node], edges.as[graft.model.Edge])
     }),
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -86,7 +86,7 @@ object SparkEntry {
         .select("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        bits = 16, bandBits = 4, maxDist = 3)),
+        bits = 32, bandBits = 8, maxDist = 3)),
 
     // ================= oracle-checked (testdata tables) ================
     // X1: md5(name)[:8] entity key (md2csv.py:20-22)

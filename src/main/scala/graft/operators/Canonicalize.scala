@@ -86,6 +86,39 @@ object Canonicalize {
     labels
   }
 
+  /** Connected components with a scale-aware strategy switch: candidate
+    * pair sets are tiny relative to the corpus even at 100 TB, so when
+    * the pair count fits comfortably on the driver (≤ `localLimit`) we
+    * run an exact union-find there (one collect, zero iterative jobs —
+    * the iterative label-prop costs ~2 Spark jobs per round, pure
+    * overhead on small graphs); above the limit, the distributed
+    * min-label propagation takes over. Both pick component = min vertex
+    * id, so results are identical. */
+  def componentsAuto(edgesAB: DataFrame, localLimit: Long = 2000000L): DataFrame = {
+    val spark = edgesAB.sparkSession
+    import spark.implicits._
+    val cnt = edgesAB.count()
+    if (cnt > localLimit) return connectedComponents(edgesAB)
+    val pairs = edgesAB.select(col("a").cast("string"), col("b").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // deterministic: min id becomes the root
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val vertices = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    vertices.map(v => (v, find(v))).toSeq.toDF("v", "comp")
+  }
+
   /** G3 generalized: cluster nodes whose surface forms were linked as
     * aliases (similarityEdges: nameA, nameB), pick canonical id = min
     * md5-id in the component, rewrite node ids and redirect edge
@@ -93,8 +126,7 @@ object Canonicalize {
     * exact-id dedup. */
   def canonicalizeGraph(nodes: Dataset[Node], edges: Dataset[Edge],
       similarityEdges: DataFrame): (DataFrame, DataFrame) = {
-    val cc = connectedComponents(
-      similarityEdges.select(col("a"), col("b")))
+    val cc = componentsAuto(similarityEdges.select(col("a"), col("b")))
     val mapping = cc.select(col("v").as("id"), col("comp").as("canonical"))
     val n0 = dedupNodes(nodes)
     val remapped = n0.join(mapping, Seq("id"), "left")

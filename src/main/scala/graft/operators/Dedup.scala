@@ -49,22 +49,36 @@ object Dedup {
       .withColumn("sig", array((0 until numHashes).map { seed =>
         array_min(transform(col("sh"), s => xxhash64(lit(seed), s)))
       }: _*))
-    val banded = withSig.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("rows")))))
-      .select(col("id"), col("sh"), hash(col("col.band"), col("col.rows")).as("bucket"))
+    val sigs = withSig.persist()
+    // banding carries ONLY (id, bucket) — the heavy shingle/signature
+    // arrays never enter the self-join or the pair distinct
+    val banded = sigs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as("bucket"))
       .distinct()
-    banded.as("x").join(banded.as("y"),
+    val idPairs = banded.as("x").join(banded.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.sh").as("shA"), col("y.sh").as("shB"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+    // fetch sets/signatures once per verified pair, then two cheap
+    // prefilters before the exact Jaccard:
+    //  (1) size ratio: J(A,B) ≥ t requires min/max set size ≥ t;
+    //  (2) signature estimate: matching minhash components estimate J.
+    val out = idPairs
+      .join(sigs.select(col("id").as("a"), col("sh").as("shA"), col("sig").as("sigA")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sh").as("shB"), col("sig").as("sigB")), Seq("b"))
+      .withColumn("est", size(filter(zip_with(col("sigA"), col("sigB"),
+        (x, y) => x === y), m => m)).cast("double") / numHashes)
+      .filter(least(size(col("shA")), size(col("shB"))).cast("double") /
+        greatest(size(col("shA")), size(col("shB"))) >= threshold)
+      .filter(col("est") >= threshold - 0.35)
       .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
       .withColumn("jaccard", col("inter") /
         (size(col("shA")) + size(col("shB")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+    out
   }
 
   /** Drop near-duplicates: connected components over minhash pairs,
@@ -72,7 +86,7 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7): DataFrame = {
     val pairs = minhashLsh(df, idCol, textCol, threshold = threshold)
-    val cc = Canonicalize.connectedComponents(
+    val cc = Canonicalize.componentsAuto(
       pairs.select(col("a").cast("string").as("a"), col("b").cast("string").as("b")))
     df.join(cc.select(col("v").cast(df.schema(idCol).dataType).as(idCol),
         col("comp")), Seq(idCol), "left")
@@ -98,7 +112,7 @@ object Dedup {
     * (fingerprints equal in any band become candidates), verify by
     * Hamming distance ≤ maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, bandBits: Int = 4, maxDist: Int = 2): DataFrame = {
+      bits: Int = 32, bandBits: Int = 8, maxDist: Int = 2): DataFrame = {
     val withFp = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("fp"))
     val bands = bits / bandBits
     val bandCols = array((0 until bands).map { b =>

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plans.RegexpFindAllGroups.regexp_findall_groups
+
+/** HTML field extraction over an `html: string` column (SURVEY.md S8,
+  * F5, F7 — knowledge_extractor.py:142-246, web_crawler.py:123-169,
+  * constructor.py:42-79). The FETCH is external ingestion and out of
+  * engine scope; the parse/extract steps are scalar column ops. */
+object HtmlExtract {
+
+  /** Page title: <title> or the Baike-style <h1>, trimmed. */
+  def title(html: Column): Column =
+    coalesce(
+      nullif(stripTags(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)), lit("")),
+      nullif(stripTags(regexp_extract(html, "(?is)<h1[^>]*>(.*?)</h1>", 1)), lit("")))
+
+  /** Summary div by CSS class (knowledge_extractor.py:158-170 style). */
+  def summary(html: Column, cssClass: String = "lemma-summary"): Column =
+    stripTags(regexp_extract(html,
+      s"""(?is)<div[^>]*class="[^"]*$cssClass[^"]*"[^>]*>(.*?)</div>""", 1))
+
+  /** All (href, anchor-text) pairs — UDTF-shaped: 1 page → N links
+    * (constructor.py:42-79). */
+  def links(html: Column): Column =
+    regexp_findall_groups(html,
+      """(?is)<a[^>]*href="([^"]+)"[^>]*>(.*?)</a>""")
+
+  /** F7: keep Baike-internal links, strip query strings
+    * (constructor.py:70-74). */
+  def baikeInternalLinks(html: Column): Column =
+    transform(
+      filter(links(html), l => l.getField("g1").startsWith("/item/")),
+      l => struct(
+        regexp_replace(l.getField("g1"), "[?#].*$", "").as("href"),
+        stripTags(l.getField("g2")).as("text")))
+
+  /** F5: verification-page predicate — any marker substring rejects
+    * (web_crawler.py:123-169). */
+  def isBlockedPage(html: Column, markers: Seq[String]): Column =
+    markers.map(m => html.contains(m)).reduce(_ || _)
+
+  /** dt/dd positional zip → basic-info map (J7,
+    * knowledge_extractor.py:178-185): arrays_zip + map_from_entries. */
+  def basicInfo(html: Column): Column = {
+    val dts = transform(regexp_findall_groups(html, "(?is)<dt[^>]*>(.*?)</dt>"),
+      m => stripTags(m.getField("g1")))
+    val dds = transform(regexp_findall_groups(html, "(?is)<dd[^>]*>(.*?)</dd>"),
+      m => stripTags(m.getField("g1")))
+    map_from_entries(
+      filter(
+        transform(arrays_zip(dts, dds),
+          kv => struct(kv.getField("0").as("k"), kv.getField("1").as("v"))),
+        kv => kv.getField("k") =!= ""))
+  }
+
+  /** Non-empty text paragraphs (F4, knowledge_extractor.py:207-210). */
+  def paragraphs(html: Column): Column =
+    filter(
+      transform(regexp_findall_groups(html, "(?is)<p[^>]*>(.*?)</p>"),
+        m => pyTrim(stripTags(m.getField("g1")))),
+      p => length(p) > 0)
+
+  private def pyTrim(c: Column): Column = regexp_replace(c, "(?U)^\\s+|\\s+$", "")
+
+  def stripTags(c: Column): Column =
+    pyTrim(regexp_replace(regexp_replace(c, "(?is)<[^>]*>", ""), "&nbsp;", " "))
+}

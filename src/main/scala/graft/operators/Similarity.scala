@@ -31,21 +31,32 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products
-    * with seeded pseudo-random hyperplanes. Deterministic (hyperplanes
-    * derived from murmur3 of (seed, dim-index)); pure expressions. */
-  def lshBucket(emb: Column, dim: Int, bits: Int): Column = {
-    val bitCols = (0 until bits).map { b =>
-      // hyperplane component h(b, i) in [-0.5, 0.5) from a hash — static
-      // per (b, i), so the projection is a fixed linear map
-      val terms = (0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((b, i))
-        val w = (h.toDouble / Int.MaxValue) / 2.0
-        element_at(emb, i + 1).cast("double") * lit(w)
+    * with seeded pseudo-random hyperplanes (murmur3 of (table, b, i) —
+    * a fixed linear map). The hyperplane matrix ships as an ARRAY
+    * LITERAL and the projection runs as nested `aggregate` higher-order
+    * functions — constant-size codegen regardless of dim×bits (an
+    * unrolled per-term expression tree at 64-dim × 8 bits × 4 tables
+    * took seconds just to compile). */
+  def lshBucket(emb: Column, dim: Int, bits: Int): Column =
+    lshBucketTable(emb, dim, bits, 0)
+
+  private[operators] def hyperplanes(dim: Int, bits: Int, table: Int): Seq[Seq[Double]] =
+    (0 until bits).map { b =>
+      (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((table, b, i))
+        (h.toDouble / Int.MaxValue) / 2.0
       }
-      val dot = terms.reduce(_ + _)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
     }
-    bitCols.reduce(_ + _)
+
+  private[operators] def lshBucketTable(emb: Column, dim: Int, bits: Int, table: Int): Column = {
+    val hCol = typedLit(hyperplanes(dim, bits, table))
+    // bucket id = hash of the sign-bit vector (bit packing not needed)
+    hash(transform(sequence(lit(0), lit(bits - 1)), b => {
+      val dot = aggregate(
+        zip_with(emb, element_at(hCol, b + 1), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1)).otherwise(lit(0))
+    }), lit(table))
   }
 
   /** ANN top-k: candidates = rows sharing the query's LSH bucket in any
@@ -58,9 +69,9 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val qdf = spark.createDataFrame(Seq(Tuple1(query.toSeq))).toDF("q")
-    val qBuckets: Map[Int, Long] = (0 until tables).map { t =>
+    val qBuckets: Map[Int, Int] = (0 until tables).map { t =>
       val c = lshBucketTable(col("q"), dim, bits, t)
-      t -> qdf.select(c).collect()(0).getLong(0)
+      t -> qdf.select(c).collect()(0).getInt(0)
     }.toMap
     val bucketed = df.withColumn("_cand",
       (0 until tables).map(t =>
@@ -68,18 +79,6 @@ object Similarity {
     bruteForceTopK(bucketed.filter(col("_cand")).drop("_cand"), embCol, query, k, tieBreak)
   }
 
-  private def lshBucketTable(emb: Column, dim: Int, bits: Int, table: Int): Column = {
-    val bitCols = (0 until bits).map { b =>
-      val terms = (0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((table, b, i))
-        val w = (h.toDouble / Int.MaxValue) / 2.0
-        element_at(emb, i + 1).cast("double") * lit(w)
-      }
-      val dot = terms.reduce(_ + _)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
 
   /** IVF-style coarse quantization: assign each row to the nearest of
     * `centroids` (broadcast), cluster by cell; queries probe the

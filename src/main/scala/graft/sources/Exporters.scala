@@ -112,6 +112,57 @@ object Exporters {
     nodeLines.union(propLines).union(edgeLines)
   }
 
+  /** S12: OWL RDF/XML serialization (csv2owl.py semantics: classes vs
+    * named individuals, rdfs:label, dangling edges dropped). Body lines
+    * distributed; the caller wraps with [[owlXmlHeader]]/[[owlXmlFooter]]. */
+  def owlXmlLines(nodes: Dataset[Node], edges: Dataset[Edge],
+      ontologyIri: String = "http://www.example.org/ontology#"): DataFrame = {
+    val isClass = col("ntype").isin(ClassTypes.toSeq: _*)
+    val esc = (c: Column) => regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val nodeLines = nodes.toDF().select(
+      when(isClass,
+        concat(lit("  <owl:Class rdf:about=\"" + ontologyIri), col("id"),
+          lit("\"><rdfs:label>"), esc(col("name")), lit("</rdfs:label></owl:Class>")))
+        .otherwise(
+          concat(lit("  <owl:NamedIndividual rdf:about=\"" + ontologyIri), col("id"),
+            lit("\"><rdfs:label>"), esc(col("name")),
+            lit("</rdfs:label></owl:NamedIndividual>"))).as("value"))
+    val ids = nodes.toDF().select(col("id")).distinct()
+    val edgeLines = edges.toDF()
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select(concat(
+        lit("  <rdf:Description rdf:about=\"" + ontologyIri), col("src"),
+        lit("\"><ont:"), regexp_replace(col("etype"), "[ :]", "_"),
+        lit(" rdf:resource=\"" + ontologyIri), col("dst"),
+        lit("\"/></rdf:Description>")).as("value"))
+    nodeLines.union(edgeLines)
+  }
+
+  val owlXmlHeader: String =
+    """<?xml version="1.0"?>
+      |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      |         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+      |         xmlns:owl="http://www.w3.org/2002/07/owl#"
+      |         xmlns:ont="http://www.example.org/ontology#">""".stripMargin
+  val owlXmlFooter: String = "</rdf:RDF>"
+
+  /** S15: Graphviz DOT preview (md2csv.py:160-167) — debug-only,
+    * driver-side collect with a row cap. */
+  def dotPreview(nodes: Dataset[Node], edges: Dataset[Edge], maxNodes: Int = 100): String = {
+    val ns = nodes.toDF().limit(maxNodes).collect()
+    val keep = ns.map(_.getAs[String]("id")).toSet
+    val es = edges.toDF()
+      .filter(col("src").isin(keep.toSeq: _*) && col("dst").isin(keep.toSeq: _*))
+      .collect()
+    val sb = new StringBuilder("digraph {\n")
+    ns.foreach(n => sb ++= s"""  "${n.getAs[String]("id")}" [label="${n.getAs[String]("name")}"]\n""")
+    es.foreach(e => sb ++= s"""  "${e.getAs[String]("src")}" -> "${e.getAs[String]("dst")}" [label="${e.getAs[String]("etype")}"]\n""")
+    sb ++= "}\n"
+    sb.toString
+  }
+
   /** S13 + A6/A7: JSON-LD entity documents — each node with its
     * grouped outgoing relations (objects deduped per predicate,
     * csv2rdf-jsonld.py:140-153). */

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.net.URI
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-compatible table LAYOUT for the materialized node/edge
+  * tables (north rule: "node/edge Iceberg tables partitioned by
+  * bucketed conv_id"). No Iceberg runtime jar exists in this
+  * environment (SURVEY.md §7.5), so the same layout semantics are
+  * realized directly: immutable snapshot directories of parquet
+  * bucketed by pmod(hash(conv_id), B), plus JSON snapshot manifests
+  * (id, parent, schema, bucket spec, row count) with atomic
+  * tmp→rename commits. Readers get snapshot isolation + time travel;
+  * a real Iceberg catalog could adopt the files as-is.
+  */
+object KgTable {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    FileSystem.get(new URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  final case class Snapshot(id: Long, parent: Long, rows: Long, buckets: Int,
+      bucketCol: String)
+
+  def snapshots(spark: SparkSession, dir: String): Seq[Snapshot] = {
+    val f = fs(spark, dir)
+    val p = new Path(s"$dir/_snapshots")
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(_.getPath.getName.matches("v\\d+\\.json"))
+      .map { st =>
+        val in = f.open(st.getPath)
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        in.close()
+        def field(k: String): Long =
+          s""""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+        Snapshot(field("snapshot_id"), field("parent"), field("rows"),
+          field("buckets").toInt,
+          "\"bucket_col\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1)).getOrElse(""))
+      }.sortBy(_.id)
+  }
+
+  /** Commit `df` as a new snapshot, bucketed by `bucketCol`. */
+  def commit(df: DataFrame, dir: String, bucketCol: String = "conv_id",
+      buckets: Int = 16): Snapshot = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val prev = snapshots(spark, dir)
+    val id = prev.lastOption.map(_.id + 1).getOrElse(1L)
+    val dataDir = s"$dir/data/snap=$id"
+    val out = df.withColumn("bucket", pmod(hash(col(bucketCol)), lit(buckets)))
+    out.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dataDir)
+    val rows = spark.read.parquet(dataDir).count()
+    val schemaJson = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val manifest =
+      s"""{"snapshot_id":$id,"parent":${prev.lastOption.map(_.id).getOrElse(-1L)},""" +
+        s""""rows":$rows,"buckets":$buckets,"bucket_col":"$bucketCol",""" +
+        s""""schema":"$schemaJson"}"""
+    f.mkdirs(new Path(s"$dir/_snapshots"))
+    val tmp = new Path(s"$dir/_snapshots/.v$id.json.tmp")
+    val os = f.create(tmp, true)
+    os.write(manifest.getBytes("UTF-8"))
+    os.close()
+    f.rename(tmp, new Path(s"$dir/_snapshots/v$id.json"))
+    Snapshot(id, prev.lastOption.map(_.id).getOrElse(-1L), rows, buckets, bucketCol)
+  }
+
+  /** Read a snapshot (latest by default; `version` for time travel).
+    * Conversations are co-located by bucket, so downstream
+    * per-conversation work needs no re-shuffle when readers partition
+    * by the bucket column. */
+  def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val snaps = snapshots(spark, dir)
+    require(snaps.nonEmpty, s"no snapshots in $dir")
+    val id = if (version > 0) version else snaps.last.id
+    require(snaps.exists(_.id == id), s"snapshot $id not found in $dir")
+    spark.read.parquet(s"$dir/data/snap=$id")
+  }
+}

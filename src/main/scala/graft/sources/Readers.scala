@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Input scans mirroring the reference's sources (SURVEY.md §2.1).
+  * All are thin, schema-explicit wrappers over Spark's readers —
+  * documented here so the capability mapping is auditable.
+  */
+object Readers {
+
+  /** S1: text-file line scan (md2csv.py:180-182) — one row per line,
+    * with the source file for per-file grouping (the reference's
+    * file == our conversation). */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("line")
+      .withColumn("src_file", input_file_name())
+
+  /** S2: directory glob scan with extension filter + processed-set
+    * exclusion (md2csv.py:200-206; automate_scripts.py:29 F8). */
+  def dirScan(spark: SparkSession, dir: String, ext: String,
+      processed: Seq[String] = Seq.empty): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .textFile(s"$dir")
+      .toDF("line")
+      .withColumn("src_file", input_file_name())
+      .filter(col("src_file").rlike(s"\\.$ext$$"))
+      .filter(!col("src_file").isin(processed: _*))
+
+  /** S4: header CSV read (csv2ttl.py:27-29 DictReader) — permissive
+    * string columns like csv.DictReader. */
+  def headerCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "false").csv(path)
+
+  /** S5: multi-file CSV concat (rag_query.py:29-66 pd.concat). */
+  def csvUnion(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("header", "true").csv(paths: _*)
+
+  /** S6a: crawler ontology-graph JSON with the nested schema of
+    * web_crawler2/KnowledgeGraph/knowledge_graph.json
+    * (constructor.py:121-131). */
+  val crawlerNodeSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("URL", StringType),
+    StructField("contents", StringType),
+    StructField("basic_info", MapType(StringType, StringType)),
+    StructField("catalog", ArrayType(StringType)),
+    StructField("content_paragraphs", ArrayType(StringType)),
+    StructField("children", ArrayType(StructType(Seq(
+      StructField("name", StringType), StructField("index", IntegerType))))),
+    StructField("parents", ArrayType(StructType(Seq(
+      StructField("name", StringType), StructField("index", IntegerType))))),
+    StructField("references", ArrayType(StructType(Seq(
+      StructField("title", StringType), StructField("url", StringType),
+      StructField("source", StringType), StructField("date", StringType)))))))
+
+  def crawlerGraphJson(spark: SparkSession, path: String): DataFrame =
+    // multiLine: a top-level JSON array file becomes one row per element
+    spark.read.schema(crawlerNodeSchema).option("multiLine", "true").json(path)
+
+  /** S6b: NER corpus JSON `{"text","labels"}` (bilstm_crf_ner.py:224-229). */
+  val nerSchema: StructType = StructType(Seq(
+    StructField("text", StringType),
+    StructField("labels", ArrayType(StringType))))
+
+  def nerJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(nerSchema).option("multiLine", "true").json(path)
+
+  /** X20: nested-struct flatten to `parent_child` columns
+    * (knowledge_extractor.py:276-289) — one level, like the reference. */
+  def flatten(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.toSeq.flatMap {
+      case StructField(name, st: StructType, _, _) =>
+        st.fields.toSeq.map(f => col(s"$name.${f.name}").as(s"${name}_${f.name}"))
+      case f => Seq(col(f.name))
+    }
+    df.select(cols: _*)
+  }
+}

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.fixtures.TranscriptGen
+import graft.operators.TripleExtract
+
+/** Prints physical plans of the load-bearing queries so pushdown /
+  * broadcast / codegen coverage can be audited (dev tool). */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+
+    println("=== scan pushdown: filter + projection on lineitem ===")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+      .explain("formatted")
+
+    println("=== j1 broadcast join ===")
+    SparkEntryPlan.j1(spark, dir).explain("formatted")
+
+    println("=== extraction pipeline (fold path) ===")
+    val t = TranscriptGen.df(spark, 50)
+    TripleExtract.extractUnion(t).explain("formatted")
+
+    spark.stop()
+  }
+
+  private object SparkEntryPlan {
+    def j1(s: SparkSession, dir: String) =
+      graft.SparkEntry.queries("j1_lookup_join")(s, dir)
+  }
+}

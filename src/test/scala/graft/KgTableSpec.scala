@@ -1,0 +1,26 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.KgTable
+
+class KgTableSpec extends SparkSpec {
+
+  test("snapshot commit / latest read / time travel / bucketed layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val v1 = Seq(("c1", "a"), ("c2", "b")).toDF("conv_id", "v")
+    val v2 = Seq(("c1", "a"), ("c2", "b"), ("c3", "c")).toDF("conv_id", "v")
+    val s1 = KgTable.commit(v1, dir, buckets = 4)
+    val s2 = KgTable.commit(v2, dir, buckets = 4)
+    assert(s1.id === 1L && s2.id === 2L && s2.parent === 1L)
+    assert(s1.rows === 2L && s2.rows === 3L)
+    assert(KgTable.read(spark, dir).count() === 3L)              // latest
+    assert(KgTable.read(spark, dir, version = 1L).count() === 2L) // time travel
+    // layout: bucket partition column present and consistent with hash
+    val got = KgTable.read(spark, dir)
+      .withColumn("expect", pmod(hash(col("conv_id")), lit(4)))
+    assert(got.filter(col("bucket") =!= col("expect")).count() === 0)
+    assert(KgTable.snapshots(spark, dir).map(_.id) === Seq(1L, 2L))
+  }
+}

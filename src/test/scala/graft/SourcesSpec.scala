@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.model.{Edge, Node, md5id}
+import graft.operators.HtmlExtract
+import graft.sources.{Exporters, Readers}
+
+/** Readers (S1/S2/S4/S6/X20), HTML extraction (S8/F5/F7/J7),
+  * OWL-XML (S12), DOT (S15). */
+class SourcesSpec extends SparkSpec {
+
+  test("S1/S4/S6: text lines, header CSV, schema'd JSON readers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rd")
+    Files.writeString(dir.resolve("a.txt"), "line1\nline2\n")
+    Files.writeString(dir.resolve("c.csv"), ":ID,name,type\nx1,概念,模型\n")
+    Files.writeString(dir.resolve("n.json"),
+      """[{"text":"北京","labels":["B-LOC","E-LOC"]}]""")
+    val lines = Readers.textLines(spark, dir.resolve("a.txt").toString)
+    assert(lines.count() === 2 && lines.columns.toSeq === Seq("line", "src_file"))
+    val csv = Readers.headerCsv(spark, dir.resolve("c.csv").toString)
+    assert(csv.columns.toSeq === Seq(":ID", "name", "type"))
+    assert(csv.collect()(0).getString(1) === "概念")
+    val ner = Readers.nerJson(spark, dir.resolve("n.json").toString)
+    assert(ner.collect()(0).getSeq[String](1) === Seq("B-LOC", "E-LOC"))
+  }
+
+  test("S6a: crawler graph JSON against the reference's committed golden file") {
+    val df = Readers.crawlerGraphJson(spark,
+      "/root/reference/web_crawler2/KnowledgeGraph/knowledge_graph.json")
+    val n = df.count()
+    assert(n === 176) // golden node count (SURVEY.md §5.1)
+    val childEdges = df.select(explode(col("children"))).count()
+    assert(childEdges === 185) // golden child-edge count
+  }
+
+  test("X20: one-level struct flatten to parent_child columns") {
+    import spark.implicits._
+    val df = Seq((1, ("a", 2))).toDF("id", "s")
+    val flat = Readers.flatten(df)
+    assert(flat.columns.toSeq === Seq("id", "s__1", "s__2"))
+  }
+
+  test("S8/F7/J7: HTML title, links, baike filter, dt/dd zip, paragraphs") {
+    import spark.implicits._
+    val html =
+      """<html><head><title> 知识图谱 </title></head><body>
+        |<a href="/item/概念A">A</a> <a href="http://x.com">ext</a>
+        |<a href="/item/概念B?from=1">B</a>
+        |<dl><dt>中文名</dt><dd>知识图谱</dd><dt>类型</dt><dd>技术</dd></dl>
+        |<p> first para </p><p></p><p>second</p>
+        |</body></html>""".stripMargin
+    val df = Seq(html).toDF("html")
+    val r = df.select(
+      HtmlExtract.title(col("html")).as("t"),
+      HtmlExtract.baikeInternalLinks(col("html")).as("links"),
+      HtmlExtract.basicInfo(col("html")).as("info"),
+      HtmlExtract.paragraphs(col("html")).as("paras"),
+      HtmlExtract.isBlockedPage(col("html"), Seq("验证", "captcha")).as("blocked"))
+      .collect()(0)
+    assert(r.getAs[String]("t") === "知识图谱")
+    val links = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("links")
+      .map(l => (l.getString(0), l.getString(1))).toSeq
+    assert(links === Seq(("/item/概念A", "A"), ("/item/概念B", "B"))) // query stripped, ext dropped
+    assert(r.getAs[Map[String, String]]("info") ===
+      Map("中文名" -> "知识图谱", "类型" -> "技术"))
+    assert(r.getAs[Seq[String]]("paras") === Seq("first para", "second"))
+    assert(!r.getAs[Boolean]("blocked"))
+  }
+
+  test("S12/S15: OWL XML lines + DOT preview") {
+    import spark.implicits._
+    val nodes = Seq(
+      Node("c1", md5id("概念甲"), "概念甲", "模型", null, Map.empty),
+      Node("c1", md5id("乙<&>"), "乙<&>", "实例", null, Map.empty)).toDS()
+    val edges = Seq(
+      Edge("c1", md5id("概念甲"), md5id("乙<&>"), "包含 关系", "概念甲", "乙<&>", Map.empty, 0),
+      Edge("c1", md5id("概念甲"), "deadbeef", "悬空", "概念甲", "?", Map.empty, 1)).toDS()
+    val lines = Exporters.owlXmlLines(nodes, edges).collect().map(_.getString(0))
+    assert(lines.exists(l => l.contains("owl:Class") && l.contains(md5id("概念甲"))))
+    assert(lines.exists(l => l.contains("owl:NamedIndividual") && l.contains("乙&lt;&amp;&gt;")))
+    assert(lines.exists(_.contains("ont:包含_关系")))
+    assert(!lines.exists(_.contains("悬空"))) // dangling dropped
+    val dot = Exporters.dotPreview(nodes, edges)
+    assert(dot.startsWith("digraph {") && dot.contains("概念甲") && dot.contains("包含 关系"))
+  }
+}
