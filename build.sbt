@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput GC: G1's concurrent cycles cost ~35% of the extraction
+  // fold at high parallelism on this box (BENCH.md); batch jobs want
+  // ParallelGC
+  "-XX:+UseParallelGC",
 )

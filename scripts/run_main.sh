@@ -16,6 +16,6 @@ exec java \
   --add-opens=java.base/sun.security.action=ALL-UNNAMED \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx${SPARK_DRIVER_MEM:-32g} \
+  -Xmx${SPARK_DRIVER_MEM:-32g} ${GRAFT_GC_FLAGS:--XX:+UseParallelGC} \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$CLASS" "$@"

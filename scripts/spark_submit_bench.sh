@@ -1,0 +1,16 @@
+#!/bin/bash
+# North-rule submission path: run the scaling bench through spark-submit
+# (the sandbox stand-in for submitting at N and 4N executors; the bench
+# itself creates local[N] / local[4N] contexts with shuffle.partitions
+# matched to cores). Usage: scripts/spark_submit_bench.sh [nConvs] [N] [reps]
+set -e
+cd "$(dirname "$0")/.."
+sbt -batch package -Dsbt.supershell=false >/dev/null
+exec /opt/spark/bin/spark-submit \
+  --class graft.tools.ScalingBench \
+  --master "local[${SPARK_GRAFT_CPUS:-32}]" \
+  --driver-memory "${SPARK_DRIVER_MEM:-32g}" \
+  --conf spark.ui.enabled=false \
+  --conf "spark.driver.extraJavaOptions=-XX:+UseParallelGC" \
+  --conf spark.sql.session.timeZone=UTC \
+  target/scala-2.13/knowledgegraph__bhspark_2.13-0.1.0.jar "$@"
