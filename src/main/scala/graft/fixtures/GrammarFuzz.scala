@@ -1,0 +1,39 @@
+package graft.fixtures
+
+import graft.fixtures.TranscriptGen.Rng
+
+/** Adversarial grammar fuzzer: random token soup over the alphabet the
+  * md2csv grammar cares about (dashes, @, -->, :, =, quotes, CJK/ASCII
+  * words, stray whitespace) — far outside the well-formed fixture
+  * templates, to pin the engine to the reference on EDGE CASES
+  * (half-matched rules, empty names, nested quotes, multiple '@',
+  * '=' inside quoted strings, etc.). Used by GrammarFuzzSpec (engine vs
+  * RefReplay) and CrossCheck --fuzz (RefReplay vs actual Python). */
+object GrammarFuzz {
+
+  private val atoms = Vector(
+    "-", "--", "---", " ", "  ", "\t", "@", "-->", "->", ":", "=", "\"",
+    "模型", "概念", "类型", "a", "bb", "x1", "_k", "9", "##", "【核心概念】",
+    "## 【核心概念】", "类型=", "k=v", "描述=\"a b\"", "w=\"", "\"\"", "@t",
+    " @模型", "--> b : t", "名 字", "=", "== =", "@@", ": :", "end\"")
+
+  /** One fuzz line: 1..10 atoms concatenated (sometimes without
+    * separators so tokens fuse into new shapes). */
+  def line(r: Rng): String = {
+    val n = 1 + r.nextInt(10)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      sb ++= atoms(r.nextInt(atoms.size))
+      if (r.nextInt(3) != 0) sb += ' '
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Deterministic fuzz conversations: convIdx → lines. */
+  def conv(seed: Long, convIdx: Long, nLines: Int = 40): Seq[String] = {
+    val r = new Rng(seed * 0x5DEECE66DL + convIdx * 31 + 17)
+    (0 until nLines).map(_ => line(r))
+  }
+}

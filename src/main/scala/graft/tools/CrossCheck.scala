@@ -13,11 +13,14 @@ object CrossCheck {
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/tmp/crosscheck"
     val nConvs = if (args.length > 1) args(1).toInt else 40
+    val fuzz = args.contains("--fuzz")
     Files.createDirectories(Paths.get(outDir))
     val sb = new StringBuilder
     (0 until nConvs).foreach { i =>
-      val turns = TranscriptGen.genConv(42L, i.toLong)
-      val lines = turns.sortBy(_.turn_idx).flatMap(_.text.split("\n", -1))
+      val lines: Seq[String] =
+        if (fuzz) graft.fixtures.GrammarFuzz.conv(7L, i.toLong)
+        else TranscriptGen.genConv(42L, i.toLong)
+          .sortBy(_.turn_idx).flatMap(_.text.split("\n", -1))
       Files.write(Paths.get(s"$outDir/conv$i.txt"),
         lines.mkString("\n").getBytes("UTF-8"))
       val (nodes, edges) = RefReplay.parse(lines.iterator.map(_.trim))

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import graft.fixtures.{GrammarFuzz, TranscriptGen}
+import graft.model.Turn
+import graft.operators.TripleExtract
+import graft.oracle.RefReplay
+
+/** Adversarial fuzz: the Spark engine must equal the reference replay
+  * on random grammar-alphabet soup, not just well-formed fixtures.
+  * (RefReplay itself is cross-checked byte-identical against the actual
+  * Python on the same fuzz corpus via `CrossCheck --fuzz` +
+  * scripts/crosscheck.py.) */
+class GrammarFuzzSpec extends SparkSpec {
+
+  private val NConvs = 60
+
+  private def fuzzTranscripts = {
+    import spark.implicits._
+    val ts = new Timestamp(TranscriptGen.BaseEpochMs)
+    (0 until NConvs).flatMap { i =>
+      val lines = GrammarFuzz.conv(7L, i.toLong)
+      // 3 lines per turn so statefulness crosses turn boundaries
+      lines.grouped(3).zipWithIndex.map { case (g, t) =>
+        Turn(f"f$i%05d", t, "user", g.mkString("\n"), null, ts)
+      }
+    }.toDF()
+  }
+
+  private lazy val wantNodes: Set[String] = (0 until NConvs).flatMap { i =>
+    val conv = f"f$i%05d"
+    RefReplay.parse(GrammarFuzz.conv(7L, i.toLong).iterator.map(_.trim))._1
+      .map(n => s"$conv|${n.id}|${n.name}|${n.ntype}|${n.parent.getOrElse("")}|" +
+        n.props.toSeq.sorted.mkString(","))
+  }.toSet
+
+  private lazy val wantEdgeBag: Map[String, Int] = (0 until NConvs).flatMap { i =>
+    val conv = f"f$i%05d"
+    RefReplay.parse(GrammarFuzz.conv(7L, i.toLong).iterator.map(_.trim))._2
+      .map(e => s"$conv|${e.src}|${e.dst}|${e.etype}|${e.srcName}|${e.dstName}|" +
+        e.props.toSeq.sorted.mkString(","))
+  }.groupBy(identity).view.mapValues(_.size).toMap
+
+  private def check(nodes: org.apache.spark.sql.Dataset[graft.model.Node],
+      edges: org.apache.spark.sql.Dataset[graft.model.Edge]): Unit = {
+    val gotNodes = nodes.collect().map(n =>
+      s"${n.conv_id}|${n.id}|${n.name}|${n.ntype}|${Option(n.parent).getOrElse("")}|" +
+        n.props.toSeq.sorted.mkString(",")).toSet
+    val gotEdgeBag = edges.collect().map(e =>
+      s"${e.conv_id}|${e.src}|${e.dst}|${e.etype}|${e.srcName}|${e.dstName}|" +
+        e.props.toSeq.sorted.mkString(","))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert((wantNodes -- gotNodes).isEmpty && (gotNodes -- wantNodes).isEmpty,
+      s"nodes: missing=${(wantNodes -- gotNodes).take(3)} extra=${(gotNodes -- wantNodes).take(3)}")
+    assert(gotEdgeBag === wantEdgeBag,
+      s"edges: missing=${(wantEdgeBag.keySet -- gotEdgeBag.keySet).take(3)} " +
+        s"extra=${(gotEdgeBag.keySet -- wantEdgeBag.keySet).take(3)}")
+  }
+
+  test("fuzz: kernel path == reference replay on adversarial lines (incl. multiplicity)") {
+    val (nodes, edges) = TripleExtract.extract(fuzzTranscripts)
+    check(nodes, edges)
+    assert(wantEdgeBag.nonEmpty && wantNodes.nonEmpty) // the fuzz actually produces output
+  }
+
+  test("fuzz: relational path == reference replay on adversarial lines") {
+    val (nodes, edges) = TripleExtract.extractRelational(fuzzTranscripts)
+    check(nodes, edges)
+  }
+}
