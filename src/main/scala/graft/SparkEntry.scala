@@ -71,6 +71,25 @@ object SparkEntry {
       graft.sources.Exporters.jsonld(
         nodes.as[graft.model.Node], edges.as[graft.model.Edge])
     }),
+    // north-rule P/R gate, self-reported: engine triples vs the
+    // reference-replay oracle on the same conversations (rows-only for
+    // the driver; the single row carries precision/recall/f1 = 1.0)
+    "kg_prf" -> ((s, dir) => {
+      import s.implicits._
+      val n = math.min(TranscriptGen.convsForSfDir(dir), 300L)
+      val t = TranscriptGen.df(s, n)
+      val (_, _, triples) = KgPipeline.runLite(t)
+      val want = (0L until n).flatMap { i =>
+        val conv = f"c$i%08d"
+        val lines = TranscriptGen.genConv(42L, i)
+          .sortBy(_.turn_idx).flatMap(_.text.split("\n", -1))
+        graft.oracle.RefReplay.triples(lines.iterator.map(_.trim))
+          .map(x => (conv, x._1, x._2, x._3))
+      }.toDF("conv_id", "subj", "pred", "obj")
+      val m = Metrics.triplePRF(triples, want)
+      Seq((m.precision, m.recall, m.f1, m.got, m.want, m.inter))
+        .toDF("precision", "recall", "f1", "engine_triples", "oracle_triples", "intersection")
+    }),
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(s, TranscriptGen.convsForSfDir(dir)))),

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.fixtures.TranscriptGen
+import graft.operators.EntityLinking
+
+/** Explicit skew handling (north rule): Zipf-hot alias keys must not
+  * concentrate on one reducer. The salted join spreads each hot key
+  * over `salt` partitions; this asserts the actual post-shuffle
+  * distribution, not just the result. */
+class SkewSpec extends SparkSpec {
+
+  test("fixtures are Zipf-skewed (hot entity dominates)") {
+    import spark.implicits._
+    val t = TranscriptGen.df(spark, 200)
+    val (nodes, _) = graft.operators.TripleExtract.extract(t)
+    val counts = nodes.groupBy("name").count().orderBy(col("count").desc)
+      .limit(5).collect().map(_.getLong(1))
+    val total = nodes.count()
+    assert(counts(0).toDouble / total > 0.05, s"head=${counts(0)} total=$total")
+  }
+
+  test("salted join spreads a hot key across reducers; unsalted concentrates it") {
+    import spark.implicits._
+    val hot = "神经网络"
+    // 20k mentions, 90% the hot key
+    val mentions = spark.range(20000).select(
+      concat(lit("c"), (col("id") % 50)).as("conv_id"),
+      (col("id") % 100).cast("int").as("turn_idx"),
+      when(col("id") % 10 < 9, lit(hot))
+        .otherwise(concat(lit("e"), col("id"))).as("name"))
+    val aliases = (Seq(hot) ++ (0 until 50).map("alias" + _))
+      .map(a => (a, "id_" + a)).toDF("alias", "canonical_id")
+
+    // force shuffle joins (no broadcast) and disable AQE coalescing so
+    // reducer placement is observable on small test data
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val noBcast = aliases.hint("shuffle_hash")
+      def reducerSpread(df: org.apache.spark.sql.DataFrame): Int =
+        df.filter(col("canonical_id") === ("id_" + hot))
+          .select(spark_partition_id().as("p")).distinct().count().toInt
+      val unsalted = mentions.join(noBcast, mentions("name") === noBcast("alias"), "left")
+      val salted = EntityLinking.linkSalted(mentions,
+        aliases.hint("shuffle_hash"), salt = 8)
+      val spreadUnsalted = reducerSpread(unsalted)
+      val spreadSalted = reducerSpread(salted)
+      // hot key lives in exactly 1 reducer unsalted; salted spreads it
+      // over ~all of the 4 test reducers (8 salt values)
+      assert(spreadUnsalted === 1, s"unsalted spread=$spreadUnsalted")
+      assert(spreadSalted >= 3, s"salted spread=$spreadSalted")
+      // and the salted result is still correct
+      assert(salted.filter(col("canonical_id") === ("id_" + hot)).count() === 18000L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
