@@ -1,0 +1,10 @@
+package graft
+
+/** The driver's smoke surface: entry(spark) must return rows. */
+class EntrySpec extends SparkSpec {
+  test("SparkEntry.entry returns triples (driver smoke contract)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq === Seq("conv_id", "subj", "pred", "obj"))
+    assert(df.count() > 0)
+  }
+}
