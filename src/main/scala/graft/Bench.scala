@@ -24,16 +24,22 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     TranscriptGen.df(spark, 10).count()
 
+    // per-query timing; failures are RECORDED (name + exception class),
+    // never silently folded into the total as a plausible time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> ((System.nanoTime() - t0) / 1e9, n)
+      val (n, err) = try { (fn(spark, sfDir).count(), null: String) } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          (-1L, e.getClass.getSimpleName)
+      }
+      (name, (System.nanoTime() - t0) / 1e9, n, err)
     }
     // headline: triples/sec of the end-to-end extraction at this sf.
-    // 10× the query-battery conversation count so the timed job is long
-    // enough to amortize fixed costs; one untimed warm-up run covers
-    // JIT + codegen compilation.
-    val nConvs = TranscriptGen.convsForSfDir(sfDir) * 10
+    // 40× the query-battery conversation count so the timed job is ≥60s
+    // of real work (fixed costs amortized); one untimed warm-up run
+    // covers JIT + codegen compilation.
+    val nConvs = TranscriptGen.convsForSfDir(sfDir) * 40
     val t = TranscriptGen.df(spark, nConvs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t.count() // materialize input outside the timed section
@@ -48,10 +54,15 @@ object Bench {
     union.unpersist()
     t.unpersist()
 
-    val qs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }
+    val qs = results.map { case (k, sec, _, _) => "\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum + pipelineSec
+    val rows = results.map { case (k, _, n, _) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, e) if e != null =>
+      "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + pipelineSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""rows":$rows,"errors":$errs,"failed":${results.count(_._4 != null)},""" +
       s""""triples":$nTriples,"triples_per_sec":$triplesPerSec,""" +
       s""""pipeline_sec":$pipelineSec,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()

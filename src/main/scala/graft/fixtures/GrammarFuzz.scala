@@ -15,7 +15,11 @@ object GrammarFuzz {
     "-", "--", "---", " ", "  ", "\t", "@", "-->", "->", ":", "=", "\"",
     "模型", "概念", "类型", "a", "bb", "x1", "_k", "9", "##", "【核心概念】",
     "## 【核心概念】", "类型=", "k=v", "描述=\"a b\"", "w=\"", "\"\"", "@t",
-    " @模型", "--> b : t", "名 字", "=", "== =", "@@", ": :", "end\"")
+    " @模型", "--> b : t", "名 字", "=", "== =", "@@", ": :", "end\"",
+    // fixed-relation-key props: surface the md2csv.py:92
+    // relation.update() overwrite quirk in the fuzz corpus
+    "type=", "source=", "target=", "_o_source_=x", "type=friend",
+    "--> b : t source=zz", ": t type=\"a b\"")
 
   /** One fuzz line: 1..10 atoms concatenated (sometimes without
     * separators so tokens fuse into new shapes). */

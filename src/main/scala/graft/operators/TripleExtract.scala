@@ -143,8 +143,14 @@ object TripleExtract {
         val m = mutable.LinkedHashMap.empty[String, String]
         var i = 0
         while (i < l.relPropKeys.length) { m(l.relPropKeys(i)) = l.relPropVals(i); i += 1 }
+        // md2csv.py:92 relation.update(rel_props): props named after
+        // the fixed relation keys overwrite the fields (raw value
+        // replaces the md5 id) and are dropped from the props map.
         edges += KgOut("edge", l.conv_id, null, null, null, null,
-          l.relSrcId, l.relDstId, l.relType, l.relSrc, l.relDst, m.toMap, edges.length.toLong)
+          m.getOrElse("source", l.relSrcId), m.getOrElse("target", l.relDstId),
+          m.getOrElse("type", l.relType),
+          m.getOrElse("_o_source_", l.relSrc), m.getOrElse("_o_target_", l.relDst),
+          m.toMap -- graft.oracle.RefReplay.REdgeFixedKeys, edges.length.toLong)
       }
       if (current != null && l.propKeys.nonEmpty) { // md2csv.py:97-105
         val p = props(current)
@@ -296,9 +302,17 @@ object TripleExtract {
         col("relType"), col("relSrc"), col("relDst"))
       .agg(map_from_entries(array_sort(collect_list(
         when(col("kv").isNotNull, struct(col("kv.relPropKeys").as("k"), col("kv.relPropVals").as("v")))))).as("props"))
-      .select(col("conv_id"), col("relSrcId").as("src"), col("relDstId").as("dst"),
-        col("relType").as("etype"), col("relSrc").as("srcName"), col("relDst").as("dstName"),
-        coalesce(col("props"), map()).as("props"), col("ord").cast("long").as("ord"))
+      .withColumn("props", coalesce(col("props"), map()))
+      // md2csv.py:92 relation.update(rel_props) — see the kernel path
+      .select(col("conv_id"),
+        coalesce(element_at(col("props"), "source"), col("relSrcId")).as("src"),
+        coalesce(element_at(col("props"), "target"), col("relDstId")).as("dst"),
+        coalesce(element_at(col("props"), "type"), col("relType")).as("etype"),
+        coalesce(element_at(col("props"), "_o_source_"), col("relSrc")).as("srcName"),
+        coalesce(element_at(col("props"), "_o_target_"), col("relDst")).as("dstName"),
+        map_filter(col("props"), (k, _) =>
+          !k.isInCollection(graft.oracle.RefReplay.REdgeFixedKeys)).as("props"),
+        col("ord").cast("long").as("ord"))
       .as[Edge]
 
     (nodes, edges)

@@ -38,6 +38,11 @@ object RefReplay {
   private val TypeUnwrap = "(?U)^类型\\s*=\\s*(.+)".r
   private val Prop = "(?U)(\\w+)\\s*=\\s*([^\\s=]+|\"[^\"]+\")".r
 
+  /** The relation dict's fixed keys (md2csv.py:137): props with these
+    * names overwrite the fields via `relation.update(rel_props)`. */
+  val REdgeFixedKeys: Set[String] =
+    Set("source", "target", "type", "_o_source_", "_o_target_")
+
   private def stripQuotes(v: String): String =
     if (v.startsWith("\"") && v.endsWith("\"")) v.substring(1, math.max(v.length - 1, 1)) else v
 
@@ -69,8 +74,19 @@ object RefReplay {
           Prop.findAllMatchIn(ps).map(p =>
             p.group(1).trim -> stripQuotes(p.group(2)).trim).toSeq
         }.getOrElse(Seq.empty)
-        relations += REdge(md5id(source), md5id(target), relType, source, target,
-          props.foldLeft(Map.empty[String, String])(_ + _))
+        val rp = props.foldLeft(Map.empty[String, String])(_ + _)
+        // md2csv.py:92 `relation.update(rel_props)`: a relation prop
+        // literally named source/target/type/_o_source_/_o_target_
+        // OVERWRITES the fixed field (with the raw prop value — the
+        // md5 id is replaced by the string as-is), and is excluded
+        // from the exported :LABEL props (md2csv.py:135-138,146-157).
+        relations += REdge(
+          rp.getOrElse("source", md5id(source)),
+          rp.getOrElse("target", md5id(target)),
+          rp.getOrElse("type", relType),
+          rp.getOrElse("_o_source_", source),
+          rp.getOrElse("_o_target_", target),
+          rp -- REdgeFixedKeys)
       }
 
       if (current.nonEmpty && line.contains('=')) {

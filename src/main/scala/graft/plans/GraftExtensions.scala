@@ -37,11 +37,18 @@ object CollapseRegexpExtracts extends Rule[LogicalPlan] {
             Literal(idx: Any, IntegerType))
             if key(re).exists(hot.contains) && idx.asInstanceOf[Int] >= 1 =>
           val struct = RegexpExtractStruct(subj, pat)
-          if (idx.asInstanceOf[Int] <= struct.groupCount)
-            Coalesce(Seq(
+          if (idx.asInstanceOf[Int] <= struct.groupCount) {
+            // stock regexp_extract is NULL-propagating: NULL subject →
+            // NULL result. RegexpExtractStruct is null-intolerant (NULL
+            // struct on NULL subject), so a bare Coalesce would turn
+            // that NULL into '' — guard with the subject's nullness.
+            val rewritten = Coalesce(Seq(
               GetStructField(struct, idx.asInstanceOf[Int] - 1, Some(s"g$idx")),
               Literal(UTF8String.fromString(""), StringType)))
-          else re
+            if (subj.nullable)
+              If(IsNull(subj), Literal.create(null, StringType), rewritten)
+            else rewritten
+          } else re
       }
   }
 }

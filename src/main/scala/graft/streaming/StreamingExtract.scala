@@ -53,9 +53,14 @@ object StreamingExtract {
         }
         if (l.relType.nonEmpty) {
           val m = l.relPropKeys.zip(l.relPropVals)
-            .foldLeft(Map.empty[String, String])(_ + _).toSeq
+            .foldLeft(Map.empty[String, String])(_ + _)
+          // md2csv.py:92 relation.update(rel_props) — fixed-key props
+          // overwrite the fields (see TripleExtract kernel path)
           edges += KgOut("edge", l.conv_id, null, null, null, null,
-            l.relSrcId, l.relDstId, l.relType, l.relSrc, l.relDst, m.toMap, acc.edgeCount)
+            m.getOrElse("source", l.relSrcId), m.getOrElse("target", l.relDstId),
+            m.getOrElse("type", l.relType),
+            m.getOrElse("_o_source_", l.relSrc), m.getOrElse("_o_target_", l.relDst),
+            m -- graft.oracle.RefReplay.REdgeFixedKeys, acc.edgeCount)
           acc = acc.copy(edgeCount = acc.edgeCount + 1)
         }
         if (acc.current != null && l.propKeys.nonEmpty) {

@@ -126,4 +126,29 @@ class GrammarSpec extends SparkSpec {
     assert(byName("激活函数").props.get("时间").contains("训练阶段"))
     assert(edges.collect().count(_.etype == "依赖") === 2) // unwrapped + plain
   }
+
+  test("relation.update() quirk: props named source/target/type overwrite fields (md2csv.py:92)") {
+    import spark.implicits._
+    val text = Seq(
+      "- A --> B : knows type=friend",            // type prop → etype=friend
+      "- A --> B : knows source=zz w=1",          // source prop → src="zz" (raw, not md5)
+      "- A --> B : knows _o_source_=XX",          // surface-name overwrite
+      "- A --> B : knows type=\"x y\" target=9")  // quoted-truncation + target
+    val ts = new java.sql.Timestamp(TranscriptGen.BaseEpochMs)
+    val df = Seq(Turn("t1", 0, "user", text.mkString("\n"), null, ts)).toDF()
+    for (edges <- Seq(TripleExtract.extract(df)._2, TripleExtract.extractRelational(df)._2)) {
+      val e = edges.collect().sortBy(_.ord)
+      assert(e(0).etype === "friend" && !e(0).props.contains("type"))
+      assert(e(0).src === md5id("A") && e(0).dst === md5id("B"))
+      assert(e(1).src === "zz" && e(1).props === Map("w" -> "1"))
+      assert(e(2).srcName === "XX" && e(2).src === md5id("A"))
+      // `type="x y"` → alternation truncates at the space: value `"x`,
+      // unquote only fires on both-quotes → stays `"x`
+      assert(e(3).etype === "\"x" && e(3).dst === "9")
+    }
+    // and the replay oracle agrees (it IS the fidelity contract)
+    val (_, oe) = RefReplay.parse(text.iterator)
+    assert(oe(0).etype === "friend" && oe(1).src === "zz" &&
+      oe(2).srcName === "XX" && oe(3).etype === "\"x" && oe(3).dst === "9")
+  }
 }

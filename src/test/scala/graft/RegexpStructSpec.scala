@@ -90,6 +90,18 @@ class RegexpStructSpec extends SparkSpec {
       // SQL registration works too
       assert(s2.sql("SELECT regexp_groups('- x @t', '^(-+)\\\\s*(.*?)\\\\s*@(\\\\w+)').g2")
         .collect()(0).getString(0) === "x")
+      // NULL semantics preserved: stock regexp_extract returns NULL for
+      // a NULL subject; the rewrite must not coalesce that into ''
+      val nullDf = Seq(Some("- x @t"), None).toDF("line")
+        .repartition(2)
+        .select(
+          regexp_extract(col("line"), ConceptPat, 1).as("a"),
+          regexp_extract(col("line"), ConceptPat, 2).as("b"))
+      assert(nullDf.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+        case e: graft.plans.RegexpExtractStruct => e }).nonEmpty)
+      val rows = nullDf.collect().map(r =>
+        (Option(r.getString(0)), Option(r.getString(1)))).toSet
+      assert(rows === Set((Some("-"), Some("x")), (None, None)))
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
