@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.fixtures.TranscriptGen
+import graft.fixtures.{GrammarCorpus, TranscriptGen}
 import graft.functions.Embeddings
 import graft.operators._
 
@@ -90,6 +90,60 @@ object SparkEntry {
       Seq((m.precision, m.recall, m.f1, m.got, m.want, m.inter))
         .toDF("precision", "recall", "f1", "engine_triples", "oracle_triples", "intersection")
     }),
+    // ============ KG pipeline, DRIVER-ORACLED (events-derived corpus) ==
+    // The corpus text is built from `events` columns with pure SQL
+    // functions (GrammarCorpus.fromEvents); the ENGINE must parse it
+    // back through the real TripleExtract kernel fold, while the DuckDB
+    // oracle replays the fold directly from the event columns
+    // (md2csv.py:24-105 as last_value/QUALIFY window SQL).
+    "kg_triples_oracle" -> ((s, dir) => {
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (nodes, edges) = TripleExtract.extract(corpus)
+      TripleExtract.triples(nodes, edges).toDF()
+        .orderBy("conv_id", "subj", "pred", "obj")
+    }),
+    // A3 canonical nodes incl. surviving props (sorted k=v join)
+    "kg_canonical_oracle" -> ((s, dir) => {
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (nodes, _) = TripleExtract.extract(corpus)
+      Canonicalize.dedupNodes(nodes)
+        .select(col("id"), col("name"), col("ntype"), col("parent"), col("conv_id"),
+          array_join(transform(array_sort(map_entries(col("props"))), e =>
+            concat(e.getField("key"), lit("="), e.getField("value"))), ",").as("props"))
+        .orderBy("id")
+    }),
+    // A4 canonical edges (first (conv, ord) per (src, dst, etype))
+    "kg_edges_oracle" -> ((s, dir) => {
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (_, edges) = TripleExtract.extract(corpus)
+      Canonicalize.dedupEdges(edges)
+        .select("src", "dst", "etype", "srcName", "dstName", "conv_id", "ord")
+        .orderBy("src", "dst", "etype")
+    }),
+    // S11/X14/F3/J3 Turtle exporter lines over the canonical graph
+    "kg_ttl_oracle" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (nodes, edges) = TripleExtract.extract(corpus)
+      graft.sources.Exporters.ttlLines(
+          Canonicalize.dedupNodes(nodes).as[graft.model.Node],
+          Canonicalize.dedupEdges(edges).as[graft.model.Edge])
+        .orderBy("value")
+    }),
+    // A6/A7 JSON-LD relation grouping (objects deduped + sorted per
+    // predicate), flattened to scalar columns for the compare
+    "kg_rels_oracle" -> ((s, dir) => {
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (nodes, edges) = TripleExtract.extract(corpus)
+      val cn = Canonicalize.dedupNodes(nodes)
+      Canonicalize.dedupEdges(edges)
+        .join(cn.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .groupBy("src", "etype")
+        .agg(array_join(array_sort(collect_set(
+          concat(lit("http://www.example.org/data/"), col("dst")))), "|").as("objs"))
+        .orderBy("src", "etype")
+    }),
+
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(s, TranscriptGen.convsForSfDir(dir)))),
@@ -398,6 +452,69 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL (column names must match the Spark side). */
   def oracleSql: Map[String, String] = Map(
+    "kg_triples_oracle" -> (GrammarCorpus.DuckPrefix + """,
+      parents AS (
+        SELECT c.conv_id, p.name AS subj, 'PARENT_OF' AS pred, c.name AS obj
+        FROM nodes c JOIN nodes p ON c.conv_id = p.conv_id AND c.parent = p.cid)
+      SELECT conv_id, subj, pred, obj FROM (
+        SELECT conv_id, srcName AS subj, etype AS pred, dstName AS obj FROM rels
+        UNION ALL SELECT conv_id, subj, pred, obj FROM parents)
+      ORDER BY conv_id, subj, pred, obj"""),
+
+    "kg_canonical_oracle" -> (GrammarCorpus.DuckPrefix + """,
+      surv AS (
+        SELECT conv_id, cid, name, ntype, parent FROM nodes
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY conv_id) = 1)
+      SELECT s.cid AS id, s.name, s.ntype, s.parent, s.conv_id,
+             coalesce(string_agg(p.pk || '=' || p.pval, ',' ORDER BY p.pk), '') AS props
+      FROM surv s LEFT JOIN props p ON p.conv_id = s.conv_id AND p.cid = s.cid
+      GROUP BY s.cid, s.name, s.ntype, s.parent, s.conv_id
+      ORDER BY id"""),
+
+    "kg_edges_oracle" -> (GrammarCorpus.DuckPrefix + """
+      SELECT src, dst, etype, srcName, dstName, conv_id, eord AS ord FROM rels
+      QUALIFY row_number() OVER (PARTITION BY src, dst, etype
+                                 ORDER BY conv_id, eord) = 1
+      ORDER BY src, dst, etype"""),
+
+    "kg_ttl_oracle" -> (GrammarCorpus.DuckPrefix + """,
+      surv AS (
+        SELECT conv_id, cid, name, ntype, parent FROM nodes
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY conv_id) = 1),
+      isc AS (
+        SELECT *, CASE WHEN ntype IN ('模型','组件','算法')
+                       THEN 'http://www.example.org/ontology#'
+                       ELSE 'http://www.example.org/data/' END AS ns,
+               ntype IN ('模型','组件','算法') AS is_class
+        FROM surv),
+      node_lines AS (
+        SELECT '<' || ns || cid || '> a ' ||
+               CASE WHEN is_class THEN 'owl:Class' ELSE 'owl:NamedIndividual' END ||
+               ' ; rdfs:label "' || name || '" .' AS value FROM isc),
+      prop_lines AS (
+        SELECT '<' || i.ns || i.cid || '> <http://www.example.org/ontology#' ||
+               p.pk || '> "' || p.pval || '" .' AS value
+        FROM isc i JOIN props p ON p.conv_id = i.conv_id AND p.cid = i.cid),
+      edge_lines AS (
+        SELECT DISTINCT '<' || s.ns || r.src || '> <http://www.example.org/ontology#' ||
+               r.etype || '> <' || d.ns || r.dst || '> .' AS value
+        FROM rels r JOIN isc s ON s.cid = r.src JOIN isc d ON d.cid = r.dst)
+      SELECT value FROM (SELECT value FROM node_lines
+        UNION ALL SELECT value FROM prop_lines
+        UNION ALL SELECT value FROM edge_lines)
+      ORDER BY value"""),
+
+    "kg_rels_oracle" -> (GrammarCorpus.DuckPrefix + """,
+      dedup AS (
+        SELECT src, dst, etype FROM rels
+        QUALIFY row_number() OVER (PARTITION BY src, dst, etype
+                                   ORDER BY conv_id, eord) = 1)
+      SELECT src, etype,
+             string_agg('http://www.example.org/data/' || dst, '|'
+                        ORDER BY 'http://www.example.org/data/' || dst) AS objs
+      FROM dedup WHERE dst IN (SELECT DISTINCT cid FROM nodes)
+      GROUP BY src, etype ORDER BY src, etype"""),
+
     "x1_md5_id" ->
       "SELECT doc_id, substr(md5(text),1,8) AS cid FROM documents ORDER BY doc_id",
 

@@ -1,0 +1,118 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Grammar-shaped transcript corpus derived from the driver's `events`
+  * parquet with PURE SQL-expressible functions (`%`, `||`, CASE) — so a
+  * DuckDB oracle can regenerate the exact same conversations and
+  * independently replay the md2csv fold semantics (carry-forward via
+  * `last_value IGNORE NULLS`, last-wins via `QUALIFY row_number()`).
+  *
+  * This is what turns the flagship extraction path (TripleExtract
+  * kernel fold, /root/reference/md2csv.py:24-105) from self-reported
+  * into driver-verified: the ENGINE must parse the synthesized text
+  * back out; the ORACLE computes the expected fields directly from the
+  * event columns (it never sees the text).
+  *
+  * Line kinds by `event_id % 10`:
+  *   0     header (resets current concept, md2csv.py:34-36)
+  *   1,2   indent-1 concept `- E<id%37> @<type>` (md2csv.py:39-57)
+  *   3     indent-2 concept `-- …` (parent = current, no current update)
+  *   4,5   relation `- A --> B : R<id%7>` (md2csv.py:62-93)
+  *   6     relation with `类型=` unwrap (md2csv.py:72-74)
+  *   7     bare prop line `weight=<id%100> 状态=ok` (md2csv.py:97-105)
+  *   8,9   filler prose (no grammar match)
+  */
+object GrammarCorpus {
+
+  /** node types: 3 of 5 are owl:Class types (Exporters.ClassTypes) so
+    * the TTL class/individual branch is exercised both ways. */
+  val Types: Seq[String] = Seq("模型", "组件", "算法", "T3", "T4")
+
+  def fromEvents(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val eid = col("event_id")
+    val k = pmod(eid, lit(10))
+    val nm = concat(lit("E"), pmod(eid, lit(37)))
+    val nm2 = concat(lit("E"), pmod(eid + 13, lit(37)))
+    val rel = concat(lit("R"), pmod(eid, lit(7)))
+    val ty = element_at(typedLit(Types), (pmod(eid, lit(5)) + 1).cast("int"))
+    val line = when(k === 0, lit("## 【核心概念】"))
+      .when(k.isin(1, 2), concat(lit("- "), nm, lit(" @"), ty))
+      .when(k === 3, concat(lit("-- "), nm, lit(" @"), ty))
+      .when(k.isin(4, 5), concat(lit("- "), nm, lit(" --> "), nm2, lit(" : "), rel))
+      .when(k === 6, concat(lit("- "), nm, lit(" --> "), nm2, lit(" : 类型="), rel))
+      .when(k === 7, concat(lit("weight="), pmod(eid, lit(100)), lit(" 状态=ok")))
+      .otherwise(concat(lit("filler text "), eid))
+    events.select(
+      col("user_id").cast("string").as("conv_id"),
+      row_number().over(w).as("turn_idx"),
+      line.as("text"))
+  }
+
+  /** The shared DuckDB CTE prefix replaying the fold over the same
+    * events table: per-line kind fields, carry-forward current concept
+    * (ccb = BEFORE the line's own update → parent; cca = AFTER → prop
+    * owner), last-wins node upsert, surviving props, relation list. */
+  val DuckPrefix: String = """
+    WITH ev AS (
+      SELECT user_id::VARCHAR AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ord,
+             CAST(event_id % 10 AS INT) AS k,
+             'E' || (event_id % 37) AS nm,
+             'E' || ((event_id + 13) % 37) AS nm2,
+             'R' || (event_id % 7) AS rel,
+             CASE CAST(event_id % 5 AS INT) WHEN 0 THEN '模型' WHEN 1 THEN '组件'
+                  WHEN 2 THEN '算法' WHEN 3 THEN 'T3' ELSE 'T4' END AS ty,
+             (event_id % 100)::VARCHAR AS pv
+      FROM events),
+    cc AS (
+      SELECT *,
+        last_value(CASE WHEN k = 0 THEN '#RESET#'
+                        WHEN k IN (1,2) THEN substr(md5(nm),1,8) END IGNORE NULLS)
+          OVER (PARTITION BY conv_id ORDER BY ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ccb0,
+        last_value(CASE WHEN k = 0 THEN '#RESET#'
+                        WHEN k IN (1,2) THEN substr(md5(nm),1,8) END IGNORE NULLS)
+          OVER (PARTITION BY conv_id ORDER BY ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca0
+      FROM ev),
+    lines AS (
+      SELECT conv_id, ord, k, nm, nm2, rel, ty, pv,
+             CASE WHEN ccb0 = '#RESET#' THEN NULL ELSE ccb0 END AS ccb,
+             CASE WHEN cca0 = '#RESET#' THEN NULL ELSE cca0 END AS cca
+      FROM cc),
+    nodes AS (
+      SELECT conv_id, substr(md5(nm),1,8) AS cid, nm AS name, ty AS ntype,
+             ccb AS parent, ord AS def_ord
+      FROM lines WHERE k IN (1,2,3)
+      QUALIFY row_number() OVER (PARTITION BY conv_id, substr(md5(nm),1,8)
+                                 ORDER BY ord DESC) = 1),
+    rels AS (
+      SELECT conv_id, ord,
+             row_number() OVER (PARTITION BY conv_id ORDER BY ord) - 1 AS eord,
+             substr(md5(nm),1,8) AS src, substr(md5(nm2),1,8) AS dst,
+             rel AS etype, nm AS srcName, nm2 AS dstName
+      FROM lines WHERE k IN (4,5,6)),
+    prop_events AS (
+      SELECT conv_id, cca AS owner, ord, 'weight' AS pk, pv AS pval
+      FROM lines WHERE k = 7 AND cca IS NOT NULL
+      UNION ALL
+      SELECT conv_id, cca AS owner, ord, '状态' AS pk, 'ok' AS pval
+      FROM lines WHERE k = 7 AND cca IS NOT NULL
+      UNION ALL
+      -- quirk #2 (md2csv.py:97): the relation branch does not return,
+      -- so the `类型=R<n>` token on k=6 relation lines ALSO matches the
+      -- whole-line prop regex and lands on the current concept
+      SELECT conv_id, cca AS owner, ord, '类型' AS pk, rel AS pval
+      FROM lines WHERE k = 6 AND cca IS NOT NULL),
+    props AS (
+      SELECT p.conv_id, p.owner AS cid, p.pk, p.pval
+      FROM prop_events p JOIN nodes n
+        ON p.conv_id = n.conv_id AND p.owner = n.cid AND p.ord >= n.def_ord
+      QUALIFY row_number() OVER (PARTITION BY p.conv_id, p.owner, p.pk
+                                 ORDER BY p.ord DESC) = 1)
+  """
+}

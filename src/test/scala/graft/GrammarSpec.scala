@@ -127,6 +127,35 @@ class GrammarSpec extends SparkSpec {
     assert(edges.collect().count(_.etype == "依赖") === 2) // unwrapped + plain
   }
 
+  test("events-derived grammar corpus: engine parse == RefReplay on the synthesized text") {
+    import spark.implicits._
+    // synthetic events shaped like the driver's table; event_id stride 7
+    // cycles through every line kind (k = id % 10)
+    val ev = (0 until 400).map { i =>
+      (i.toLong * 7 + 3, new java.sql.Timestamp(TranscriptGen.BaseEpochMs + i * 1000L),
+        (i % 13).toLong, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val corpus = graft.fixtures.GrammarCorpus.fromEvents(ev).cache()
+    val (nodes, edges) = TripleExtract.extract(corpus)
+    val got = TripleExtract.triples(nodes, edges).collect()
+      .map(t => (t.conv_id, t.subj, t.pred, t.obj))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val byConv = corpus.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val want = byConv.toSeq.flatMap { case (conv, lines) =>
+      RefReplay.triples(lines.iterator.map(_.trim)).map(t => (conv, t._1, t._2, t._3))
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got.nonEmpty && got === want)
+    // and nodes incl. props/parents agree (the canonical-oracle surface)
+    val gotNodes = nodes.collect().map(n =>
+      nodeKey(n.conv_id, n.id, n.name, n.ntype, n.parent, n.props)).toSet
+    val wantNodes = byConv.toSeq.flatMap { case (conv, lines) =>
+      RefReplay.parse(lines.iterator.map(_.trim))._1
+        .map(n => nodeKey(conv, n.id, n.name, n.ntype, n.parent.orNull, n.props.toMap))
+    }.toSet
+    assert(gotNodes === wantNodes)
+  }
+
   test("relation.update() quirk: props named source/target/type overwrite fields (md2csv.py:92)") {
     import spark.implicits._
     val text = Seq(
