@@ -144,14 +144,30 @@ object SparkEntry {
         .orderBy("src", "etype")
     }),
 
-    "mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(
-        Multimodal.syntheticMedia(s, TranscriptGen.convsForSfDir(dir)))),
+    // multimodal decode→feature chain, projected to sortable integer
+    // scalars (raw array<float> crashes the driver's pandas compare);
+    // fval = round(feature*510) = byte-pair sum — exact in both engines
+    "mm_features" -> ((s, dir) => {
+      val media = Multimodal.mediaFromIds(
+        tbl(s, dir, "documents").select(col("doc_id")))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"),
+          posexplode(col("feature")).as(Seq("dim", "f")))
+        .select(col("media_id"), col("kind"), col("dim"),
+          round(col("f") * 510).cast("int").as("fval"))
+        .orderBy("media_id", "dim")
+    }),
     "ann_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
-      Similarity.annTopK(emb, "embedding", q.length, q, 10, "vec_id")
+      // scale path: materialized (t, bucket, id) index, partition-pruned
+      // per hash table + bucket filter pushed to row-group stats; the
+      // base table is only touched to re-score the candidate set
+      val idxPath = System.getProperty("java.io.tmpdir") + "/graft_ann_index"
+      Similarity.buildAnnIndex(emb, "vec_id", "embedding", q.length, idxPath)
+      Similarity.annTopKIndexed(emb, idxPath, "vec_id", "embedding",
+          q.length, q, 10, "vec_id")
         .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
     }),
     "dedup_neardup_drop" -> ((s, dir) =>
@@ -517,6 +533,26 @@ object SparkEntry {
 
     "x1_md5_id" ->
       "SELECT doc_id, substr(md5(text),1,8) AS cid FROM documents ORDER BY doc_id",
+
+    // the stub decoder cycles the 32-byte md5-chain payload to 64 bytes;
+    // feature[i] = (byte[4i%32] + byte[4i+1 %32]) / 510 → fval = the
+    // byte-pair sum, recovered here by hex-digit arithmetic
+    "mm_features" -> ("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+          md5(doc_id::VARCHAR) || md5(doc_id::VARCHAR || 'x') AS h
+        FROM documents),
+      d AS (SELECT m.*, CAST(t.i AS INT) AS dim,
+                   (4 * t.i) % 32 AS j1, (4 * t.i + 1) % 32 AS j2
+            FROM m, range(16) t(i))
+      SELECT media_id, kind, dim,
+        CAST((strpos('0123456789abcdef', substr(h, 2*j1+1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 2*j1+2, 1)) - 1)
+           + (strpos('0123456789abcdef', substr(h, 2*j2+1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 2*j2+2, 1)) - 1) AS INT) AS fval
+      FROM d ORDER BY media_id, dim"""),
 
     "x2_concept_parse" -> ("""
       SELECT doc_id,

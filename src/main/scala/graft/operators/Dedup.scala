@@ -94,18 +94,31 @@ object Dedup {
       .drop("comp")
   }
 
-  /** SimHash: 64-bit fingerprint where bit b = sign of the weighted sum
-    * of token-hash bits. Near-dups have small Hamming distance. Pure
-    * expressions (token hash via xxhash64, per-bit majority vote). */
-  def simhash(c: Column, bits: Int = 16): Column = {
+  /** SimHash: fingerprint where bit b = sign of the weighted sum of
+    * token-hash bits. Near-dups have small Hamming distance. The
+    * majority-vote fold runs as ONE codegen'd Catalyst expression
+    * ([[graft.plans.SimhashFold]] — a tight JIT'd loop), replacing the
+    * round-1 per-bit `aggregate` passes (O(bits·tokens) array scans). */
+  def simhash(c: Column, bits: Int = 16): Column =
+    graft.plans.SimhashFold.simhash_fold(
+      transform(split(lower(trim(c)), "\\s+"), t => xxhash64(t)), bits)
+
+  /** Higher-order-function formulation of the same fold (single
+    * traversal, but interpreted lambdas + a fresh bits-element array per
+    * token) — kept as the cross-validation twin for [[simhash]]. */
+  private[graft] def simhashHof(c: Column, bits: Int): Column = {
     val toks = split(lower(trim(c)), "\\s+")
     val hashes = transform(toks, t => xxhash64(t))
-    (0 until bits).map { b =>
-      // +1 when bit set, -1 otherwise; majority > 0 → bit b set
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a + b)
+    val bitIdx = sequence(lit(0), lit(bits - 1))
+    val zeros = transform(bitIdx, _ => lit(0L))
+    val counts = aggregate(hashes, zeros, (acc, h) =>
+      zip_with(acc, bitIdx, (a, b) =>
+        a + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L))))
+    aggregate(
+      zip_with(counts, bitIdx, (cnt, b) =>
+        when(cnt > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
   }
 
   /** SimHash near-dup pairs: block on bit-bands of the fingerprint
@@ -119,15 +132,14 @@ object Dedup {
       shiftright(col("fp"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)) * lit(100) + lit(b)
     }: _*)
     val banded = withFp.select(col("id"), col("fp"), explode(bandCols).as("bucket"))
-    val hamming = (a: Column, b: Column) =>
-      (0 until bits).map(i =>
-        shiftright(a.bitwiseXOR(b), i).bitwiseAND(lit(1L)).cast("int")).reduce(_ + _)
     banded.as("x").join(banded.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.fp").as("fpA"), col("y.fp").as("fpB"))
       .distinct()
-      .withColumn("dist", hamming(col("fpA"), col("fpB")))
+      // Hamming distance = popcount of the XOR (single codegen'd op)
+      .withColumn("dist",
+        call_function("bit_count", col("fpA").bitwiseXOR(col("fpB"))).cast("int"))
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")
   }

@@ -69,23 +69,33 @@ object EntityLinking {
   def fuzzyCandidates(names: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
       threshold: Double = 0.5, shingleN: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = names.select(col("name")).distinct()
+    val sigs = names.select(col("name")).distinct()
       .withColumn("sh", shingles(col("name"), shingleN))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = withSig.select(
-      col("name"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("rows")))))
-      .select(col("name"), col("sh"), hash(col("col.band"), col("col.rows")).as("bucket"))
+      .persist()
+    // banding carries ONLY (name, bucket) — the shingle arrays never
+    // enter the self-join or the pair distinct (same join shape as
+    // Dedup.minhashLsh; with Zipf-hot surface forms, dragging arrays
+    // through the wide distinct was the round-1 scale-killer)
+    val banded = sigs.select(col("name"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as("bucket"))
       .distinct()
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.name") < col("y.name"))
-      .select(col("x.name").as("a"), col("y.name").as("b"),
-        col("x.sh").as("shA"), col("y.sh").as("shB"))
+      .select(col("x.name").as("a"), col("y.name").as("b"))
       .distinct()
+    // fetch shingle sets once per candidate pair; the size-ratio
+    // prefilter is LOSSLESS (J(A,B) ≤ min|·|/max|·|, so J ≥ t implies
+    // the ratio ≥ t) — unlike minhashLsh's signature-estimate filter,
+    // which is probabilistic and would change output at 8 hashes
     pairs
+      .join(sigs.select(col("name").as("a"), col("sh").as("shA")), Seq("a"))
+      .join(sigs.select(col("name").as("b"), col("sh").as("shB")), Seq("b"))
+      .filter(least(size(col("shA")), size(col("shB"))).cast("double") /
+        greatest(size(col("shA")), size(col("shB"))) >= threshold)
       .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
       .withColumn("jaccard", col("inter") /
         (size(col("shA")) + size(col("shB")) - col("inter")))

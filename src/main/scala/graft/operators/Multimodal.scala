@@ -26,8 +26,15 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = false)))
 
   /** Deterministic synthetic media table (fixture). */
-  def syntheticMedia(spark: SparkSession, n: Long): DataFrame = {
-    val rows = spark.range(n).select(
+  def syntheticMedia(spark: SparkSession, n: Long): DataFrame =
+    mediaFromIds(spark.range(n).toDF("id"))
+
+  /** Synthetic media rows keyed by an arbitrary id column — payload is
+    * an md5 chain of the id, reproducible in plain SQL (so a DuckDB
+    * oracle can re-derive the decoded features byte-for-byte). */
+  def mediaFromIds(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rows = ids.select(col(ids.columns.head).cast("long").as("id")).select(
       col("id").as("media_id"),
       element_at(typedLit(Seq("image", "audio", "video")), (pmod(col("id"), lit(3)) + 1).cast("int")).as("kind"),
       lit("application/octet-stream").as("mime"),

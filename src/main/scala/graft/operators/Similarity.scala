@@ -59,25 +59,69 @@ object Similarity {
     }), lit(table))
   }
 
-  /** ANN top-k: candidates = rows sharing the query's LSH bucket in any
-    * of `tables` independent hash tables (multi-probe by table, not by
-    * bucket), then exact cosine re-score. At 100 TB this turns a full
-    * scan per query into `tables` bucket lookups (bucket column is a
-    * materialized partition/cluster key). */
+  /** The query vector's bucket in each of `tables` hash tables — ONE
+    * driver-side evaluation for all tables (single-row select). */
+  private def queryBuckets(df: DataFrame, query: Array[Float], dim: Int,
+      bits: Int, tables: Int): Seq[Int] = {
+    val spark = df.sparkSession
+    val qdf = spark.createDataFrame(Seq(Tuple1(query.toSeq))).toDF("q")
+    val row = qdf.select((0 until tables).map(t =>
+      lshBucketTable(col("q"), dim, bits, t).as(s"b$t")): _*).collect()(0)
+    (0 until tables).map(row.getInt)
+  }
+
+  /** ANN top-k WITHOUT a materialized index: candidates = rows sharing
+    * the query's LSH bucket in any table, computed by a full scan. This
+    * is the small-table / ad-hoc path; at 100 TB use [[buildAnnIndex]]
+    * + [[annTopKIndexed]], which replace the scan with pruned bucket
+    * lookups. */
   def annTopK(df: DataFrame, embCol: String, dim: Int, query: Array[Float],
       k: Int, tieBreak: String, bits: Int = 8, tables: Int = 4): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val qdf = spark.createDataFrame(Seq(Tuple1(query.toSeq))).toDF("q")
-    val qBuckets: Map[Int, Int] = (0 until tables).map { t =>
-      val c = lshBucketTable(col("q"), dim, bits, t)
-      t -> qdf.select(c).collect()(0).getInt(0)
-    }.toMap
+    val qb = queryBuckets(df, query, dim, bits, tables)
     val bucketed = df.withColumn("_cand",
       (0 until tables).map(t =>
-        lshBucketTable(col(embCol), dim, bits, t) === lit(qBuckets(t))).reduce(_ || _))
+        lshBucketTable(col(embCol), dim, bits, t) === lit(qb(t))).reduce(_ || _))
     bruteForceTopK(bucketed.filter(col("_cand")).drop("_cand"), embCol, query, k, tieBreak)
   }
+
+  /** Materialize the LSH index: (t, bucket, id) parquet PARTITIONED BY
+    * the hash-table id `t` and SORTED by `bucket` within each partition
+    * — so a query prunes to `tables` directories at the source and the
+    * bucket equality pushes down to parquet row-group stats. The index
+    * carries only (bucket, id): ~16 bytes × tables per corpus row, and
+    * queries never touch the embedding column until re-scoring the
+    * candidate set (rag_query.py:92-122 at scale). */
+  def buildAnnIndex(df: DataFrame, idCol: String, embCol: String, dim: Int,
+      path: String, bits: Int = 8, tables: Int = 4): Unit = {
+    df.select(col(idCol).as("id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            lshBucketTable(col(embCol), dim, bits, t).as("bucket"))): _*)).as("tb"))
+      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"), col("id"))
+      .repartition(col("t"))
+      .sortWithinPartitions("t", "bucket")
+      .write.mode("overwrite").partitionBy("t").parquet(path)
+  }
+
+  /** ANN top-k over a materialized index: per table, a partition-pruned
+    * + stats-pruned index lookup → candidate ids → semi-join back to
+    * the base table → exact cosine re-score of candidates only. */
+  def annTopKIndexed(base: DataFrame, indexPath: String, idCol: String,
+      embCol: String, dim: Int, query: Array[Float], k: Int, tieBreak: String,
+      bits: Int = 8, tables: Int = 4): DataFrame = {
+    val spark = base.sparkSession
+    val qb = queryBuckets(base, query, dim, bits, tables)
+    val candidates = annIndexCandidates(spark.read.parquet(indexPath), qb)
+    val candRows = base.join(
+      candidates.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+    bruteForceTopK(candRows, embCol, query, k, tieBreak)
+  }
+
+  /** Candidate-id lookup over the index (separate for plan tests). */
+  private[graft] def annIndexCandidates(idx: DataFrame, qb: Seq[Int]): DataFrame =
+    qb.zipWithIndex.map { case (b, t) =>
+      idx.filter(col("t") === t && col("bucket") === b).select("id")
+    }.reduce(_ union _).distinct()
 
 
   /** IVF-style coarse quantization: assign each row to the nearest of

@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `simhash_fold(hashes, bits)` — the SimHash majority-vote fold over a
+  * token-hash array as ONE codegen'd expression: a tight JIT'd
+  * `long[] → long` loop (counter per bit position, sign → bit). The
+  * higher-order-function formulation (`aggregate` + `zip_with`)
+  * allocates a fresh `bits`-element array per token and evaluates the
+  * lambda interpreted; this is the tail-latency hot spot of
+  * dedup_simhash_pairs at scale. Fingerprints are bit-identical to the
+  * HOF formulation (cross-validated in DedupSpec). */
+case class SimhashFold(hashes: Expression, bitsExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = hashes
+  override def right: Expression = bitsExpr
+  override def nullIntolerant: Boolean = true
+
+  private lazy val bits: Int = bitsExpr.eval(null).asInstanceOf[Int]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!bitsExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "bits must be a foldable int literal")
+    else if (bits < 1 || bits > 64)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "bits must be in [1, 64]")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = hashes.nullable
+
+  protected override def nullSafeEval(h: Any, _b: Any): Any = {
+    val arr = h.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var b = 0
+      while (b < bits) {
+        cnt(b) += (((x >>> b) & 1L) << 1) - 1L // +1 if bit set else -1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) { if (cnt(b) > 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, _) => {
+      val cnt = ctx.freshName("cnt")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val x = ctx.freshName("x")
+      val fp = ctx.freshName("fp")
+      s"""
+         |long[] $cnt = new long[$bits];
+         |int $n = $h.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $h.getLong($i);
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $cnt[$b] += ((($x >>> $b) & 1L) << 1) - 1L;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($cnt[$b] > 0) $fp |= 1L << $b;
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override def prettyName: String = "simhash_fold"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(hashes = l, bitsExpr = r)
+}
+
+object SimhashFold {
+  def simhash_fold(hashes: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      SimhashFold(
+        org.apache.spark.sql.graft.shims.toExpression(hashes),
+        Literal(bits, IntegerType)))
+}

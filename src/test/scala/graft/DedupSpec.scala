@@ -57,6 +57,42 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash codegen'd fold == higher-order-function fold (all bit widths)") {
+    import spark.implicits._
+    val texts = docs.select(col("text"))
+      .union(Seq("", "  ", "单字", "a b  c\td", "x " * 500).toDF("text"))
+    for (bits <- Seq(8, 16, 32, 64)) {
+      val both = texts.select(
+        Dedup.simhash(col("text"), bits).as("fast"),
+        Dedup.simhashHof(col("text"), bits).as("hof")).collect()
+      both.foreach(r => assert(r.getLong(0) === r.getLong(1), s"bits=$bits"))
+    }
+  }
+
+  test("ANN index: pruned lookup == unindexed ANN; t partition-pruned, bucket pushed down") {
+    import spark.implicits._
+    val many = (0 until 120).map(i => (i.toLong, s"document number $i about topic ${i % 7}"))
+      .toDF("doc_id", "text")
+    val withEmb = Embeddings.withEmbedding(many, "text").cache()
+    val dim = Embeddings.DefaultDim
+    val q = withEmb.filter(col("doc_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    Similarity.buildAnnIndex(withEmb, "doc_id", "embedding", dim, dir)
+    val viaIndex = Similarity.annTopKIndexed(withEmb, dir, "doc_id", "embedding",
+      dim, q, 5, "doc_id").select("doc_id", "similarity").collect().toSeq
+    val viaScan = Similarity.annTopK(withEmb, "embedding", dim, q, 5, "doc_id")
+      .select("doc_id", "similarity").collect().toSeq
+    assert(viaIndex === viaScan)
+    assert(viaIndex.head.getLong(0) === 0L) // the query vector itself wins
+    // plan shape: index lookup must NOT scan all partitions/row-groups
+    val idx = spark.read.parquet(dir)
+    val plan = Similarity.annIndexCandidates(idx, Seq(11, 22, 33, 44))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(t"), plan.take(2000))
+    assert(plan.contains("PushedFilters: [IsNotNull(bucket), EqualTo(bucket"), plan.take(2000))
+  }
+
   test("ngram jaccard: dup=1.0, near>0.3, unrelated=0") {
     import spark.implicits._
     val j = docs.as("x").join(docs.as("y"), col("x.doc_id") < col("y.doc_id"))
