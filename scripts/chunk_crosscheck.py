@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""One-time fidelity check for the W4 markdown chunk splitter: run the
+ACTUAL reference split_md_content (/root/reference/read_instruct.py) on
+the fixture docs dumped by graft.tools.ChunkCrossCheck and emit the same
+canonical format, then diff against scala_chunks.txt. The reference
+module has heavy top-level imports (openai, pdf_extractor), so only the
+pattern + splitter function block is exec'd. Dev-only."""
+import sys, os, glob, hashlib
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/chunkcheck'
+src = open('/root/reference/read_instruct.py', encoding='utf-8').read()
+ns = {'re': __import__('re')}
+start = src.index('pattern = re.compile')
+end = src.index('def get_response')
+exec(src[start:end], ns)
+# update_hierarchy is defined after get_response in the module
+h_start = src.index('def update_hierarchy')
+h_end = src.index("if __name__")
+exec(src[h_start:h_end], ns)
+split_md_content = ns['split_md_content']
+
+lines = []
+for path in sorted(glob.glob(os.path.join(outdir, '*.md'))):
+    name = os.path.splitext(os.path.basename(path))[0]
+    content = open(path, encoding='utf-8').read()
+    for max_len, tol in [(4096, 200), (1000, 150), (300, 60)]:
+        for i, c in enumerate(split_md_content(content, max_len, tol)):
+            b = c.encode('utf-8')
+            lines.append(f"{name}|{max_len}|{tol}|{i}|{len(b)}|{hashlib.md5(b).hexdigest()}")
+
+with open(os.path.join(outdir, 'python_chunks.txt'), 'w', encoding='utf-8') as f:
+    f.write('\n'.join(lines) + '\n')
+print(f"wrote {outdir}/python_chunks.txt ({len(lines)} chunks)")

@@ -25,28 +25,33 @@ object Metrics {
     PRF(p, r, f1, ng, nw, inter)
   }
 
-  /** Per-label weighted P/R/F1 over aligned (pred, gold) label pairs
-    * excluding 'O' — sklearn `weighted` semantics replicated relationally
-    * (bilstm_crf_ner.py:566-576). Input df: (pred: string, gold: string). */
-  def weightedLabelPRF(pairs: DataFrame): PRF = {
-    val spark = pairs.sparkSession
-    val stats = pairs.cache()
-    val perLabel = stats
+  /** Per-label confusion stats + P/R/F1 over aligned (pred, gold) label
+    * pairs, excluding 'O' (bilstm_crf_ner.py:566-576). Output columns:
+    * (label, support, tp, pred_count, prec, rec, f1) — the doubles are
+    * pure functions of the integer counts (IEEE division), so a SQL
+    * oracle reproduces them bit-for-bit. */
+  def labelStats(pairs: DataFrame): DataFrame =
+    pairs
       .select(col("gold").as("label"))
       .groupBy("label").agg(count(lit(1)).as("support"))
       .join(
-        stats.filter(col("pred") === col("gold"))
+        pairs.filter(col("pred") === col("gold"))
           .groupBy(col("gold").as("label")).agg(count(lit(1)).as("tp")),
         Seq("label"), "left")
       .join(
-        stats.groupBy(col("pred").as("label")).agg(count(lit(1)).as("predCount")),
+        pairs.groupBy(col("pred").as("label")).agg(count(lit(1)).as("pred_count")),
         Seq("label"), "left")
-      .na.fill(0L, Seq("tp", "predCount"))
+      .na.fill(0L, Seq("tp", "pred_count"))
       .filter(col("label") =!= "O")
-      .withColumn("prec", when(col("predCount") > 0, col("tp") / col("predCount")).otherwise(lit(0.0)))
+      .withColumn("prec", when(col("pred_count") > 0, col("tp") / col("pred_count")).otherwise(lit(0.0)))
       .withColumn("rec", when(col("support") > 0, col("tp") / col("support")).otherwise(lit(0.0)))
       .withColumn("f1", when(col("prec") + col("rec") > 0,
         lit(2) * col("prec") * col("rec") / (col("prec") + col("rec"))).otherwise(lit(0.0)))
+
+  /** sklearn `weighted`-average P/R/F1 of [[labelStats]]. */
+  def weightedLabelPRF(pairs: DataFrame): PRF = {
+    val stats = pairs.cache()
+    val perLabel = labelStats(stats)
     val agg = perLabel.agg(
       (sum(col("prec") * col("support")) / sum("support")).as("p"),
       (sum(col("rec") * col("support")) / sum("support")).as("r"),

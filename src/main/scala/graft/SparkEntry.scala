@@ -253,6 +253,22 @@ object SparkEntry {
           .otherwise(lit("individual")).as("kind"))
         .orderBy("doc_id")),
 
+    // X18: stringified-array parse — the CSV-compat path where arrays
+    // were stored as their text form and must be parsed back
+    // (rag_query.py:73-76 ast.literal_eval). from_json over a
+    // Python-repr list literal; the float round-trip is covered in
+    // DedupSpec, this query oracles the parse with exact integers.
+    "x18_parse_array" -> ((s, dir) => {
+      val str = concat(lit("["), pmod(col("doc_id"), lit(5)), lit(", "),
+        col("n_chars"), lit("]"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(from_json(str,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType))).as(Seq("idx", "v")))
+        .orderBy("doc_id", "idx")
+    }),
+
     // F3: dangling-edge filter = left-semi on both endpoints
     "f3_dangling_filter" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
@@ -378,6 +394,22 @@ object SparkEntry {
         .distinct().orderBy("v")
     }),
 
+    // A9: per-label NER eval stats (bilstm_crf_ner.py:566-576) over a
+    // deterministic (pred, gold) pair table derived from documents —
+    // mismatches injected by doc_id arithmetic; 'O' excluded like the
+    // reference. Doubles are pure int-division → bit-equal in DuckDB.
+    "a9_label_prf" -> ((s, dir) => {
+      val pred = when(col("lang") === "en", lit("PER"))
+        .when(col("lang") === "zh", lit("ORG"))
+        .when(col("lang") === "ru", lit("LOC")).otherwise(lit("O"))
+      val gold = when(pmod(col("doc_id"), lit(7)) === 0, lit("O"))
+        .when(col("lang") === "en", lit("PER"))
+        .when(col("lang") === "zh" && pmod(col("doc_id"), lit(3)) === 0, lit("LOC"))
+        .when(col("lang") === "zh", lit("ORG")).otherwise(lit("LOC"))
+      val pairs = tbl(s, dir, "documents").select(pred.as("pred"), gold.as("gold"))
+      Metrics.labelStats(pairs).orderBy("label")
+    }),
+
     // A9-adjacent classic agg with decimal-exact sums (oracle sanity)
     "q1_agg" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -421,6 +453,22 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+
+    // W4 full semantics: structure-aware tolerance-window splitter
+    // (read_instruct.py:58-139 faithful kernel; Python-parity via the
+    // chunk_golden fixture test). Markdown synthesized per doc so the
+    // structure regex has boundaries to find. Rows-only (the sequential
+    // boundary search is not SQL-expressible).
+    "text_chunks" -> ((s, dir) => {
+      val md = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("## 文档"), col("doc_id"), lit("\n\n"), col("text"),
+          lit("\n- source "), col("source"), lit("\n\n1. lang "), col("lang"),
+          lit("\n")).as("md"))
+      TextNorm.chunkDocs(md, "doc_id", "md", maxLength = 200, tolerance = 50)
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_chars"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
 
     // W4: bounded chunk split (read_instruct.py:58-139 as one window)
     "w4_chunk_split" -> ((s, dir) =>
@@ -599,6 +647,12 @@ object SparkEntry {
       SELECT doc_id, CASE WHEN lang IN ('en','zh') THEN 'class' ELSE 'individual' END AS kind
       FROM documents ORDER BY doc_id"""),
 
+    "x18_parse_array" -> ("""
+      SELECT doc_id, idx, v FROM (
+        SELECT doc_id, 0 AS idx, doc_id % 5 AS v FROM documents
+        UNION ALL SELECT doc_id, 1 AS idx, n_chars AS v FROM documents)
+      ORDER BY doc_id, idx"""),
+
     "f3_dangling_filter" -> ("""
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
@@ -676,6 +730,30 @@ object SparkEntry {
     "o5_union_distinct" -> ("""
       SELECT DISTINCT v FROM (SELECT lang AS v FROM documents
         UNION ALL SELECT source AS v FROM documents) ORDER BY v"""),
+
+    "a9_label_prf" -> ("""
+      WITH pairs AS (
+        SELECT CASE WHEN lang = 'en' THEN 'PER' WHEN lang = 'zh' THEN 'ORG'
+                    WHEN lang = 'ru' THEN 'LOC' ELSE 'O' END AS pred,
+               CASE WHEN doc_id % 7 = 0 THEN 'O'
+                    WHEN lang = 'en' THEN 'PER'
+                    WHEN lang = 'zh' AND doc_id % 3 = 0 THEN 'LOC'
+                    WHEN lang = 'zh' THEN 'ORG' ELSE 'LOC' END AS gold
+        FROM documents),
+      sup AS (SELECT gold AS label, count(*) AS support FROM pairs GROUP BY gold),
+      tpc AS (SELECT gold AS label, count(*) AS tp FROM pairs WHERE pred = gold GROUP BY gold),
+      pc AS (SELECT pred AS label, count(*) AS pred_count FROM pairs GROUP BY pred),
+      st AS (SELECT s.label, s.support, coalesce(tpc.tp, 0) AS tp,
+                    coalesce(pc.pred_count, 0) AS pred_count
+             FROM sup s LEFT JOIN tpc USING (label) LEFT JOIN pc USING (label)
+             WHERE s.label <> 'O'),
+      pr AS (SELECT *,
+        CASE WHEN pred_count > 0 THEN tp::DOUBLE / pred_count ELSE 0.0 END AS prec,
+        CASE WHEN support > 0 THEN tp::DOUBLE / support ELSE 0.0 END AS rec
+        FROM st)
+      SELECT label, support, tp, pred_count, prec, rec,
+        CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+      FROM pr ORDER BY label"""),
 
     "q1_agg" -> ("""
       SELECT l_returnflag, l_linestatus,

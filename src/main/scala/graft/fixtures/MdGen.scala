@@ -1,0 +1,44 @@
+package graft.fixtures
+
+import graft.fixtures.TranscriptGen.Rng
+
+/** Deterministic fixture markdown generator for the W4 chunk-splitter
+  * crosscheck (TextNorm.splitMdContent vs the actual Python
+  * read_instruct.split_md_content — scripts/chunk_crosscheck.py).
+  * Mixes every block shape the reference's structure regex knows:
+  * headings, rules, code fences, table rows, (un)ordered + indented
+  * lists, blank runs, plain paragraphs; CJK + ASCII so byte-length ≠
+  * char-length is actually exercised. */
+object MdGen {
+
+  def doc(seed: Long, nBlocks: Int = 150): String = {
+    val r = new Rng(seed * 0x9E3779B97F4A7C15L + 7)
+    val sb = new StringBuilder("# 文档标题")
+    (0 until nBlocks).foreach { i =>
+      r.nextInt(10) match {
+        case 0 => sb ++= s"\n${"#" * (1 + r.nextInt(4))} 第${i}节 标题"
+        case 1 => sb ++= "\n****"
+        case 2 => sb ++= "\n- 列表项 " + ("内容 " * (1 + r.nextInt(25))).trim
+        case 3 => sb ++= s"\n${1 + r.nextInt(9)}. ordered " + ("item text " * (1 + r.nextInt(20))).trim
+        case 4 => sb ++= s"\n```\ncode line $i\nmore_code(${r.nextInt(99)})\n```"
+        case 5 => sb ++= s"\n| col${r.nextInt(5)} | value ${r.nextInt(100)} |"
+        case 6 => sb ++= "\n  - 缩进列表 " + ("嵌套 " * (1 + r.nextInt(10))).trim
+        case 7 => sb ++= "\n" * (1 + r.nextInt(3))
+        case _ =>
+          sb ++= "\n段落文字。" + ("这是一些正文内容，用于测试按结构分块的行为。" * (1 + r.nextInt(14)))
+      }
+    }
+    sb.toString
+  }
+
+  /** The fixture battery (several sizes around the split threshold). */
+  def docs: Seq[(String, String)] =
+    Seq(
+      ("d0", doc(1L, 150)),
+      ("d1", doc(2L, 300)),
+      ("d2", doc(3L, 40)),
+      ("d3", doc(4L, 600)),
+      ("d4", "no leading structure at all, just one long paragraph " * 200),
+      ("d5", ""),
+      ("d6", "# only a heading\n"))
+}

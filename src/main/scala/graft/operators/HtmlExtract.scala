@@ -55,6 +55,58 @@ object HtmlExtract {
         kv => kv.getField("k") =!= ""))
   }
 
+  /** S8: table of contents (knowledge_extractor.py:188-201): li entries
+    * of the catalogList container; level2 entries get the reference's
+    * 4-space indent. Returns array<string>. */
+  def catalog(html: Column): Column = {
+    val container = regexp_extract(html,
+      """(?is)<[^>]+class="[^"]*catalogList[^"]*"[^>]*>(.*?)</(?:ul|ol|div)>""", 1)
+    val items = regexp_findall_groups(container,
+      """(?is)<li[^>]*class="([^"]*)"[^>]*>(.*?)</li>""")
+    filter(
+      transform(items, it => {
+        val text = stripTags(regexp_extract(it.getField("g2"),
+          """(?is)<[^>]+class="[^"]*catalogText[^"]*"[^>]*>\s*<a[^>]*>(.*?)</a>""", 1))
+        when(text === "", lit(""))
+          .when(it.getField("g1").contains("level1"), text)
+          .otherwise(concat(lit("    "), text)) // level2 indent (py:199-200)
+      }),
+      t => t =!= "")
+  }
+
+  /** S8: reference-citation items (knowledge_extractor.py:212-235):
+    * array<struct<title,url,source,date>>; relative URLs get the Baike
+    * host prefix, missing source/date become "". */
+  def references(html: Column,
+      hostPrefix: String = "https://baike.baidu.com"): Column = {
+    val items = regexp_findall_groups(html,
+      """(?is)<(?:li|div)[^>]*class="[^"]*referenceItem[^"]*"[^>]*>(.*?)</(?:li|div)>""")
+    val parsed = transform(items, it => {
+      val inner = it.getField("g1")
+      // attribute order inside the <a> tag is free — grab the tag,
+      // then the href within it (soup.get('href') semantics)
+      val aTag = regexp_extract(inner, """(?is)(<a[^>]*refLink[^>]*>)""", 1)
+      val title = stripTags(regexp_extract(inner,
+        """(?is)<a[^>]*refLink[^>]*>(.*?)</a>""", 1))
+      val href = regexp_extract(aTag, """href="([^"]*)"""", 1)
+      val url = when(href =!= "" && !href.startsWith("http"),
+        concat(lit(hostPrefix), href)).otherwise(href)
+      val spans = regexp_findall_groups(inner, "(?is)<span[^>]*>(.*?)</span>")
+      // get() is 0-based and null-safe on short arrays (missing span →
+      // '' like the reference's `if source else ''`)
+      struct(
+        title.as("title"),
+        url.as("url"),
+        coalesce(stripTags(get(spans, lit(0)).getField("g1")), lit("")).as("source"),
+        coalesce(stripTags(get(spans, lit(1)).getField("g1")), lit("")).as("date"),
+        aTag.as("_a"))
+    })
+    transform(
+      filter(parsed, r => r.getField("_a") =!= ""), // py:217 `if ref_link:`
+      r => struct(r.getField("title").as("title"), r.getField("url").as("url"),
+        r.getField("source").as("source"), r.getField("date").as("date")))
+  }
+
   /** Non-empty text paragraphs (F4, knowledge_extractor.py:207-210). */
   def paragraphs(html: Column): Column =
     filter(

@@ -1,0 +1,32 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import graft.fixtures.MdGen
+import graft.operators.TextNorm
+
+/** Dumps fixture markdown + the Scala splitter's chunk digests so the
+  * ACTUAL Python reference (read_instruct.split_md_content) can be run
+  * on the same files and diffed (scripts/chunk_crosscheck.py). The
+  * canonical format is one line per chunk: doc|idx|byteLen|md5. */
+object ChunkCrossCheck {
+  def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "/tmp/chunkcheck"
+    Files.createDirectories(Paths.get(outDir))
+    val sb = new StringBuilder
+    for ((name, content) <- MdGen.docs;
+         params <- Seq((4096, 200), (1000, 150), (300, 60))) {
+      Files.write(Paths.get(s"$outDir/$name.md"), content.getBytes("UTF-8"))
+      val chunks = TextNorm.splitMdContent(content, params._1, params._2)
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        sb ++= s"$name|${params._1}|${params._2}|$i|${c.getBytes("UTF-8").length}|${md5hex(c)}\n"
+      }
+    }
+    Files.write(Paths.get(s"$outDir/scala_chunks.txt"), sb.toString.getBytes("UTF-8"))
+    println(s"wrote $outDir/scala_chunks.txt")
+  }
+}

@@ -93,6 +93,49 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(bucket), EqualTo(bucket"), plan.take(2000))
   }
 
+  test("X18: stringified embedding round-trip (CSV compat, rag_query.py:73-76)") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val emb = Embeddings.withEmbedding(docs, "text")
+    val roundTripped = emb
+      .withColumn("s", concat(lit("["),
+        array_join(transform(col("embedding"), _.cast("string")), ", "), lit("]")))
+      .withColumn("back", from_json(col("s"), ArrayType(FloatType)))
+      .select(size(col("back")).as("n"),
+        Embeddings.cosine(col("back"), col("embedding")).as("cos"))
+      .collect()
+    roundTripped.foreach { r =>
+      assert(r.getInt(0) === Embeddings.DefaultDim)
+      assert(r.getDouble(1) > 0.999999)
+    }
+  }
+
+  test("W4 splitMdContent == Python reference replay (golden fixtures, 3 param sets)") {
+    import graft.operators.TextNorm
+    import graft.fixtures.MdGen
+    val golden = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/chunk_golden.txt"), "UTF-8").getLines().toSeq
+    val got = for {
+      (name, content) <- MdGen.docs
+      (ml, tol) <- Seq((4096, 200), (1000, 150), (300, 60))
+      (c, i) <- TextNorm.splitMdContent(content, ml, tol).zipWithIndex
+    } yield s"$name|$ml|$tol|$i|${c.getBytes("UTF-8").length}|" +
+      graft.tools.ChunkCrossCheck.md5hex(c)
+    assert(got === golden)
+    // invariant: chunks reassemble the document exactly
+    MdGen.docs.foreach { case (_, content) =>
+      assert(TextNorm.splitMdContent(content, 1000, 150).mkString === content)
+    }
+    // distributed operator wraps the same kernel
+    import spark.implicits._
+    val df = MdGen.docs.toDF("doc_id", "text")
+    val viaOp = TextNorm.chunkDocs(df, "doc_id", "text", 1000, 150)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val direct = MdGen.docs.flatMap { case (id, content) =>
+      TextNorm.splitMdContent(content, 1000, 150).zipWithIndex.map { case (c, i) => (id, i, c) }
+    }.sorted
+    assert(viaOp === direct)
+  }
+
   test("ngram jaccard: dup=1.0, near>0.3, unrelated=0") {
     import spark.implicits._
     val j = docs.as("x").join(docs.as("y"), col("x.doc_id") < col("y.doc_id"))

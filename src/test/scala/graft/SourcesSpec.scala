@@ -69,6 +69,37 @@ class SourcesSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("blocked"))
   }
 
+  test("S8: catalog (level indent) and references (title/url/source/date)") {
+    import spark.implicits._
+    val html =
+      """<html><body>
+        |<ul class="catalogList_dUefQ">
+        |<li class="catalogItem level1"><span class="catalogText_rCNjq"><a href="#1">发展历史</a></span></li>
+        |<li class="catalogItem level2"><span class="catalogText_rCNjq"><a href="#1-1">早期研究</a></span></li>
+        |<li class="catalogItem level1"><span class="catalogText_rCNjq"><a href="#2">核心技术</a></span></li>
+        |<li class="other">no text elem</li>
+        |</ul>
+        |<ul>
+        |<li class="referenceItem_Z9PAD J-ref-item">
+        |  <a class="refLink_Pcdfd" href="/reference/123">知识图谱综述 </a>
+        |  <span>某学报</span><span>2020-01-02</span></li>
+        |<li class="referenceItem_Z9PAD J-ref-item">
+        |  <a href="http://ex.org/p" class="refLink_Pcdfd">External</a></li>
+        |<li class="referenceItem_Z9PAD J-ref-item">no link here</li>
+        |</ul>
+        |</body></html>""".stripMargin
+    val r = Seq(html).toDF("html").select(
+      HtmlExtract.catalog(col("html")).as("cat"),
+      HtmlExtract.references(col("html")).as("refs")).collect()(0)
+    assert(r.getAs[Seq[String]]("cat") ===
+      Seq("发展历史", "    早期研究", "核心技术")) // level2 → 4-space indent
+    val refs = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("refs")
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getString(3))).toSeq
+    assert(refs === Seq(
+      ("知识图谱综述", "https://baike.baidu.com/reference/123", "某学报", "2020-01-02"),
+      ("External", "http://ex.org/p", "", ""))) // linkless item dropped
+  }
+
   test("S12/S15: OWL XML lines + DOT preview") {
     import spark.implicits._
     val nodes = Seq(
