@@ -146,11 +146,18 @@ object TripleExtract {
         // md2csv.py:92 relation.update(rel_props): props named after
         // the fixed relation keys overwrite the fields (raw value
         // replaces the md5 id) and are dropped from the props map.
-        edges += KgOut("edge", l.conv_id, null, null, null, null,
-          m.getOrElse("source", l.relSrcId), m.getOrElse("target", l.relDstId),
-          m.getOrElse("type", l.relType),
-          m.getOrElse("_o_source_", l.relSrc), m.getOrElse("_o_target_", l.relDst),
-          m.toMap -- graft.oracle.RefReplay.REdgeFixedKeys, edges.length.toLong)
+        // Fixed-key props are rare — keep the hot path allocation-free.
+        val fixed = graft.oracle.RefReplay.REdgeFixedKeys
+        if (fixed.exists(m.contains))
+          edges += KgOut("edge", l.conv_id, null, null, null, null,
+            m.getOrElse("source", l.relSrcId), m.getOrElse("target", l.relDstId),
+            m.getOrElse("type", l.relType),
+            m.getOrElse("_o_source_", l.relSrc), m.getOrElse("_o_target_", l.relDst),
+            m.toMap -- fixed, edges.length.toLong)
+        else
+          edges += KgOut("edge", l.conv_id, null, null, null, null,
+            l.relSrcId, l.relDstId, l.relType, l.relSrc, l.relDst,
+            m.toMap, edges.length.toLong)
       }
       if (current != null && l.propKeys.nonEmpty) { // md2csv.py:97-105
         val p = props(current)

@@ -1,0 +1,93 @@
+package graft.tools
+
+/** Hardware-calibration companion to [[ScalingBench]]: measures the
+  * box's RAW CPU scaling from N to 4N threads with a pure-JVM
+  * fixed-total-work kernel (xorshift loop — no allocation, no memory
+  * traffic, no Spark). On a virtualized sandbox the hypervisor steal
+  * varies by the minute, so the engine's scaling efficiency must be
+  * read against the hardware ceiling measured in the SAME window.
+  *
+  * Usage: run_main.sh graft.tools.CpuCalib [N] [reps] [totalGIters]
+  */
+object CpuCalib {
+
+  private def burn(iters: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      x *= 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    x
+  }
+
+  /** Wall seconds to finish `total` iterations split over `threads`. */
+  private def run(threads: Int, total: Long): Double = {
+    val per = total / threads
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map(_ => new Thread(() => { burn(per): Unit }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Memory-streaming kernel: XOR-sum passes over a per-thread 256 MiB
+    * long array — measures DRAM bandwidth scaling, which (unlike raw
+    * CPU) is SHARED across cores on one box. A Spark fold that streams
+    * cached rows is bandwidth-bound long before it is ALU-bound; on a
+    * real cluster each node brings its own memory bus. */
+  private def burnMem(arr: Array[Long], passes: Int): Long = {
+    var acc = 0L
+    var p = 0
+    while (p < passes) {
+      var i = 0
+      while (i < arr.length) { acc ^= arr(i); i += 1 }
+      p += 1
+    }
+    acc
+  }
+
+  private def runMem(threads: Int, totalPasses: Int): Double = {
+    val per = math.max(1, totalPasses / threads)
+    val arrs = (0 until threads).map(_ => Array.fill(32 * 1024 * 1024)(0x5DEECE66DL))
+    val t0 = System.nanoTime()
+    val ts = arrs.map(a => new Thread(() => { burnMem(a, per): Unit }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 4
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val total = (if (args.length > 2) args(2).toLong else 40L) * 1000000000L
+    val mem = args.contains("--mem")
+    if (mem) {
+      burnMem(Array.fill(1024 * 1024)(1L), 3) // JIT warm-up
+      val totalPasses = 256
+      val runs = (0 until reps).flatMap(_ => Seq(n, n * 4)).map { c =>
+        val s = runMem(c, totalPasses)
+        System.err.println(f"[calib-mem] threads=$c wall=$s%.2f")
+        c -> s
+      }
+      val secN = runs.filter(_._1 == n).map(_._2).min
+      val sec4N = runs.filter(_._1 == n * 4).map(_._2).min
+      val eff = (secN / sec4N) / 4.0
+      println(f"""{"kind":"mem_calibration","N":$n,"sec_N":$secN%.2f,""" +
+        f""""4N":${n * 4},"sec_4N":$sec4N%.2f,"hardware_efficiency":$eff%.3f}""")
+    } else {
+      burn(100000000L) // JIT warm-up
+      val runs = (0 until reps).flatMap(_ => Seq(n, n * 4)).map { c =>
+        val s = run(c, total)
+        System.err.println(f"[calib] threads=$c wall=$s%.2f")
+        c -> s
+      }
+      val secN = runs.filter(_._1 == n).map(_._2).min
+      val sec4N = runs.filter(_._1 == n * 4).map(_._2).min
+      val eff = (secN / sec4N) / 4.0
+      println(f"""{"kind":"cpu_calibration","N":$n,"sec_N":$secN%.2f,""" +
+        f""""4N":${n * 4},"sec_4N":$sec4N%.2f,"hardware_efficiency":$eff%.3f}""")
+    }
+  }
+}

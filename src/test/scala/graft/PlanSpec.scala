@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.fixtures.TranscriptGen
+import graft.operators.TripleExtract
+
+/** Plan-shape regression suite: the properties that make the engine
+  * survive a 100× scale-up, asserted on the physical plans so a
+  * refactor can't silently regress them (SURVEY.md §7.4; the
+  * north_rule's "partitioning / shuffle / skew handled explicitly").
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("no driver query plans a cartesian product / unintended nested-loop join") {
+    // x17 deliberately cross-joins a broadcast SINGLE-ROW query vector —
+    // that BroadcastNestedLoopJoin is O(n·1), not O(n²)
+    val oneRowBroadcast = Set("x17_cosine_topk")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!oneRowBroadcast(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join")
+    }
+  }
+
+  test("extraction fold is ONE exchange, and raw text is shed before it") {
+    // materialize the fixture input first: its deliberate md5-scramble
+    // (orderBy) is input generation, not the engine under test
+    val t = TranscriptGen.df(spark, 10).cache()
+    t.count()
+    try {
+      val full = TripleExtract.extractUnion(t).queryExecution.executedPlan.toString
+      // the InMemoryRelation echoes its (already-materialized) build
+      // plan in the string — only the engine plan above the cache scan
+      // is under test
+      val cacheIdx = full.indexOf("InMemoryRelation")
+      assert(cacheIdx > 0, full.take(800))
+      val engine = full.substring(0, cacheIdx)
+      val exchanges = "Exchange".r.findAllIn(engine).size
+      assert(exchanges === 1, s"expected exactly 1 shuffle, got $exchanges:\n${engine.take(1500)}")
+      // and it is the conversation hash partition, not a range sort
+      assert(engine.contains("Exchange hashpartitioning(conv_id"), engine.take(1500))
+      // the shuffled rows blank the raw line (text shed before the wide
+      // dependency — extractUnion sets line="" pre-repartition); the
+      // projection under the exchange must carry the empty literal
+      assert(engine.contains("AS line#"), engine.take(1500))
+    } finally t.unpersist()
+  }
+
+  test("dimension joins broadcast the small side") {
+    for (name <- Seq("j1_lookup_join", "j2_parent_resolve", "g2_parent_edges")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name does not broadcast")
+    }
+  }
+
+  test("parquet scans push filters and prune columns") {
+    val plan = SparkEntry.queries("f5_marker_reject")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(1500))
+    // x1 projects 2 of 5 document columns — the scan schema must shrink
+    val scan = SparkEntry.queries("x1_md5_id")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val schema = scan.substring(scan.indexOf("ReadSchema"))
+    assert(schema.contains("doc_id") && schema.contains("text") &&
+      !schema.contains("n_chars"), schema.take(300))
+  }
+
+  test("dangling-edge filter plans left-semi joins, anti-join plans left-anti") {
+    val semi = SparkEntry.queries("f3_dangling_filter")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(semi.contains("LeftSemi"), semi.take(800))
+    val anti = SparkEntry.queries("j9_anti_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(anti.contains("LeftAnti"), anti.take(800))
+  }
+
+  test("top-k is TakeOrdered (no global sort) where a limit follows an order") {
+    val plan = SparkEntry.queries("x17_cosine_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+}
