@@ -253,6 +253,43 @@ object SparkEntry {
           .otherwise(lit("individual")).as("kind"))
         .orderBy("doc_id")),
 
+    // J8: exact entity linking = broadcast left join against an alias
+    // dictionary (md2csv.py:86-87 / csv2rdf-jsonld.py:41-43 semantics)
+    "j8_link_exact" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val mentions = d.select(col("doc_id"), col("lang").as("name"))
+      val aliases = d.select(col("lang").as("alias")).distinct()
+        .filter(col("alias").isin("en", "zh"))
+        .withColumn("canonical_id", substring(md5(col("alias")), 1, 8))
+      EntityLinking.linkExact(mentions, aliases)
+        .select(col("doc_id"), col("name"), col("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
+    // S8/F7: link extraction + internal-link filter over synthesized
+    // HTML (the oracle constructs the expected hrefs directly)
+    "s8_links_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<p>x</p><a href=\"/item/"), col("source"), lit("\">"), col("lang"),
+        lit("</a><a href=\"http://ext.example\">ext</a><a href=\"/item/d"),
+        col("doc_id"), lit("?from=1\">self</a>"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(HtmlExtract.baikeInternalLinks(html)).as("l"))
+        .select(col("doc_id"), col("l.href").as("href"), col("l.text").as("text"))
+        .orderBy("doc_id", "href")
+    }),
+
+    // X9-X12: markdown/PDF normalization chain (image+formula scrub,
+    // dir-marker rewrite, inline-LaTeX rewrite) — md_formatter.py /
+    // pdf_extractor.py semantics, oracled via DuckDB regexp_replace
+    "x9_textnorm" -> ((s, dir) => {
+      val md = concat(lit("![alt](http://x/y.png) 开头 $$E=mc^2$$ mid "),
+        col("text"), lit(" $x+y$ \uF06E 一级 \uF075 二级 ok"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextNorm.normalize(md).as("norm"))
+        .orderBy("doc_id")
+    }),
+
     // X18: stringified-array parse — the CSV-compat path where arrays
     // were stored as their text form and must be parsed back
     // (rag_query.py:73-76 ast.literal_eval). from_json over a
@@ -645,6 +682,34 @@ object SparkEntry {
 
     "x19_class_membership" -> ("""
       SELECT doc_id, CASE WHEN lang IN ('en','zh') THEN 'class' ELSE 'individual' END AS kind
+      FROM documents ORDER BY doc_id"""),
+
+    "j8_link_exact" -> ("""
+      SELECT doc_id, lang AS name,
+        CASE WHEN lang IN ('en','zh') THEN substr(md5(lang),1,8) END AS canonical_id
+      FROM documents ORDER BY doc_id"""),
+
+    "s8_links_extract" -> ("""
+      SELECT doc_id, href, text FROM (
+        SELECT doc_id, '/item/' || source AS href, lang AS text FROM documents
+        UNION ALL
+        SELECT doc_id, '/item/d' || doc_id AS href, 'self' AS text FROM documents)
+      ORDER BY doc_id, href"""),
+
+    "x9_textnorm" -> ("""
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  '![alt](http://x/y.png) 开头 $$E=mc^2$$ mid ' || text ||
+                    ' $x+y$ \uF06E 一级 \uF075 二级 ok',
+                  '!\[[^\]]*\]\([^)]*\)', '[图片]', 'g'),
+                '\$\$[^$]+\$\$', '[公式]', 'g'),
+              '\uF06E', '- ● ', 'g'),
+            '\uF075', '    - ◆ ', 'g'),
+          '\$([^$]+)\$', '\\(\1\\)', 'g') AS norm
       FROM documents ORDER BY doc_id"""),
 
     "x18_parse_array" -> ("""

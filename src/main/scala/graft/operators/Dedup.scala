@@ -85,9 +85,16 @@ object Dedup {
     * keep min id per component. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7): DataFrame = {
+    // persist the candidate pairs: componentsAuto takes TWO actions on
+    // them (count for the strategy switch, then collect/propagate) —
+    // unpersisted, the whole shingle→minhash→band→verify pipeline would
+    // run twice
     val pairs = minhashLsh(df, idCol, textCol, threshold = threshold)
-    val cc = Canonicalize.componentsAuto(
-      pairs.select(col("a").cast("string").as("a"), col("b").cast("string").as("b")))
+      .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"))
+      .persist()
+    val cc = Canonicalize.componentsAuto(pairs).persist()
+    cc.count()
+    pairs.unpersist()
     df.join(cc.select(col("v").cast(df.schema(idCol).dataType).as(idCol),
         col("comp")), Seq(idCol), "left")
       .filter(col("comp").isNull || col("comp") === col(idCol).cast("string"))

@@ -134,4 +134,23 @@ object Similarity {
     }
     df.withColumn("cell", greatest(cellScores: _*).getField("cell"))
   }
+
+  /** IVF probe: rank centroids against the query ON THE DRIVER (the
+    * centroid table is tiny by construction), filter the assigned table
+    * to the `nprobe` nearest cells — a partition/stats-prunable
+    * `cell IN (…)` predicate when the table is written clustered by
+    * cell — then exact-rescore only those rows. */
+  def ivfTopK(assigned: DataFrame, embCol: String, centroids: Array[Array[Float]],
+      query: Array[Float], k: Int, tieBreak: String, nprobe: Int = 2): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (cos(c, query), i) }
+      .sortBy(-_._1).take(math.min(nprobe, centroids.length)).map(_._2).toSeq
+    bruteForceTopK(assigned.filter(col("cell").isin(probeCells: _*)),
+      embCol, query, k, tieBreak)
+  }
 }

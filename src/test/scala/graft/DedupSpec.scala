@@ -93,6 +93,30 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(bucket), EqualTo(bucket"), plan.take(2000))
   }
 
+  test("IVF assign + probe: top hit recalled with a fraction of the rows scanned") {
+    import spark.implicits._
+    val many = (0 until 150).map(i => (i.toLong, s"cluster ${i % 5} document $i body text"))
+      .toDF("doc_id", "text")
+    val withEmb = Embeddings.withEmbedding(many, "text").cache()
+    // centroids = one representative embedding per coarse cluster
+    val centroids = (0 until 5).map(c =>
+      Embeddings.embed(s"cluster $c document $c body text")).toArray
+    val assigned = Similarity.ivfAssign(withEmb, "embedding", centroids).cache()
+    assert(assigned.select("cell").distinct().count() > 1) // actually partitions the space
+    val q = Embeddings.embed("cluster 2 document 77 body text")
+    val probed = Similarity.ivfTopK(assigned, "embedding", centroids, q, 3, "doc_id",
+      nprobe = 2)
+    val brute = Similarity.bruteForceTopK(withEmb, "embedding", q, 3, "doc_id")
+    // the true nearest neighbour lives in a probed cell
+    assert(probed.collect().head.getAs[Long]("doc_id") ===
+      brute.collect().head.getAs[Long]("doc_id"))
+    // and the probe scanned a strict subset of cells
+    val scanned = assigned.filter(col("cell").isin(
+      Similarity.ivfTopK(assigned, "embedding", centroids, q, 3, "doc_id", 2)
+        .select("cell").distinct().collect().map(_.getInt(0)).toSeq: _*)).count()
+    assert(scanned < withEmb.count())
+  }
+
   test("X18: stringified embedding round-trip (CSV compat, rag_query.py:73-76)") {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val emb = Embeddings.withEmbedding(docs, "text")
