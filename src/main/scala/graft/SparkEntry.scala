@@ -98,7 +98,7 @@ object SparkEntry {
     // (md2csv.py:24-105 as last_value/QUALIFY window SQL).
     "kg_triples_oracle" -> ((s, dir) => {
       val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
-      val (nodes, edges) = TripleExtract.extract(corpus)
+      val (nodes, edges, _) = TripleExtract.extractShared(corpus)
       TripleExtract.triples(nodes, edges).toDF()
         .orderBy("conv_id", "subj", "pred", "obj")
     }),
@@ -124,7 +124,7 @@ object SparkEntry {
     "kg_ttl_oracle" -> ((s, dir) => {
       import s.implicits._
       val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
-      val (nodes, edges) = TripleExtract.extract(corpus)
+      val (nodes, edges, _) = TripleExtract.extractShared(corpus)
       graft.sources.Exporters.ttlLines(
           Canonicalize.dedupNodes(nodes).as[graft.model.Node],
           Canonicalize.dedupEdges(edges).as[graft.model.Edge])
@@ -134,7 +134,7 @@ object SparkEntry {
     // predicate), flattened to scalar columns for the compare
     "kg_rels_oracle" -> ((s, dir) => {
       val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
-      val (nodes, edges) = TripleExtract.extract(corpus)
+      val (nodes, edges, _) = TripleExtract.extractShared(corpus)
       val cn = Canonicalize.dedupNodes(nodes)
       Canonicalize.dedupEdges(edges)
         .join(cn.select(col("id").as("dst")), Seq("dst"), "left_semi")

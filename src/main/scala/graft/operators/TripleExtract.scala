@@ -231,6 +231,20 @@ object TripleExtract {
   def extract(transcripts: DataFrame): (Dataset[Node], Dataset[Edge]) =
     splitUnion(extractUnion(transcripts))
 
+  /** [[extract]] with the union output PERSISTED: use whenever both
+    * outputs (or triples(), which consumes nodes twice via its parent
+    * self-join) are materialized — otherwise the whole fold recomputes
+    * once per consuming branch. The cache is surrendered to Spark's
+    * ContextCleaner (one-shot pipelines) — long-lived callers should
+    * unpersist via the returned handle. */
+  def extractShared(transcripts: DataFrame):
+      (Dataset[Node], Dataset[Edge], Dataset[KgOut]) = {
+    val union = extractUnion(transcripts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nodes, edges) = splitUnion(union)
+    (nodes, edges, union)
+  }
+
   // -------------------------------------------------------------------
   // Relational path: the same semantics in pure windows/groupBys
   // (W1 carry-forward, A2 last-wins — SURVEY.md §2.5/2.6). More shuffles
