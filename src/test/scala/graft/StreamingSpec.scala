@@ -54,13 +54,19 @@ class StreamingSpec extends SparkSpec {
     // (state carried from batch 1), then the EOC sentinel flushes nodes
     source.addData(Turn("s1", 1, "user", "- 概念甲 --> 概念乙 : 包含\nweight=5", null, ts))
     q.processAllAvailable()
-    source.addData(Turn("s1", 2, "user", StreamingExtract.EocMarker, null, ts))
+    // relation.update() quirk (md2csv.py:92): a prop named `type`
+    // overwrites the edge type mid-stream too
+    source.addData(Turn("s1", 2, "user", "- 概念甲 --> 概念丙 : knows type=friend", null, ts))
+    q.processAllAvailable()
+    source.addData(Turn("s1", 3, "user", StreamingExtract.EocMarker, null, ts))
     q.processAllAvailable()
     q.exception.foreach(throw _)
     q.stop()
     val rows = spark.sql("SELECT * FROM kg_stream2").collect()
-    val edges = rows.filter(_.getAs[String]("kind") == "edge")
-    assert(edges.length === 1 && edges.head.getAs[String]("etype") === "包含")
+    val edges = rows.filter(_.getAs[String]("kind") == "edge").sortBy(_.getAs[Long]("ord"))
+    assert(edges.length === 2 && edges.head.getAs[String]("etype") === "包含")
+    assert(edges(1).getAs[String]("etype") === "friend" &&
+      !edges(1).getAs[Map[String, String]]("props").contains("type"))
     val nodes = rows.filter(r => r.getAs[String]("kind") == "node" &&
       r.getAs[String]("conv_id") == "s1")
     assert(nodes.exists(n => n.getAs[String]("name") == "概念甲" &&
