@@ -112,6 +112,18 @@ object SparkEntry {
             concat(e.getField("key"), lit("="), e.getField("value"))), ",").as("props"))
         .orderBy("id")
     }),
+    // The RELATIONAL (window/groupBy) extraction path over the same
+    // corpus — the declarative twin of the kernel fold, driver-oracled
+    // end-to-end (W1 carry-forward + A2 last-wins as actual windows)
+    "kg_relational_oracle" -> ((s, dir) => {
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (nodes, _) = TripleExtract.extractRelational(corpus)
+      nodes.toDF().select(col("conv_id"), col("id"), col("name"), col("ntype"),
+        col("parent"),
+        array_join(transform(array_sort(map_entries(col("props"))), e =>
+          concat(e.getField("key"), lit("="), e.getField("value"))), ",").as("props"))
+        .orderBy("conv_id", "id")
+    }),
     // A4 canonical edges (first (conv, ord) per (src, dst, etype))
     "kg_edges_oracle" -> ((s, dir) => {
       val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
@@ -571,6 +583,13 @@ object SparkEntry {
       FROM surv s LEFT JOIN props p ON p.conv_id = s.conv_id AND p.cid = s.cid
       GROUP BY s.cid, s.name, s.ntype, s.parent, s.conv_id
       ORDER BY id"""),
+
+    "kg_relational_oracle" -> (GrammarCorpus.DuckPrefix + """
+      SELECT n.conv_id, n.cid AS id, n.name, n.ntype, n.parent,
+             coalesce(string_agg(p.pk || '=' || p.pval, ',' ORDER BY p.pk), '') AS props
+      FROM nodes n LEFT JOIN props p ON p.conv_id = n.conv_id AND p.cid = n.cid
+      GROUP BY n.conv_id, n.cid, n.name, n.ntype, n.parent
+      ORDER BY n.conv_id, id"""),
 
     "kg_edges_oracle" -> (GrammarCorpus.DuckPrefix + """
       SELECT src, dst, etype, srcName, dstName, conv_id, eord AS ord FROM rels
