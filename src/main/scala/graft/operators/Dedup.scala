@@ -42,7 +42,15 @@ object Dedup {
     * Returns candidate pairs (a, b, jaccard ≥ threshold). */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.7,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3): DataFrame =
+    minhashLshWithHandle(df, idCol, textCol, bands, rowsPerBand, threshold, shingleN)._1
+
+  /** [[minhashLsh]] plus the persisted-signatures handle, so callers
+    * that materialize the pairs can unpersist deterministically instead
+    * of waiting for the ContextCleaner. */
+  private[graft] def minhashLshWithHandle(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.7,
+      shingleN: Int = 3): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
     val withSig = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -78,7 +86,7 @@ object Dedup {
         (size(col("shA")) + size(col("shB")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-    out
+    (out, sigs)
   }
 
   /** Drop near-duplicates: connected components over minhash pairs,
@@ -89,12 +97,14 @@ object Dedup {
     // them (count for the strategy switch, then collect/propagate) —
     // unpersisted, the whole shingle→minhash→band→verify pipeline would
     // run twice
-    val pairs = minhashLsh(df, idCol, textCol, threshold = threshold)
+    val (rawPairs, sigs) = minhashLshWithHandle(df, idCol, textCol, threshold = threshold)
+    val pairs = rawPairs
       .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"))
       .persist()
     val cc = Canonicalize.componentsAuto(pairs).persist()
     cc.count()
     pairs.unpersist()
+    sigs.unpersist()
     df.join(cc.select(col("v").cast(df.schema(idCol).dataType).as(idCol),
         col("comp")), Seq(idCol), "left")
       .filter(col("comp").isNull || col("comp") === col(idCol).cast("string"))
