@@ -37,6 +37,8 @@ object SparkEntry {
     * input). */
   private val tCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
+  private val annIndex =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def transcripts(s: SparkSession, n: Long): DataFrame =
     tCache.getOrElseUpdate((s.sparkContext.applicationId, n), {
       val df = TranscriptGen.df(s, n)
@@ -192,9 +194,14 @@ object SparkEntry {
         .collect()(0).getSeq[Float](0).toArray
       // scale path: materialized (t, bucket, id) index, partition-pruned
       // per hash table + bucket filter pushed to row-group stats; the
-      // base table is only touched to re-score the candidate set
-      val idxPath = System.getProperty("java.io.tmpdir") + "/graft_ann_index"
-      Similarity.buildAnnIndex(emb, "vec_id", "embedding", q.length, idxPath)
+      // base table is only touched to re-score the candidate set. The
+      // index is built ONCE per (session, sf dir) — at scale it is a
+      // one-time artifact, not per-query work.
+      val idxPath = annIndex.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+        val p = System.getProperty("java.io.tmpdir") + "/graft_ann_index"
+        Similarity.buildAnnIndex(emb, "vec_id", "embedding", q.length, p)
+        p
+      })
       Similarity.annTopKIndexed(emb, idxPath, "vec_id", "embedding",
           q.length, q, 10, "vec_id")
         .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
