@@ -160,6 +160,16 @@ class DedupSpec extends SparkSpec {
     assert(viaOp === direct)
   }
 
+  test("splitMdContent reassembles exactly across random docs and params (lossless split)") {
+    import graft.operators.TextNorm
+    import graft.fixtures.MdGen
+    for (seed <- 10L until 35L; (ml, tol) <- Seq((500, 100), (2000, 300))) {
+      val content = MdGen.doc(seed, 80)
+      val chunks = TextNorm.splitMdContent(content, ml, tol)
+      assert(chunks.mkString === content, s"seed=$seed ml=$ml")
+    }
+  }
+
   test("ngram jaccard: dup=1.0, near>0.3, unrelated=0") {
     import spark.implicits._
     val j = docs.as("x").join(docs.as("y"), col("x.doc_id") < col("y.doc_id"))
