@@ -33,7 +33,9 @@ object KgPipeline {
     val (canonNodes, canonEdges) =
       if (fuzzy) {
         val sim = EntityLinking.fuzzyIdEdges(nodes.toDF().select(col("name")), threshold = 0.8)
-        Canonicalize.canonicalizeGraph(nodes, edges, sim)
+        val r = Canonicalize.canonicalizeGraph(nodes, edges, sim)
+        sim.unpersist() // canonicalizeGraph materialized the components eagerly
+        r
       } else (Canonicalize.dedupNodes(nodes), Canonicalize.dedupEdges(edges))
     (canonNodes, canonEdges, TripleExtract.triples(nodes, edges).toDF())
   }
@@ -47,7 +49,9 @@ object KgPipeline {
     val (canonNodes, canonEdges) =
       if (fuzzy) {
         val sim = EntityLinking.fuzzyIdEdges(nodes.toDF().select(col("name")), threshold = 0.8)
-        Canonicalize.canonicalizeGraph(nodes, edges, sim)
+        val r = Canonicalize.canonicalizeGraph(nodes, edges, sim)
+        sim.unpersist() // canonicalizeGraph materialized the components eagerly
+        r
       } else (Canonicalize.dedupNodes(nodes), Canonicalize.dedupEdges(edges))
     val triples = TripleExtract.triples(nodes, edges).toDF()
     val counters = Map(

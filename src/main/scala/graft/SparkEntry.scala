@@ -74,7 +74,12 @@ object SparkEntry {
     "kg_fuzzy_pairs" -> ((s, dir) => {
       val t = transcripts(s, math.min(TranscriptGen.convsForSfDir(dir), 300L))
       val (nodes, _) = TripleExtract.extract(t)
-      EntityLinking.fuzzyCandidates(nodes.toDF().select(col("name")), threshold = 0.5)
+      val (pairs, sigs) = EntityLinking.fuzzyCandidatesWithHandle(
+        nodes.toDF().select(col("name")), threshold = 0.5)
+      val out = pairs.persist()
+      out.count() // materialize so the signature cache can be released now
+      sigs.unpersist()
+      out
     }),
     "kg_ttl" -> ((s, dir) => {
       import s.implicits._
@@ -198,7 +203,12 @@ object SparkEntry {
       // index is built ONCE per (session, sf dir) — at scale it is a
       // one-time artifact, not per-query work.
       val idxPath = annIndex.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-        val p = System.getProperty("java.io.tmpdir") + "/graft_ann_index"
+        // path derived from the memo key: a second sf dir (or another
+        // JVM sharing /tmp) gets its own directory instead of silently
+        // overwriting the first dir's index while its memo entry still
+        // points there
+        val p = System.getProperty("java.io.tmpdir") +
+          s"/graft_ann_index_${s.sparkContext.applicationId}_${java.lang.Integer.toHexString(dir.hashCode)}"
         Similarity.buildAnnIndex(emb, "vec_id", "embedding", q.length, p)
         p
       })
@@ -450,14 +460,31 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
-    // O4: drop-until-fits batch trim (read_v2.py:43-53)
+    // O4: drop-LARGEST-until-fits batch trim, faithful to
+    // read_v2.py:34-53: items are batched 16 at a time in input order;
+    // each batch greedily removes its largest-token item (Python `max`
+    // = FIRST max on ties) until the batch total fits the cap. The kept
+    // set per batch ≡ the maximal prefix under (tokens asc, id desc)
+    // with running sum ≤ cap — one window, no loop (equivalence
+    // unit-tested against a direct replay of the Python loop in
+    // OpsSpec). tokens = len // 2 (read_v2.py:39-40); the per-item JSON
+    // envelope overhead is abstracted to the item's own length, and the
+    // cap is scaled to the fixture batches (the reference's 4096 never
+    // fires on sf-scale documents, leaving the drop path untested).
     "o4_batch_trim" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val wBatch = Window.partitionBy("lang").orderBy("doc_id")
+      val batched = tbl(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          floor(col("n_chars") / 2).cast("long").as("tokens"))
+        .withColumn("batch",
+          floor((row_number().over(wBatch) - 1) / 16).cast("int"))
+      val wTrim = Window.partitionBy("lang", "batch")
+        .orderBy(col("tokens").asc, col("doc_id").desc)
         .rowsBetween(Window.unboundedPreceding, 0)
-      tbl(s, dir, "documents").select(col("lang"), col("doc_id"),
-        sum(col("n_chars")).over(w).cast("long").as("cum"))
-        .filter(col("cum") <= 20000)
-        .orderBy("lang", "doc_id")
+      batched.withColumn("cum", sum(col("tokens")).over(wTrim).cast("long"))
+        .filter(col("cum") <= 1500)
+        .select("lang", "batch", "doc_id", "tokens")
+        .orderBy("lang", "batch", "doc_id")
     }),
 
     // O5/O6: union + distinct (rag_query.py:34-58 concat; sets)
@@ -828,12 +855,17 @@ object SparkEntry {
       FROM events ORDER BY user_id, event_id"""),
 
     "o4_batch_trim" -> ("""
-      WITH c AS (SELECT lang, doc_id,
-        sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      WITH b AS (SELECT lang, doc_id,
+        CAST(floor(n_chars / 2) AS BIGINT) AS tokens,
+        CAST(floor((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+                   / 16) AS INT) AS batch
+        FROM documents),
+      c AS (SELECT *, sum(tokens) OVER (PARTITION BY lang, batch
+          ORDER BY tokens ASC, doc_id DESC
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM documents)
-      SELECT lang, doc_id, cum::BIGINT AS cum FROM c WHERE cum <= 20000
-      ORDER BY lang, doc_id"""),
+        FROM b)
+      SELECT lang, batch, doc_id, tokens FROM c WHERE cum <= 1500
+      ORDER BY lang, batch, doc_id"""),
 
     "o5_union_distinct" -> ("""
       SELECT DISTINCT v FROM (SELECT lang AS v FROM documents

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.model.{Edge, Node}
 
 /** Canonicalization: duplicate-node merge with edge redirect + duplicate-
@@ -15,30 +14,37 @@ import graft.model.{Edge, Node}
   */
 object Canonicalize {
 
+  /** Skew-immune keep-first: one survivor per key — the row minimizing
+    * `ordCols` — expressed as `groupBy(key).agg(min_by(struct(rest),
+    * struct(ord)))`. Output-identical to the row_number()-window form
+    * but PARTIAL-AGGREGABLE: a window funnels every duplicate of a hot
+    * key through one task (the first skew cliff at 100× on Zipf-hot
+    * entity ids), while min_by combines map-side so a hot key costs one
+    * row per input partition at the shuffle. */
+  private[graft] def keepFirstByKey(df: DataFrame, keyCols: Seq[String],
+      ordCols: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(keyCols.contains)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(others.map(col): _*), struct(ordCols.map(col): _*)).as("_s"))
+      .select(df.columns.toIndexedSeq.map(c =>
+        if (keyCols.contains(c)) col(c) else col(s"_s.$c").as(c)): _*)
+  }
+
   /** A3: one survivor per id. The Cypher keeps `nodes[0]` (collection
     * order — nondeterministic in Neo4j); we pick deterministically:
     * min (conv_id) then the node row from that conversation, so output
     * is invariant to partitioning (SURVEY.md §7.4). Cross-conversation
     * merge is exactly the reference's multi-file Neo4j import followed
     * by its dedup Cypher. */
-  def dedupNodes(nodes: Dataset[Node]): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(col("conv_id"))
-    nodes.toDF()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-  }
+  def dedupNodes(nodes: Dataset[Node]): DataFrame =
+    keepFirstByKey(nodes.toDF(), Seq("id"), Seq("conv_id"))
 
   /** A3 second half + A4: redirect edges of removed duplicates — a no-op
     * under hash-identity (duplicates share the id, so src/dst already
     * point at the survivor) — then drop duplicate (src, dst, type)
     * edges keeping the first by stable order (README.md:303-311). */
-  def dedupEdges(edges: Dataset[Edge]): DataFrame = {
-    val w = Window.partitionBy("src", "dst", "etype")
-      .orderBy(col("conv_id"), col("ord"))
-    edges.toDF()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-  }
+  def dedupEdges(edges: Dataset[Edge]): DataFrame =
+    keepFirstByKey(edges.toDF(), Seq("src", "dst", "etype"), Seq("conv_id", "ord"))
 
   /** A5: duplicate histograms (the reference's dedup-count Cypher,
     * command_set.txt) — also the hot-key detector that drives skew
@@ -133,9 +139,7 @@ object Canonicalize {
       .withColumn("id", coalesce(col("canonical"), col("id")))
       .drop("canonical")
     // after remap, several nodes may share the canonical id → keep one
-    val w = Window.partitionBy("id").orderBy(col("conv_id"), col("name"))
-    val canonNodes = remapped.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val canonNodes = keepFirstByKey(remapped, Seq("id"), Seq("conv_id", "name"))
     val srcMap = mapping.withColumnRenamed("id", "src")
       .withColumnRenamed("canonical", "srcCanon")
     val dstMap = mapping.withColumnRenamed("id", "dst")
@@ -146,12 +150,8 @@ object Canonicalize {
       .withColumn("src", coalesce(col("srcCanon"), col("src")))
       .withColumn("dst", coalesce(col("dstCanon"), col("dst")))
       .drop("srcCanon", "dstCanon")
-    val dedupedEdges = {
-      val we = Window.partitionBy("src", "dst", "etype")
-        .orderBy(col("conv_id"), col("ord"))
-      canonEdges.withColumn("rn", row_number().over(we))
-        .filter(col("rn") === 1).drop("rn")
-    }
+    val dedupedEdges =
+      keepFirstByKey(canonEdges, Seq("src", "dst", "etype"), Seq("conv_id", "ord"))
     (canonNodes, dedupedEdges)
   }
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.Embeddings
 
 /** Document deduplication suite for training-data pipelines: exact,
@@ -14,18 +13,65 @@ import graft.functions.Embeddings
   */
 object Dedup {
 
-  /** Exact dedup by content hash: keep min id per md5(text) group.
-    * One shuffle (partial agg map-side). */
+  /** Signature-estimate prefilter margin and the minimum signature
+    * length for which the false-negative bound (see minhashLsh) is
+    * acceptable: exp(−2·16·0.35²) ≈ 2e-2 Hoeffding, ≈ 1e-4 exact. */
+  private val EstMargin = 0.35
+  private val MinHashesForEstFilter = 16
+
+  /** Exact dedup by content hash: keep the min-id row per md5(text)
+    * group. One shuffle, partial-aggregable map-side (min_by — no
+    * window, so a hot hash like the empty document can't funnel all its
+    * duplicates through one task). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("_h", md5(col(textCol)))
-      .withColumn("_keep", min(col(idCol)).over(Window.partitionBy("_h")))
-      .filter(col(idCol) === col("_keep"))
-      .drop("_h", "_keep")
+    Canonicalize.keepFirstByKey(
+      df.withColumn("_h", md5(col(textCol))), Seq("_h"), Seq(idCol))
+      .drop("_h")
 
   /** Exact-dup groups: (hash, keep, count) — the metrics view. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep"), count(lit(1)).as("cnt"))
+
+  /** Candidate pairs from a banded (id, bucket[, payload…]) table with a
+    * degenerate-bucket guard: buckets of at most `bucketCap` members do
+    * the normal within-bucket all-pairs self-join; hotter buckets emit a
+    * STAR to the bucket's min id instead (n−1 pairs instead of
+    * n(n−1)/2). The star preserves connectivity for the CC-based dedup
+    * consumers (every member still reaches every other through the
+    * representative) while bounding the join output linearly — a
+    * quadratic hot bucket (e.g. thousands of identical empty-text
+    * fingerprints) is the one way LSH banding degenerates at scale.
+    * Within a hot bucket, pairs not involving the representative are
+    * not emitted (the documented degradation: pairwise OUTPUT inside a
+    * hot bucket is star-shaped; component MEMBERSHIP is unchanged).
+    *
+    * `payload` columns (narrow per-id values, e.g. a fingerprint) are
+    * carried through as <p>A/<p>B so callers need no re-join; keep them
+    * narrow — wide arrays through the pair distinct was the round-1
+    * scale-killer. `dedup=false` skips the final distinct for callers
+    * whose banding emits one bucket per id (single-table LSH). */
+  private[graft] def bandedPairs(banded: DataFrame, bucketCap: Int,
+      payload: Seq[String] = Nil, dedup: Boolean = true): DataFrame = {
+    val aggs = count(lit(1)).as("_bc") +: min(col("id")).as("_rep") +:
+      (if (payload.nonEmpty)
+         Seq(min_by(struct(payload.map(col): _*), col("id")).as("_repP"))
+       else Nil)
+    val counts = banded.groupBy("bucket").agg(aggs.head, aggs.tail: _*)
+    val withC = banded.join(counts, Seq("bucket"))
+    val normal = withC.filter(col("_bc") <= bucketCap)
+    val outCols = (col("x.id").as("a") +: payload.map(p => col(s"x.$p").as(p + "A"))) ++
+      (col("y.id").as("b") +: payload.map(p => col(s"y.$p").as(p + "B")))
+    val allPairs = normal.as("x").join(normal.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(outCols: _*)
+    val starCols = (col("_rep").as("a") +: payload.map(p => col(s"_repP.$p").as(p + "A"))) ++
+      (col("id").as("b") +: payload.map(p => col(p).as(p + "B")))
+    val star = withC.filter(col("_bc") > bucketCap && col("id") =!= col("_rep"))
+      .select(starCols: _*)
+    val union = allPairs.union(star)
+    if (dedup) union.distinct() else union
+  }
 
   /** Word shingles (n-gram sets) of normalized text. */
   def wordShingles(c: Column, n: Int = 3): Column = {
@@ -42,15 +88,16 @@ object Dedup {
     * Returns candidate pairs (a, b, jaccard ≥ threshold). */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.7,
-      shingleN: Int = 3): DataFrame =
-    minhashLshWithHandle(df, idCol, textCol, bands, rowsPerBand, threshold, shingleN)._1
+      shingleN: Int = 3, bucketCap: Int = 1000): DataFrame =
+    minhashLshWithHandle(df, idCol, textCol, bands, rowsPerBand, threshold,
+      shingleN, bucketCap)._1
 
   /** [[minhashLsh]] plus the persisted-signatures handle, so callers
     * that materialize the pairs can unpersist deterministically instead
     * of waiting for the ContextCleaner. */
   private[graft] def minhashLshWithHandle(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.7,
-      shingleN: Int = 3): (DataFrame, DataFrame) = {
+      shingleN: Int = 3, bucketCap: Int = 1000): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
     val withSig = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -65,22 +112,32 @@ object Dedup {
         hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as("bucket"))
       .distinct()
-    val idPairs = banded.as("x").join(banded.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
+    val idPairs = bandedPairs(banded, bucketCap)
     // fetch sets/signatures once per verified pair, then two cheap
     // prefilters before the exact Jaccard:
-    //  (1) size ratio: J(A,B) ≥ t requires min/max set size ≥ t;
-    //  (2) signature estimate: matching minhash components estimate J.
-    val out = idPairs
+    //  (1) size ratio — LOSSLESS: J(A,B) ≤ min|·|/max|·|, so J ≥ t
+    //      implies the ratio ≥ t;
+    //  (2) signature estimate — PROBABILISTIC: each of the numHashes
+    //      components matches with prob J, so est ~ Binom(numHashes,J)/
+    //      numHashes and a true pair (J ≥ t) is falsely dropped with
+    //      P[est < t−EstMargin] ≤ exp(−2·numHashes·EstMargin²)
+    //      (Hoeffding; = 2.0e-2 at 16 hashes, exact binomial ≈ 1.1e-4
+    //      at J = t = 0.7). Applied only when numHashes ≥ 16 so the
+    //      bound holds; below that the filter is skipped and the output
+    //      is exactly the verified-candidate set (the lossless path —
+    //      same choice as EntityLinking.fuzzyCandidates at 8 hashes).
+    val base = idPairs
       .join(sigs.select(col("id").as("a"), col("sh").as("shA"), col("sig").as("sigA")), Seq("a"))
       .join(sigs.select(col("id").as("b"), col("sh").as("shB"), col("sig").as("sigB")), Seq("b"))
-      .withColumn("est", size(filter(zip_with(col("sigA"), col("sigB"),
-        (x, y) => x === y), m => m)).cast("double") / numHashes)
       .filter(least(size(col("shA")), size(col("shB"))).cast("double") /
         greatest(size(col("shA")), size(col("shB"))) >= threshold)
-      .filter(col("est") >= threshold - 0.35)
+    val estFiltered =
+      if (numHashes >= MinHashesForEstFilter)
+        base.withColumn("est", size(filter(zip_with(col("sigA"), col("sigB"),
+            (x, y) => x === y), m => m)).cast("double") / numHashes)
+          .filter(col("est") >= threshold - EstMargin)
+      else base
+    val out = estFiltered
       .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
       .withColumn("jaccard", col("inter") /
         (size(col("shA")) + size(col("shB")) - col("inter")))
@@ -142,18 +199,17 @@ object Dedup {
     * (fingerprints equal in any band become candidates), verify by
     * Hamming distance ≤ maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 32, bandBits: Int = 8, maxDist: Int = 2): DataFrame = {
+      bits: Int = 32, bandBits: Int = 8, maxDist: Int = 2,
+      bucketCap: Int = 1000): DataFrame = {
     val withFp = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("fp"))
     val bands = bits / bandBits
     val bandCols = array((0 until bands).map { b =>
       shiftright(col("fp"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)) * lit(100) + lit(b)
     }: _*)
     val banded = withFp.select(col("id"), col("fp"), explode(bandCols).as("bucket"))
-    banded.as("x").join(banded.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.fp").as("fpA"), col("y.fp").as("fpB"))
-      .distinct()
+    // fp rides along as the (narrow, 8-byte) payload so verification
+    // needs no re-join; hot buckets collapse to a star (see bandedPairs)
+    bandedPairs(banded, bucketCap, payload = Seq("fp"))
       // Hamming distance = popcount of the XOR (single codegen'd op)
       .withColumn("dist",
         call_function("bit_count", col("fpA").bitwiseXOR(col("fpB"))).cast("int"))
@@ -172,13 +228,19 @@ object Dedup {
   /** Embedding-cosine near-dup pairs: LSH-bucket embeddings (random
     * hyperplanes), verify cosine within buckets. */
   def embeddingNearDup(df: DataFrame, idCol: String, embCol: String,
-      dim: Int, threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+      dim: Int, threshold: Double = 0.95, bits: Int = 8,
+      bucketCap: Int = 1000): DataFrame = {
     val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("bucket", Similarity.lshBucket(col("emb"), dim, bits))
-    withB.as("x").join(withB.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        Embeddings.cosine(col("x.emb"), col("y.emb")).as("cosine"))
+    // one bucket per id (single hash table) → pairs are already unique,
+    // skip the distinct; embeddings re-joined per side rather than
+    // dragged through the pair generation (wide-array anti-pattern)
+    val pairs = bandedPairs(withB.select("id", "bucket"), bucketCap, dedup = false)
+    pairs
+      .join(withB.select(col("id").as("a"), col("emb").as("embA")), Seq("a"))
+      .join(withB.select(col("id").as("b"), col("emb").as("embB")), Seq("b"))
+      .select(col("a"), col("b"),
+        Embeddings.cosine(col("embA"), col("embB")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

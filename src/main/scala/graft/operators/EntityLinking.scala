@@ -67,7 +67,16 @@ object EntityLinking {
     * jaccard >= threshold. Never computes the O(n²) cross product —
     * only the banded buckets join. */
   def fuzzyCandidates(names: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
-      threshold: Double = 0.5, shingleN: Int = 2): DataFrame = {
+      threshold: Double = 0.5, shingleN: Int = 2): DataFrame =
+    fuzzyCandidatesWithHandle(names, bands, rowsPerBand, threshold, shingleN)._1
+
+  /** [[fuzzyCandidates]] plus the persisted-signatures handle (same
+    * contract as Dedup.minhashLshWithHandle): callers that materialize
+    * the pairs unpersist `sigs` deterministically instead of leaking a
+    * cache entry per call until the ContextCleaner GCs it. */
+  private[graft] def fuzzyCandidatesWithHandle(names: DataFrame, bands: Int = 4,
+      rowsPerBand: Int = 2, threshold: Double = 0.5,
+      shingleN: Int = 2): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
     val sigs = names.select(col("name")).distinct()
       .withColumn("sh", shingles(col("name"), shingleN))
@@ -78,20 +87,18 @@ object EntityLinking {
     // enter the self-join or the pair distinct (same join shape as
     // Dedup.minhashLsh; with Zipf-hot surface forms, dragging arrays
     // through the wide distinct was the round-1 scale-killer)
-    val banded = sigs.select(col("name"),
+    val banded = sigs.select(col("name").as("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as("bucket"))
       .distinct()
-    val pairs = banded.as("x").join(banded.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.name") < col("y.name"))
-      .select(col("x.name").as("a"), col("y.name").as("b"))
-      .distinct()
+    // hot-bucket guard shared with Dedup (star topology above the cap)
+    val pairs = Dedup.bandedPairs(banded, bucketCap = 1000)
     // fetch shingle sets once per candidate pair; the size-ratio
     // prefilter is LOSSLESS (J(A,B) ≤ min|·|/max|·|, so J ≥ t implies
     // the ratio ≥ t) — unlike minhashLsh's signature-estimate filter,
     // which is probabilistic and would change output at 8 hashes
-    pairs
+    val out = pairs
       .join(sigs.select(col("name").as("a"), col("sh").as("shA")), Seq("a"))
       .join(sigs.select(col("name").as("b"), col("sh").as("shB")), Seq("b"))
       .filter(least(size(col("shA")), size(col("shB"))).cast("double") /
@@ -101,12 +108,22 @@ object EntityLinking {
         (size(col("shA")) + size(col("shB")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+    (out, sigs)
   }
 
   /** Fuzzy-link candidates as similarity edges between entity IDs
-    * (input for Canonicalize.canonicalizeGraph): id(a) — id(b). */
-  def fuzzyIdEdges(names: DataFrame, threshold: Double = 0.6): DataFrame =
-    fuzzyCandidates(names, threshold = threshold)
+    * (input for Canonicalize.canonicalizeGraph): id(a) — id(b).
+    * Materializes the pairs (downstream componentsAuto takes two
+    * actions on them anyway) so the signature cache can be released
+    * deterministically. */
+  def fuzzyIdEdges(names: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val (cands, sigs) = fuzzyCandidatesWithHandle(names, threshold = threshold)
+    val edges = cands
       .select(substring(md5(col("a")), 1, 8).as("a"),
         substring(md5(col("b")), 1, 8).as("b"))
+      .persist()
+    edges.count()
+    sigs.unpersist()
+    edges
+  }
 }

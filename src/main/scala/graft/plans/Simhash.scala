@@ -24,7 +24,11 @@ case class SimhashFold(hashes: Expression, bitsExpr: Expression)
   private lazy val bits: Int = bitsExpr.eval(null).asInstanceOf[Int]
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (!bitsExpr.foldable)
+    if (!hashes.dataType.isInstanceOf[ArrayType] ||
+        hashes.dataType.asInstanceOf[ArrayType].elementType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hashes must be array<bigint>, got ${hashes.dataType.simpleString}")
+    else if (!bitsExpr.foldable || bitsExpr.dataType != IntegerType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "bits must be a foldable int literal")
     else if (bits < 1 || bits > 64)
@@ -41,11 +45,13 @@ case class SimhashFold(hashes: Expression, bitsExpr: Expression)
     val cnt = new Array[Long](bits)
     var i = 0
     while (i < n) {
-      val x = arr.getLong(i)
-      var b = 0
-      while (b < bits) {
-        cnt(b) += (((x >>> b) & 1L) << 1) - 1L // +1 if bit set else -1
-        b += 1
+      if (!arr.isNullAt(i)) { // null elements contribute no votes
+        val x = arr.getLong(i)
+        var b = 0
+        while (b < bits) {
+          cnt(b) += (((x >>> b) & 1L) << 1) - 1L // +1 if bit set else -1
+          b += 1
+        }
       }
       i += 1
     }
@@ -67,6 +73,7 @@ case class SimhashFold(hashes: Expression, bitsExpr: Expression)
          |long[] $cnt = new long[$bits];
          |int $n = $h.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($h.isNullAt($i)) continue;
          |  long $x = $h.getLong($i);
          |  for (int $b = 0; $b < $bits; $b++) {
          |    $cnt[$b] += ((($x >>> $b) & 1L) << 1) - 1L;

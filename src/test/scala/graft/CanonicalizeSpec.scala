@@ -38,6 +38,33 @@ class CanonicalizeSpec extends SparkSpec {
     assert(out.find(_.getAs[String]("etype") == "依赖").get.getAs[Long]("ord") === 1L)
   }
 
+  test("keep-first dedup is partition-invariant on a Zipf-hot id (skew-immune min_by)") {
+    import spark.implicits._
+    // 500 duplicates of one id (the Zipf head) + a 20-node tail: under
+    // the old row_number window every hot duplicate funnels through one
+    // task; the min_by aggregate must produce the same survivors at any
+    // partitioning
+    val hot = (0 until 500).map(i => node(f"c$i%03d", "热点", "T", Map("v" -> i.toString)))
+    val tail = (0 until 20).map(i => node("c001", s"e$i"))
+    val nodes = (hot ++ tail).toDS()
+    def run(parts: Int) = Canonicalize.dedupNodes(nodes.repartition(parts))
+      .withColumn("props", to_json(col("props")))
+      .collect().map(_.toSeq).toSet
+    val at2 = run(2); val at8 = run(8)
+    assert(at2 === at8)
+    assert(at2.size === 21)
+    val surv = at2.find(_.contains("热点")).get
+    assert(surv.contains("c000")) // min conv_id survives
+    // edges too
+    val es = ((0 until 300).map(i => edge(f"c$i%03d", "a", "b", "依赖", (300 - i).toLong)) :+
+      edge("c999", "a", "c", "包含", 0)).toDS()
+    def runE(parts: Int) = Canonicalize.dedupEdges(es.repartition(parts))
+      .drop("props").collect().map(_.toSeq).toSet
+    assert(runE(2) === runE(8))
+    assert(runE(2).size === 2)
+    assert(runE(2).find(_.contains("依赖")).get.contains(300L)) // min (conv, ord) pick
+  }
+
   test("A5: duplicate counts") {
     import spark.implicits._
     val nodes = Seq(node("c1", "x"), node("c2", "x"), node("c3", "y")).toDS()

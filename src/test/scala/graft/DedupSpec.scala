@@ -37,6 +37,64 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 4L) })
   }
 
+  test("degenerate hot bucket: identical texts yield linear star pairs, not n²") {
+    import spark.implicits._
+    val n = 3000
+    val same = (0 until n).map(i => (i.toLong, "same exact text repeated"))
+      .toDF("doc_id", "text")
+    // every doc lands in the same bucket in every band → without the cap
+    // this is n(n−1)/2 ≈ 4.5M pairs; with it, a star to min id = n−1
+    val pairs = Dedup.minhashLsh(same, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.9, shingleN = 2, bucketCap = 100)
+    assert(pairs.count() === (n - 1).toLong)
+    assert(pairs.filter(col("a") =!= 0L).count() === 0) // all pairs anchor at min id
+    // connectivity preserved: near-dup drop still collapses to ONE survivor
+    val kept = Dedup.dropNearDuplicates(same, "doc_id", "text", threshold = 0.9)
+    assert(kept.count() === 1L)
+    // simhash family: same guard
+    val sp = Dedup.simhashPairs(same, "doc_id", "text", maxDist = 3, bucketCap = 100)
+    assert(sp.count() === (n - 1).toLong)
+    assert(sp.filter(col("dist") =!= 0).count() === 0)
+    // embedding family: same guard (identical embeddings, one table)
+    val withEmb = Embeddings.withEmbedding(same, "text")
+    val ep = Dedup.embeddingNearDup(withEmb, "doc_id", "embedding",
+      Embeddings.DefaultDim, threshold = 0.9, bucketCap = 100)
+    assert(ep.count() === (n - 1).toLong)
+  }
+
+  test("bucket cap is inert when no bucket is hot (output-identical)") {
+    val base = Dedup.minhashLsh(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 1, threshold = 0.4, shingleN = 2, bucketCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLsh(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 1, threshold = 0.4, shingleN = 2, bucketCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base === capped)
+  }
+
+  test("minhashLsh candidates ⊇ brute-force ground truth (est-filter bound holds)") {
+    import spark.implicits._
+    val t = 0.4
+    // ground truth: exact shingle-Jaccard over all pairs (test-only n²)
+    val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 2).as("sh"))
+    val truth = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
+      .withColumn("j", col("inter") /
+        (size(col("x.sh")) + size(col("y.sh")) - col("inter")))
+      .filter(col("j") >= t)
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    // 8 hashes → est filter OFF (lossless verify); 16 → est filter ON:
+    // both must contain every true pair on the deterministic fixture
+    for ((bands, rows) <- Seq((8, 1), (16, 1))) {
+      val got = Dedup.minhashLsh(docs, "doc_id", "text",
+        bands = bands, rowsPerBand = rows, threshold = t, shingleN = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.subsetOf(got), s"bands=$bands missing ${truth.diff(got)}")
+    }
+  }
+
   test("dropNearDuplicates keeps one representative per near-dup cluster") {
     val out = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.4)
     val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet

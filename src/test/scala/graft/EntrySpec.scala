@@ -7,4 +7,20 @@ class EntrySpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("conv_id", "subj", "pred", "obj"))
     assert(df.count() > 0)
   }
+
+  test("ann_topk: two sf dirs in one session get separate indexes (no path clobber)") {
+    val q = SparkEntry.queries("ann_topk")
+    val r1 = q(spark, "/root/testdata/sf0.001").collect().map(_.toSeq).toSeq
+    val r2 = q(spark, "/root/testdata/sf0.01").collect().map(_.toSeq).toSeq
+    // re-query the FIRST dir after the second was indexed: with a shared
+    // index path this read foreign buckets (stale candidates, silently)
+    val r1again = q(spark, "/root/testdata/sf0.001").collect().map(_.toSeq).toSeq
+    assert(r1 === r1again)
+    assert(r1.head.head === 0L && r2.head.head === 0L) // query vector wins in both
+    // and the on-disk layout is two distinct per-(app,dir) directories
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val idxDirs = tmp.listFiles().map(_.getName)
+      .filter(_.startsWith(s"graft_ann_index_${spark.sparkContext.applicationId}"))
+    assert(idxDirs.toSet.size === 2, idxDirs.mkString(","))
+  }
 }

@@ -59,4 +59,34 @@ class OpsSpec extends SparkSpec {
       .select("char_ids").collect()(0).getSeq[Int](0)
     assert(out === Seq(1, 2, 3, 0))
   }
+
+  test("O4 window form ≡ Python drop-largest-until-fits loop (read_v2.py:43-53)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // direct Scala replay of the reference loop: while the batch total
+    // exceeds the cap, remove the largest-token item; Python max() (and
+    // Scala maxBy) return the FIRST max on ties
+    def replay(items: Seq[(Long, Long)], cap: Long): Set[Long] = {
+      val buf = scala.collection.mutable.ArrayBuffer(items: _*)
+      while (buf.nonEmpty && buf.map(_._2).sum > cap) {
+        val m = buf.maxBy(_._2)
+        buf.remove(buf.indexOf(m))
+      }
+      buf.map(_._1).toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val w = Window.orderBy(col("tokens").asc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    for (trial <- 0 until 25) {
+      // small token range → heavy ties, the case where the tie-break
+      // (drop FIRST max ⇒ keep later ids) must match exactly
+      val items = (0 until 16).map(i => (i.toLong, rnd.nextInt(8).toLong))
+      val cap = rnd.nextInt(60).toLong
+      val kept = items.toDF("id", "tokens")
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .filter(col("cum") <= cap)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(kept === replay(items, cap), s"trial=$trial cap=$cap items=$items")
+    }
+  }
 }

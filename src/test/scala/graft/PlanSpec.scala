@@ -78,6 +78,19 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), anti.take(800))
   }
 
+  test("keep-first dedup plans a partial aggregate, not a window") {
+    import spark.implicits._
+    val nodes = Seq(
+      graft.model.Node("c1", "id1", "n", "T", null, Map.empty[String, String])).toDS()
+    val plan = graft.operators.Canonicalize.dedupNodes(nodes)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1200))
+    // partial (map-side) min_by below the exchange, final above it
+    assert(plan.contains("partial_min_by") || plan.contains("partial min_by"),
+      plan.take(1200))
+    assert(plan.contains("min_by"), plan.take(1200))
+  }
+
   test("top-k is TakeOrdered (no global sort) where a limit follows an order") {
     val plan = SparkEntry.queries("x17_cosine_topk")(spark, dir)
       .queryExecution.executedPlan.toString
