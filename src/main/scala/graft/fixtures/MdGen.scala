@@ -40,5 +40,20 @@ object MdGen {
       ("d3", doc(4L, 600)),
       ("d4", "no leading structure at all, just one long paragraph " * 200),
       ("d5", ""),
-      ("d6", "# only a heading\n"))
+      ("d6", "# only a heading\n"),
+      // Unicode \s / \d parity with Python re: headings followed by
+      // IDEOGRAPHIC SPACE (U+3000) and ordered lists with FULL-WIDTH
+      // digits must be recognized as boundaries (ASCII-only character
+      // classes miss both)
+      ("d7", {
+        val sb = new StringBuilder("#　全角空格标题")
+        (0 until 60).foreach { i =>
+          sb ++= s"\n##　第${i}节　小标题"
+          sb ++= "\n正文" + ("全角内容测试，覆盖多字节边界。" * 8)
+          sb ++= s"\n${"１２３４５６７８９".charAt(i % 9)}. 全角数字列表项 " +
+            ("条目内容 " * 6).trim
+          sb ++= "\n\n"
+        }
+        sb.toString
+      }))
 }

@@ -69,7 +69,11 @@ object TextNorm {
     * quirk kept on purpose), but the space inside `[ \t]` survives —
     * Java's COMMENTS flag would strip it even inside the character
     * class, so the effective pattern is spelled out and compiled with
-    * DOTALL only. */
+    * DOTALL. UNICODE_CHARACTER_CLASS matches Python re's str semantics,
+    * where \s and \d are Unicode-aware: a heading followed by an
+    * ideographic space (U+3000) or an ordered list with full-width
+    * digits must split here exactly as it does in the reference —
+    * plausible inputs for the CJK markdown this targets. */
   private val MdPattern: Pattern = Pattern.compile(
     "(\\n\\#{1,6}\\s+.*?)(?=\\n\\#|$)" +
       "|(\\n\\*{3,})" +
@@ -79,10 +83,10 @@ object TextNorm {
       "|(\\n\\d+\\..*?(?:\\n[ \\t]+.*?)*)" +
       "|(\\n[ \\t]+[-*+].*?)" +
       "|(\\n\\n+)",
-    Pattern.DOTALL)
+    Pattern.DOTALL | Pattern.UNICODE_CHARACTER_CLASS)
 
-  private val PriHeading = Pattern.compile("^#{1,6}\\s")
-  private val PriList = Pattern.compile("^[*-]\\s")
+  private val PriHeading = Pattern.compile("^#{1,6}\\s", Pattern.UNICODE_CHARACTER_CLASS)
+  private val PriList = Pattern.compile("^[*-]\\s", Pattern.UNICODE_CHARACTER_CLASS)
   private val PriBlank = Pattern.compile("^\\n{2,}")
 
   /** get_priority (read_instruct.py:106-122). Reference quirk kept: the
@@ -122,25 +126,55 @@ object TextNorm {
     if (end - best <= maxLen) best else end
   }
 
+  /** UTF-8 byte length of content[from, until) without materializing a
+    * substring or byte array — matches String.getBytes("UTF-8") exactly,
+    * including the 1-byte '?' replacement for unpaired surrogates. */
+  private def utf8Len(s: String, from: Int, until: Int): Int = {
+    var i = from
+    var n = 0
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c) && i + 1 < until &&
+               Character.isLowSurrogate(s.charAt(i + 1))) { n += 4; i += 1 }
+      else if (Character.isSurrogate(c)) n += 1 // unpaired → '?'
+      else n += 3
+      i += 1
+    }
+    n
+  }
+
   /** split_md_content (read_instruct.py:58-103): chunk lengths measured
     * in UTF-8 BYTES (reference uses len(chunk.encode())), split when a
     * block would exceed maxLength+tolerance, boundary picked by
-    * [[findOptimalSplit]]. */
+    * [[findOptimalSplit]]. The running byte length is tracked
+    * INCREMENTALLY (only content[prevEnd, end) is measured per match;
+    * after a split, re-measuring starts from splitPos, which
+    * findOptimalSplit bounds to the tolerance window) — the reference
+    * re-encodes the whole pending chunk per match, O(n²) bytes on a
+    * large document; this kernel is the one meant to run distributed,
+    * so it is O(n), byte-identical output. */
   def splitMdContent(content: String, maxLength: Int = 4096,
       tolerance: Int = 200): Seq[String] = {
     val blocks = ArrayBuffer.empty[String]
     var lastPos = 0
     var hierarchy = List.empty[Int]
+    var prevEnd = 0      // end of the previously processed match
+    var runningBytes = 0 // utf8Len(content, lastPos, prevEnd)
     val m = MdPattern.matcher(content)
     while (m.find()) {
       val end = m.end()
-      val chunkLen = content.substring(lastPos, end).getBytes("UTF-8").length
+      runningBytes += utf8Len(content, prevEnd, end)
+      prevEnd = end
+      val chunkLen = runningBytes
       val priority = mdPriority(m.group(0))
       if (chunkLen > maxLength + tolerance) {
         val splitPos = findOptimalSplit(content, lastPos, end, maxLength, tolerance, hierarchy)
         if (splitPos > lastPos) {
           blocks += content.substring(lastPos, splitPos)
           lastPos = splitPos
+          runningBytes = utf8Len(content, splitPos, end)
           hierarchy = updateHierarchy(hierarchy, priority)
         }
       }
