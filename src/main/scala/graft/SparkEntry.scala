@@ -39,6 +39,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
   private val annIndex =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private def transcripts(s: SparkSession, n: Long): DataFrame =
     tCache.getOrElseUpdate((s.sparkContext.applicationId, n), {
       val df = TranscriptGen.df(s, n)
@@ -178,6 +179,113 @@ object SparkEntry {
         .agg(array_join(array_sort(collect_set(
           concat(lit("http://www.example.org/data/"), col("dst")))), "|").as("objs"))
         .orderBy("src", "etype")
+    }),
+
+    // G3 full path, DRIVER-ORACLED: fuzzy alias clusters (similarity
+    // edges derived from the k=8 filler events — see
+    // GrammarCorpus.simEdgesFromEvents) → connected components → node
+    // remap + keep-first → edge redirect + dedup. The DuckDB twin
+    // computes components with a recursive CTE and replays the remap.
+    "kg_cc_oracle" -> ((s, dir) => {
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (nodes, edges) = TripleExtract.extract(corpus)
+      val sim = GrammarCorpus.simEdgesFromEvents(tbl(s, dir, "events"))
+      val (cn, _) = Canonicalize.canonicalizeGraph(nodes, edges, sim)
+      cn.select(col("id"), col("name"), col("ntype"), col("parent"), col("conv_id"),
+        array_join(transform(array_sort(map_entries(col("props"))), e =>
+          concat(e.getField("key"), lit("="), e.getField("value"))), ",").as("props"))
+        .orderBy("id")
+    }),
+    // ... and the redirected, deduped edge side of the same path
+    "kg_cc_edges_oracle" -> ((s, dir) => {
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (nodes, edges) = TripleExtract.extract(corpus)
+      val sim = GrammarCorpus.simEdgesFromEvents(tbl(s, dir, "events"))
+      val (_, ce) = Canonicalize.canonicalizeGraph(nodes, edges, sim)
+      ce.select("src", "dst", "etype", "srcName", "dstName", "conv_id", "ord")
+        .orderBy("src", "dst", "etype")
+    }),
+    // S13 full document, DRIVER-ORACLED: canonical JSON-LD serialization
+    // (sorted entry arrays instead of engine-ordered JSON maps) — the
+    // A6/A7 grouping plus the complete document text
+    "kg_jsonld_oracle" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (nodes, edges, _) = TripleExtract.extractShared(corpus)
+      graft.sources.Exporters.jsonldSorted(
+          Canonicalize.dedupNodes(nodes).as[graft.model.Node],
+          Canonicalize.dedupEdges(edges).as[graft.model.Edge])
+        .orderBy("id")
+    }),
+    // X5 partially oracled: the REAL BIOES decode kernel runs over a
+    // deterministic tag cycle (O,B-PER,I-PER,E-PER,S-LOC,O by char
+    // position); span counts and span character totals per type are
+    // SQL-expressible, shrinking the "not SQL-expressible" set to the
+    // span-text kernel itself (which stays golden/property-tested).
+    "x5_span_counts" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (_, text) =>
+          val t = Option(text).getOrElse("")
+          val labels = (0 until t.length).map(_ % 6 match {
+            case 1 => "B-PER"; case 2 => "I-PER"; case 3 => "E-PER"
+            case 4 => "S-LOC"; case _ => "O"
+          })
+          graft.functions.Bioes.decode(t, labels).map(sp => (sp.mtype, sp.text.length))
+        }
+        .toDF("mtype", "len")
+        .groupBy("mtype")
+        .agg(count(lit(1)).as("cnt"), sum(col("len")).cast("long").as("chars"))
+        .orderBy("mtype")
+    }),
+    // Streaming extension surface: the flatMapGroupsWithState fold over
+    // a bounded MemoryStream MUST equal the batch kernel on the same
+    // conversations — asserted inside the query (rows-only for the
+    // driver; a divergence throws and is recorded as an error).
+    "kg_streaming" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val n = math.min(TranscriptGen.convsForSfDir(dir), 100L)
+      val ts = new java.sql.Timestamp(TranscriptGen.BaseEpochMs)
+      val turns = (0L until n).flatMap(i => TranscriptGen.genConv(42L, i))
+      val eoc = (0L until n).map(i => graft.model.Turn(f"c$i%08d", Int.MaxValue,
+        "user", graft.streaming.StreamingExtract.EocMarker, null, ts))
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.model.Turn]
+      source.addData(turns ++ eoc)
+      val sink = s"kg_streaming_sink_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingExtract
+        .extractStream(source.toDF(), convTimeoutMs = 0L)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000L)
+      q.exception.foreach(e => throw e)
+      q.stop()
+      val propsJoined = (c: Column) =>
+        array_join(transform(array_sort(map_entries(c)), e =>
+          concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+      val streamed = s.table(sink).persist()
+      streamed.count()
+      val sEdges = streamed.filter(col("kind") === "edge")
+        .select(col("conv_id"), col("src"), col("dst"), col("etype"),
+          col("srcName"), col("dstName"), col("ord"))
+      val sNodes = streamed.filter(col("kind") === "node")
+        .select(col("conv_id"), col("id"), col("name"), col("ntype"),
+          col("parent"), propsJoined(col("props")).as("props"))
+      val (bn, be) = TripleExtract.extract(transcripts(s, n))
+      val bEdges = be.toDF().select(col("conv_id"), col("src"), col("dst"),
+        col("etype"), col("srcName"), col("dstName"), col("ord"))
+      val bNodes = bn.toDF().select(col("conv_id"), col("id"), col("name"),
+        col("ntype"), col("parent"), propsJoined(col("props")).as("props"))
+      val edgeDiff = sEdges.exceptAll(bEdges).count() + bEdges.exceptAll(sEdges).count()
+      val nodeDiff = sNodes.exceptAll(bNodes).count() + bNodes.exceptAll(sNodes).count()
+      require(edgeDiff == 0 && nodeDiff == 0,
+        s"streaming fold diverged from batch kernel: edgeDiff=$edgeDiff nodeDiff=$nodeDiff")
+      val out = sEdges.orderBy("conv_id", "ord").persist()
+      out.count()
+      streamed.unpersist()
+      out
     }),
 
     // multimodal decode→feature chain, projected to sortable integer
@@ -614,8 +722,114 @@ object SparkEntry {
     })
   )
 
+  /** GrammarCorpus prefix with RECURSIVE enabled (the whole WITH chain
+    * shares one keyword) plus the connected-components replay of
+    * simEdgesFromEvents: alias edges → symmetric closure → reachability
+    * fixpoint → component = min reachable vertex (exactly
+    * Canonicalize.componentsAuto's pick). */
+  private val CcPrefix: String =
+    GrammarCorpus.DuckPrefix.replaceFirst("WITH", "WITH RECURSIVE") + """,
+      sime AS (
+        SELECT DISTINCT substr(md5('E' || x), 1, 8) AS a,
+               substr(md5('E' || (x - (x % 4))), 1, 8) AS b
+        FROM (SELECT CAST(event_id % 37 AS INT) AS x FROM events
+              WHERE event_id % 10 = 8) WHERE x % 4 <> 0),
+      syme AS (SELECT a, b FROM sime UNION SELECT b AS a, a AS b FROM sime),
+      verts AS (SELECT DISTINCT a AS v FROM syme),
+      reach(v, u) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.v, s.b FROM reach r JOIN syme s ON s.a = r.u),
+      comp AS (SELECT v, min(u) AS comp FROM reach GROUP BY v)
+  """
+
   /** DuckDB-equivalent SQL (column names must match the Spark side). */
   def oracleSql: Map[String, String] = Map(
+    "kg_cc_oracle" -> (CcPrefix + """,
+      surv AS (
+        SELECT conv_id, cid, name, ntype, parent FROM nodes
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY conv_id) = 1),
+      remapped AS (
+        SELECT coalesce(c.comp, s.cid) AS id, s.cid AS orig_cid, s.name,
+               s.ntype, s.parent, s.conv_id
+        FROM surv s LEFT JOIN comp c ON c.v = s.cid),
+      kept AS (
+        SELECT * FROM remapped
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY conv_id, name) = 1)
+      SELECT k.id, k.name, k.ntype, k.parent, k.conv_id,
+             coalesce(string_agg(p.pk || '=' || p.pval, ',' ORDER BY p.pk), '') AS props
+      FROM kept k LEFT JOIN props p
+        ON p.conv_id = k.conv_id AND p.cid = k.orig_cid
+      GROUP BY k.id, k.name, k.ntype, k.parent, k.conv_id
+      ORDER BY id"""),
+
+    "kg_cc_edges_oracle" -> (CcPrefix + """,
+      redges AS (
+        SELECT coalesce(cs.comp, r.src) AS src, coalesce(cd.comp, r.dst) AS dst,
+               r.etype, r.srcName, r.dstName, r.conv_id, r.eord
+        FROM rels r LEFT JOIN comp cs ON cs.v = r.src
+                    LEFT JOIN comp cd ON cd.v = r.dst)
+      SELECT src, dst, etype, srcName, dstName, conv_id, eord AS ord FROM redges
+      QUALIFY row_number() OVER (PARTITION BY src, dst, etype
+                                 ORDER BY conv_id, eord) = 1
+      ORDER BY src, dst, etype"""),
+
+    // byte-exact replay of Spark's to_json over the SORTED document
+    // struct: null fields omitted, no whitespace, entry arrays
+    // [{"key":k,"value":v}] sorted by key, rels sorted by etype
+    "kg_jsonld_oracle" -> (GrammarCorpus.DuckPrefix + """,
+      surv AS (
+        SELECT conv_id, cid, name, ntype, parent FROM nodes
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY conv_id) = 1),
+      pj AS (
+        SELECT s.cid,
+               coalesce(string_agg('{"key":"' || p.pk || '","value":"' || p.pval || '"}',
+                                   ',' ORDER BY p.pk), '') AS props_json
+        FROM surv s LEFT JOIN props p ON p.conv_id = s.conv_id AND p.cid = s.cid
+        GROUP BY s.cid),
+      dedup AS (
+        SELECT src, dst, etype FROM rels
+        QUALIFY row_number() OVER (PARTITION BY src, dst, etype
+                                   ORDER BY conv_id, eord) = 1),
+      objs AS (
+        SELECT src, etype,
+               string_agg(DISTINCT '"http://www.example.org/data/' || dst || '"',
+                          ',' ORDER BY '"http://www.example.org/data/' || dst || '"') AS objs_json
+        FROM dedup WHERE dst IN (SELECT cid FROM surv)
+        GROUP BY src, etype),
+      rj AS (
+        SELECT src AS cid,
+               string_agg('{"etype":"' || etype || '","objs":[' || objs_json || ']}',
+                          ',' ORDER BY etype) AS rels_json
+        FROM objs GROUP BY src)
+      SELECT s.cid AS id,
+             '{"@id":"http://www.example.org/data/' || s.cid ||
+             '","@type":"' || s.ntype || '","name":"' || s.name || '"' ||
+             CASE WHEN s.parent IS NOT NULL
+                  THEN ',"parent":"http://www.example.org/data/' || s.parent || '"'
+                  ELSE '' END ||
+             ',"props":[' || pj.props_json || ']' ||
+             CASE WHEN rj.rels_json IS NOT NULL
+                  THEN ',"rels":[' || rj.rels_json || ']' ELSE '' END ||
+             '}' AS value
+      FROM surv s JOIN pj ON pj.cid = s.cid LEFT JOIN rj ON rj.cid = s.cid
+      ORDER BY id"""),
+
+    "x5_span_counts" -> ("""
+      WITH pos0 AS (
+        SELECT unnest(range(length(text))) AS i FROM documents),
+      pos AS (SELECT CAST(i % 6 AS INT) AS j FROM pos0)
+      SELECT mtype, CAST(cnt AS BIGINT) AS cnt, CAST(chars AS BIGINT) AS chars
+      FROM (
+        SELECT 'LOC' AS mtype,
+               sum(CASE WHEN j = 4 THEN 1 ELSE 0 END) AS cnt,
+               sum(CASE WHEN j = 4 THEN 1 ELSE 0 END) AS chars FROM pos
+        UNION ALL
+        SELECT 'PER',
+               sum(CASE WHEN j = 1 THEN 1 ELSE 0 END),
+               sum(CASE WHEN j IN (1,2,3) THEN 1 ELSE 0 END) FROM pos)
+      ORDER BY mtype"""),
+
     "kg_triples_oracle" -> (GrammarCorpus.DuckPrefix + """,
       parents AS (
         SELECT c.conv_id, p.name AS subj, 'PARENT_OF' AS pred, c.name AS obj

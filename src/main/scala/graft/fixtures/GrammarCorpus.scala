@@ -52,6 +52,23 @@ object GrammarCorpus {
       line.as("text"))
   }
 
+  /** Deterministic similarity edges between entity IDs, derived from the
+    * filler (k=8) events so a DuckDB oracle can regenerate them: entity
+    * E&lt;x&gt; (x = event_id % 37) is declared an alias of its group head
+    * E&lt;x − x%4&gt;. Components are therefore the groups of four
+    * consecutive entity names (E36 stays a singleton) — a nontrivial mix
+    * of merged clusters and untouched ids for the canonicalization path
+    * (SURVEY G3; reference capability README.md:276-311). */
+  def simEdgesFromEvents(events: DataFrame): DataFrame = {
+    val x = pmod(col("event_id"), lit(37))
+    events
+      .filter(pmod(col("event_id"), lit(10)) === 8 && pmod(x, lit(4)) =!= 0)
+      .select(
+        substring(md5(concat(lit("E"), x)), 1, 8).as("a"),
+        substring(md5(concat(lit("E"), x - pmod(x, lit(4)))), 1, 8).as("b"))
+      .distinct()
+  }
+
   /** The shared DuckDB CTE prefix replaying the fold over the same
     * events table: per-line kind fields, carry-forward current concept
     * (ccb = BEFORE the line's own update → parent; cca = AFTER → prop

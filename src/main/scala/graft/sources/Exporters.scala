@@ -185,4 +185,28 @@ object Exporters {
         col("props"),
         col("rels"))).as("value"))
   }
+
+  /** [[jsonld]] with DETERMINISTIC serialization: map-typed fields
+    * (props, grouped rels) become key-sorted entry arrays, so the
+    * document text no longer depends on engine hash-map iteration order
+    * and an independent replay can reproduce it byte-for-byte. Same
+    * information, canonical form. */
+  def jsonldSorted(nodes: Dataset[Node], edges: Dataset[Edge],
+      baseIri: String = "http://www.example.org/data/"): DataFrame = {
+    val rels = edges.toDF()
+      .join(nodes.toDF().select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src"), col("etype"))
+      .agg(array_sort(collect_set(concat(lit(baseIri), col("dst")))).as("objs"))
+      .groupBy(col("src"))
+      .agg(array_sort(collect_list(struct(col("etype"), col("objs")))).as("rels"))
+    nodes.toDF()
+      .join(rels.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), to_json(struct(
+        concat(lit(baseIri), col("id")).as("@id"),
+        col("ntype").as("@type"),
+        col("name"),
+        when(col("parent").isNotNull, concat(lit(baseIri), col("parent"))).as("parent"),
+        array_sort(map_entries(col("props"))).as("props"),
+        col("rels"))).as("value"))
+  }
 }
