@@ -60,9 +60,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, e) if e != null =>
       "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipelineSec
+    // battery (query sweep) and headline (pipeline) reported separately
+    // so round-over-round JSONs are self-contained
+    val batterySec = results.map(_._2).sum
+    val total = batterySec + pipelineSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""rows":$rows,"errors":$errs,"failed":${results.count(_._4 != null)},""" +
+      s""""battery_sec":$batterySec,"battery_queries":${results.size},""" +
       s""""triples":$nTriples,"triples_per_sec":$triplesPerSec,""" +
       s""""pipeline_sec":$pipelineSec,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()

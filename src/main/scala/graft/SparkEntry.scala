@@ -460,6 +460,23 @@ object SparkEntry {
         .orderBy("doc_id", "idx")
     }),
 
+    // Generic JSON→RDF property fold (import json.py:26-35): scalar
+    // top-level values → literal triples, list-of-dict values → URI
+    // triples EX[sub_key/sub_value], dicts and nulls skipped. The JSON
+    // is synthesized from document columns so the oracle can enumerate
+    // the expected triples directly.
+    "json_rdf_fold" -> ((s, dir) => {
+      val ns = "http://www.example.org/onto#"
+      val j = concat(lit("{\"lemmaId\":"), col("doc_id"),
+        lit(",\"title\":\""), col("source"),
+        lit("\",\"tags\":[{\"lang\":\""), col("lang"),
+        lit("\"},{\"n\":"), col("n_chars"),
+        lit("}],\"ext\":{\"x\":1},\"flag\":true,\"nul\":null}"))
+      JsonRdf.propTriples(tbl(s, dir, "documents"),
+          concat(lit(ns + "lemma/"), col("doc_id")), j, ns)
+        .orderBy("subj", "pred", "obj")
+    }),
+
     // F3: dangling-edge filter = left-semi on both endpoints
     "f3_dangling_filter" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
@@ -1001,6 +1018,24 @@ object SparkEntry {
         SELECT doc_id, 0 AS idx, doc_id % 5 AS v FROM documents
         UNION ALL SELECT doc_id, 1 AS idx, n_chars AS v FROM documents)
       ORDER BY doc_id, idx"""),
+
+    "json_rdf_fold" -> ("""
+      WITH t AS (
+        SELECT 'http://www.example.org/onto#lemma/' || doc_id AS subj,
+               doc_id, source, lang, n_chars
+        FROM documents)
+      SELECT subj, pred, obj, okind FROM (
+        SELECT subj, 'http://www.example.org/onto#lemmaId' AS pred,
+               doc_id::VARCHAR AS obj, 'literal' AS okind FROM t
+        UNION ALL SELECT subj, 'http://www.example.org/onto#title',
+               source, 'literal' FROM t
+        UNION ALL SELECT subj, 'http://www.example.org/onto#flag',
+               'true', 'literal' FROM t
+        UNION ALL SELECT subj, 'http://www.example.org/onto#tags',
+               'http://www.example.org/onto#lang/' || lang, 'uri' FROM t
+        UNION ALL SELECT subj, 'http://www.example.org/onto#tags',
+               'http://www.example.org/onto#n/' || n_chars, 'uri' FROM t)
+      ORDER BY subj, pred, obj"""),
 
     "f3_dangling_filter" -> ("""
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -60,6 +60,24 @@ class OpsSpec extends SparkSpec {
     assert(out === Seq(1, 2, 3, 0))
   }
 
+  test("generic JSON→RDF property fold (import json.py:26-35)") {
+    import spark.implicits._
+    import graft.operators.JsonRdf
+    val df = Seq(
+      ("s1", """{"a":1,"b":"x","c":[{"t":"u"},{"n":5}],"d":{"z":1},"e":null,"f":true,"g":2.5}"""),
+      ("s2", """{"mixed":[{"t":"u"},3]}""")) // non-dict list elem → list skipped (documented)
+      .toDF("id", "j")
+    val out = JsonRdf.propTriples(df, col("id"), col("j"), "EX#").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(out === Set(
+      ("s1", "EX#a", "1", "literal"),
+      ("s1", "EX#b", "x", "literal"),
+      ("s1", "EX#f", "true", "literal"),
+      ("s1", "EX#g", "2.5", "literal"),
+      ("s1", "EX#c", "EX#t/u", "uri"),
+      ("s1", "EX#c", "EX#n/5", "uri")))
+  }
+
   test("O4 window form ≡ Python drop-largest-until-fits loop (read_v2.py:43-53)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
