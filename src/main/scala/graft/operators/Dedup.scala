@@ -53,13 +53,19 @@ object Dedup {
     * whose banding emits one bucket per id (single-table LSH). */
   private[graft] def bandedPairs(banded: DataFrame, bucketCap: Int,
       payload: Seq[String] = Nil, dedup: Boolean = true): DataFrame = {
+    // hot-bucket detection costs one partial-aggregable pass; the hot
+    // list is bounded by n/bucketCap rows BY CONSTRUCTION (each hot
+    // bucket holds > bucketCap members), so it broadcasts — the normal
+    // path pays only a broadcast anti-join, not a shuffle join, and is
+    // plan-identical to the uncapped self-join when no bucket is hot
     val aggs = count(lit(1)).as("_bc") +: min(col("id")).as("_rep") +:
       (if (payload.nonEmpty)
          Seq(min_by(struct(payload.map(col): _*), col("id")).as("_repP"))
        else Nil)
-    val counts = banded.groupBy("bucket").agg(aggs.head, aggs.tail: _*)
-    val withC = banded.join(counts, Seq("bucket"))
-    val normal = withC.filter(col("_bc") <= bucketCap)
+    val hot = broadcast(
+      banded.groupBy("bucket").agg(aggs.head, aggs.tail: _*)
+        .filter(col("_bc") > bucketCap))
+    val normal = banded.join(hot.select("bucket"), Seq("bucket"), "left_anti")
     val outCols = (col("x.id").as("a") +: payload.map(p => col(s"x.$p").as(p + "A"))) ++
       (col("y.id").as("b") +: payload.map(p => col(s"y.$p").as(p + "B")))
     val allPairs = normal.as("x").join(normal.as("y"),
@@ -67,7 +73,8 @@ object Dedup {
       .select(outCols: _*)
     val starCols = (col("_rep").as("a") +: payload.map(p => col(s"_repP.$p").as(p + "A"))) ++
       (col("id").as("b") +: payload.map(p => col(p).as(p + "B")))
-    val star = withC.filter(col("_bc") > bucketCap && col("id") =!= col("_rep"))
+    val star = banded.join(hot, Seq("bucket"))
+      .filter(col("id") =!= col("_rep"))
       .select(starCols: _*)
     val union = allPairs.union(star)
     if (dedup) union.distinct() else union
