@@ -460,6 +460,43 @@ object SparkEntry {
         .orderBy("doc_id", "idx")
     }),
 
+    // S9/S14, DRIVER-ORACLED: the Neo4j bulk-import node CSV payload
+    // (dynamic union-of-props header, md2csv.py:107-158) over the
+    // canonical grammar-corpus nodes — rows AND the header line
+    "s9_neo4j_csv_oracle" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (nodes, _) = TripleExtract.extract(corpus)
+      graft.sources.Exporters.neo4jNodeLines(
+        Canonicalize.dedupNodes(nodes).as[graft.model.Node]).orderBy("value")
+    }),
+    // S12, DRIVER-ORACLED: OWL RDF/XML body lines (csv2owl.py semantics)
+    "s12_owl_oracle" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (nodes, edges, _) = TripleExtract.extractShared(corpus)
+      graft.sources.Exporters.owlXmlLines(
+          Canonicalize.dedupNodes(nodes).as[graft.model.Node],
+          Canonicalize.dedupEdges(edges).as[graft.model.Edge])
+        .orderBy("value")
+    }),
+    // X7: char→id tokenization with [UNK] default, a plan-shipped map
+    // literal lookup per char (bilstm_crf_ner.py:169,583)
+    "x7_char_ids" -> ((s, dir) => {
+      val vocab = Map("a" -> 1, "e" -> 2, "s" -> 3, " " -> 4)
+      NerTag.tokenizeChars(tbl(s, dir, "documents"), "text", vocab, unkId = 0)
+        .select(col("doc_id"), posexplode(col("char_ids")).as(Seq("pos", "cid")))
+        .orderBy("doc_id", "pos")
+    }),
+    // J10/G4: root finding = src set anti-join dst set
+    // (visualizer.py:118-123)
+    "g4_roots" -> ((s, dir) => {
+      val edges = tbl(s, dir, "nation")
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("src"), col("n_name").as("dst"))
+      Bfs.roots(edges).orderBy("id")
+    }),
+
     // Generic JSON→RDF property fold (import json.py:26-35): scalar
     // top-level values → literal triples, list-of-dict values → URI
     // triples EX[sub_key/sub_value], dicts and nulls skipped. The JSON
@@ -1018,6 +1055,65 @@ object SparkEntry {
         SELECT doc_id, 0 AS idx, doc_id % 5 AS v FROM documents
         UNION ALL SELECT doc_id, 1 AS idx, n_chars AS v FROM documents)
       ORDER BY doc_id, idx"""),
+
+    "s9_neo4j_csv_oracle" -> (GrammarCorpus.DuckPrefix + """,
+      surv AS (
+        SELECT conv_id, cid, name, ntype, parent FROM nodes
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY conv_id) = 1),
+      pv AS (
+        SELECT conv_id, cid,
+               max(CASE WHEN pk = 'weight' THEN pval END) AS p_w,
+               max(CASE WHEN pk = '状态' THEN pval END) AS p_s,
+               max(CASE WHEN pk = '类型' THEN pval END) AS p_t
+        FROM props GROUP BY conv_id, cid)
+      SELECT value FROM (
+        SELECT s.cid || ',' || s.name || ',' || s.ntype || ',' ||
+               coalesce(s.parent, '') || ',' || coalesce(pv.p_w, '') || ',' ||
+               coalesce(pv.p_s, '') || ',' || coalesce(pv.p_t, '') AS value
+        FROM surv s LEFT JOIN pv ON pv.conv_id = s.conv_id AND pv.cid = s.cid
+        UNION ALL SELECT ':ID,name,type,parent,weight:LABEL,状态:LABEL,类型:LABEL')
+      ORDER BY value"""),
+
+    "s12_owl_oracle" -> (GrammarCorpus.DuckPrefix + """,
+      surv AS (
+        SELECT conv_id, cid, name, ntype FROM nodes
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY conv_id) = 1),
+      dedup AS (
+        SELECT src, dst, etype FROM rels
+        QUALIFY row_number() OVER (PARTITION BY src, dst, etype
+                                   ORDER BY conv_id, eord) = 1)
+      SELECT value FROM (
+        SELECT CASE WHEN ntype IN ('模型','组件','算法')
+          THEN '  <owl:Class rdf:about="http://www.example.org/ontology#' || cid ||
+               '"><rdfs:label>' || name || '</rdfs:label></owl:Class>'
+          ELSE '  <owl:NamedIndividual rdf:about="http://www.example.org/ontology#' ||
+               cid || '"><rdfs:label>' || name ||
+               '</rdfs:label></owl:NamedIndividual>' END AS value
+        FROM surv
+        UNION ALL
+        SELECT '  <rdf:Description rdf:about="http://www.example.org/ontology#' ||
+               src || '"><ont:' || etype ||
+               ' rdf:resource="http://www.example.org/ontology#' || dst ||
+               '"/></rdf:Description>'
+        FROM dedup
+        WHERE src IN (SELECT cid FROM surv) AND dst IN (SELECT cid FROM surv))
+      ORDER BY value"""),
+
+    "x7_char_ids" -> ("""
+      WITH e AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+      p0 AS (SELECT doc_id, cs, unnest(range(len(cs))) AS pos FROM e),
+      p AS (SELECT doc_id, CAST(pos AS INT) AS pos, cs[pos + 1] AS ch FROM p0)
+      SELECT doc_id, pos,
+        CASE ch WHEN 'a' THEN 1 WHEN 'e' THEN 2 WHEN 's' THEN 3
+                WHEN ' ' THEN 4 ELSE 0 END AS cid
+      FROM p ORDER BY doc_id, pos"""),
+
+    "g4_roots" -> ("""
+      WITH e AS (SELECT r_name AS src, n_name AS dst
+                 FROM nation JOIN region ON n_regionkey = r_regionkey)
+      SELECT DISTINCT src AS id FROM e
+      WHERE src NOT IN (SELECT DISTINCT dst FROM e)
+      ORDER BY id"""),
 
     "json_rdf_fold" -> ("""
       WITH t AS (

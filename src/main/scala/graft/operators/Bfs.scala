@@ -12,7 +12,14 @@ import org.apache.spark.sql.functions._
 object Bfs {
 
   /** BFS over an edge list (src, dst) from `roots` (single column
-    * "id"). Returns (id, depth) — min depth per reached vertex. */
+    * "id"). Returns (id, depth) — min depth per reached vertex.
+    *
+    * Each round takes 2 driver actions (the maxNodes count + the
+    * isEmpty probe on the checkpointed frontier) — fine at the
+    * reference's depth-2/3 caps this mirrors; for DEEP graphs, batch
+    * the convergence probe (check every k rounds, or fold the count
+    * into the checkpoint action) so rounds cost one job each. Same
+    * note applies to Canonicalize.connectedComponents' change check. */
   def expand(edges: DataFrame, roots: DataFrame, maxDepth: Int,
       maxNodes: Long = Long.MaxValue): DataFrame = {
     val spark = edges.sparkSession

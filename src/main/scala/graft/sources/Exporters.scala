@@ -29,8 +29,7 @@ object Exporters {
     * header (md2csv.py:107-158; format contract README.md:149-177).
     * The header (A1 prop-key union, lexicographic) is an aggregate over
     * the data — tiny, so collected; rows are written distributed. */
-  def neo4jNodeCsv(nodes: Dataset[Node], outDir: String): Seq[String] = {
-    val spark = nodes.sparkSession
+  private def nodeCsvParts(nodes: Dataset[Node]): (Seq[String], Seq[Column]) = {
     val allProps: Seq[String] = nodes.toDF()
       .select(explode_outer(map_keys(col("props"))).as("k"))
       .where(col("k").isNotNull)
@@ -39,8 +38,24 @@ object Exporters {
     val header = Seq(":ID", "name", "type", "parent") ++ allProps.map(p => s"$p:LABEL")
     val cols = Seq(col("id"), col("name"), col("ntype"), coalesce(col("parent"), lit(""))) ++
       allProps.map(p => coalesce(col("props").getItem(p), lit("")))
+    (header, cols)
+  }
+
+  def neo4jNodeCsv(nodes: Dataset[Node], outDir: String): Seq[String] = {
+    val (header, cols) = nodeCsvParts(nodes)
     writeCsv(nodes.toDF(), header, cols, outDir)
     header
+  }
+
+  /** The node CSV as a DataFrame of lines (header included as a row) —
+    * the sink's exact payload without the filesystem write, so the
+    * driver can oracle the full S9/S14 serialization. */
+  def neo4jNodeLines(nodes: Dataset[Node]): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val (header, cols) = nodeCsvParts(nodes)
+    nodes.toDF().select(concat_ws(",", cols.map(csvQuote): _*).as("value"))
+      .union(Seq(header.mkString(",")).toDF("value"))
   }
 
   def neo4jEdgeCsv(edges: Dataset[Edge], outDir: String): Seq[String] = {
