@@ -24,10 +24,15 @@ object Canonicalize {
   private[graft] def keepFirstByKey(df: DataFrame, keyCols: Seq[String],
       ordCols: Seq[String]): DataFrame = {
     val others = df.columns.filterNot(keyCols.contains)
-    df.groupBy(keyCols.map(col): _*)
-      .agg(min_by(struct(others.map(col): _*), struct(ordCols.map(col): _*)).as("_s"))
+    val kf = "__kf_survivor" // avoid colliding with caller columns
+    // backtick-quote references and extract by getField: caller column
+    // names may contain dots (this is the shared primitive behind
+    // Dedup.exact, which accepts arbitrary DataFrames)
+    def qc(c: String) = col("`" + c.replace("`", "``") + "`")
+    df.groupBy(keyCols.map(qc): _*)
+      .agg(min_by(struct(others.map(qc): _*), struct(ordCols.map(qc): _*)).as(kf))
       .select(df.columns.toIndexedSeq.map(c =>
-        if (keyCols.contains(c)) col(c) else col(s"_s.$c").as(c)): _*)
+        if (keyCols.contains(c)) qc(c) else col(kf).getField(c).as(c)): _*)
   }
 
   /** A3: one survivor per id. The Cypher keeps `nodes[0]` (collection

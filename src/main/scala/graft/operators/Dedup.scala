@@ -37,20 +37,30 @@ object Dedup {
     * degenerate-bucket guard: buckets of at most `bucketCap` members do
     * the normal within-bucket all-pairs self-join; hotter buckets emit a
     * STAR to the bucket's min id instead (n−1 pairs instead of
-    * n(n−1)/2). The star preserves connectivity for the CC-based dedup
-    * consumers (every member still reaches every other through the
-    * representative) while bounding the join output linearly — a
-    * quadratic hot bucket (e.g. thousands of identical empty-text
-    * fingerprints) is the one way LSH banding degenerates at scale.
-    * Within a hot bucket, pairs not involving the representative are
-    * not emitted (the documented degradation: pairwise OUTPUT inside a
-    * hot bucket is star-shaped; component MEMBERSHIP is unchanged).
+    * n(n−1)/2), bounding the join output linearly — a quadratic hot
+    * bucket (e.g. thousands of identical empty-text fingerprints) is
+    * the one way LSH banding degenerates at scale.
+    *
+    * RECALL TRADEOFF, stated precisely: inside a hot bucket only
+    * rep-anchored CANDIDATES are generated, and downstream consumers
+    * still verify each candidate (Jaccard / Hamming / cosine). So
+    * component membership is preserved exactly when members verify
+    * against the representative — the identical/near-uniform floods
+    * that cause hot buckets in practice — but two members that are
+    * near each other while NOT near the rep lose this bucket's edge
+    * (they may still pair via their other bands). Raise `bucketCap` if
+    * heterogeneous hot buckets are expected; the cap is a backstop
+    * against quadratic blowup, not a fidelity-free optimization.
     *
     * `payload` columns (narrow per-id values, e.g. a fingerprint) are
     * carried through as <p>A/<p>B so callers need no re-join; keep them
     * narrow — wide arrays through the pair distinct was the round-1
     * scale-killer. `dedup=false` skips the final distinct for callers
-    * whose banding emits one bucket per id (single-table LSH). */
+    * whose banding emits one bucket per id (single-table LSH). Note
+    * `banded` is referenced by the hot agg, both self-join sides, and
+    * the star branch — callers should hand in something cheap to
+    * recompute (a projection of a persisted table; Spark's exchange
+    * reuse dedupes the identical shuffle subtrees at runtime). */
   private[graft] def bandedPairs(banded: DataFrame, bucketCap: Int,
       payload: Seq[String] = Nil, dedup: Boolean = true): DataFrame = {
     // hot-bucket detection costs one partial-aggregable pass; the hot

@@ -21,10 +21,15 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
   * get_json_object, list elements via from_json to array&lt;map&gt; —
   * all codegen-friendly expressions, no UDF, no driver loop.
   *
-  * Known divergence from the Python (documented, fixture-safe): a JSON
-  * STRING scalar whose text itself starts with '[' or '{' is
-  * misclassified as a container because get_json_object returns scalars
-  * unquoted; the reference dispatches on the parsed Python type.
+  * Known divergences from the Python (documented, fixture-safe):
+  *   - a JSON STRING scalar whose text itself starts with '[' or '{'
+  *     is misclassified as a container because get_json_object returns
+  *     scalars unquoted; the reference dispatches on the parsed type;
+  *   - a MIXED-type list (dicts alongside scalars) is skipped WHOLESALE:
+  *     from_json to array&lt;map&gt; returns null for the whole value in
+  *     permissive mode, while the Python skips only the non-dict
+  *     elements. Dict-only lists — the reference's actual data shape —
+  *     behave identically (pinned in OpsSpec).
   */
 object JsonRdf {
 

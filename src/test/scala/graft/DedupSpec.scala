@@ -26,6 +26,15 @@ class DedupSpec extends SparkSpec {
     assert(groups.filter(col("cnt") > 1).count() === 1)
   }
 
+  test("exact dedup handles dotted column names (shared keep-first primitive)") {
+    import spark.implicits._
+    val df = Seq((1L, "x", "en"), (2L, "x", "fr"), (3L, "y", "en"))
+      .toDF("doc_id", "text", "meta.lang")
+    val out = Dedup.exact(df, "doc_id", "text")
+    assert(out.columns.toSeq === Seq("doc_id", "text", "meta.lang"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+  }
+
   test("minhash LSH finds near-dup pairs without false positives") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       bands = 8, rowsPerBand = 1, threshold = 0.4, shingleN = 2)

@@ -78,6 +78,17 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), anti.take(800))
   }
 
+  test("LSH hot-bucket guard broadcasts the hot list (no shuffle join added)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the anti-join against the hot-bucket list must be broadcast —
+    // a shuffle join here would tax every LSH call even with 0 hot buckets
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(1500))
+  }
+
   test("keep-first dedup plans a partial aggregate, not a window") {
     import spark.implicits._
     val nodes = Seq(
