@@ -353,6 +353,11 @@ object SparkEntry {
           q.length, q, 10, "vec_id")
         .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
     }),
+    // plain path: this fixture corpus is dup-light (~95% distinct), so
+    // the exact-first variant's group/remap machinery buys nothing
+    // here; on dup-dominated corpora use
+    // Dedup.dropNearDuplicatesExactFirst (output-identical, asserted in
+    // DedupSpec, and collapses even unshingleable exact copies)
     "dedup_neardup_drop" -> ((s, dir) =>
       Dedup.dropNearDuplicates(tbl(s, dir, "documents"), "doc_id", "text", 0.8)
         .select("doc_id")),
@@ -517,6 +522,24 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("char_ids")).as(Seq("pos", "cid")))
         .orderBy("doc_id", "pos")
     }),
+    // S17/X5 end-to-end, DRIVER-ORACLED: the broadcast-dictionary
+    // tagger (greedy longest-match → BIOES) + decode kernel over real
+    // document text, aggregated to per-doc mention counts. The dict
+    // words are standalone corpus tokens that are substrings of no
+    // other token, so greedy matches = substring occurrences and the
+    // oracle counts them by replace-length arithmetic.
+    "s17_mentions_oracle" -> ((s, dir) => {
+      val dict = Map("spark" -> "TOOL", "hash" -> "OP", "join" -> "OP",
+        "window" -> "OP", "customer" -> "ENT")
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("conv_id"),
+          lit(0).as("turn_idx"), col("text"))
+      NerTag.mentions(docs, dict).toDF()
+        .groupBy(col("conv_id"), col("text").as("entity"), col("mtype"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("conv_id", "entity")
+    }),
+
     // J10/G4: root finding = src set anti-join dst set
     // (visualizer.py:118-123)
     "g4_roots" -> ((s, dir) => {
@@ -1136,6 +1159,15 @@ object SparkEntry {
         CASE ch WHEN 'a' THEN 1 WHEN 'e' THEN 2 WHEN 's' THEN 3
                 WHEN ' ' THEN 4 ELSE 0 END AS cid
       FROM p ORDER BY doc_id, pos"""),
+
+    "s17_mentions_oracle" -> ("""
+      WITH m AS (
+        SELECT doc_id::VARCHAR AS conv_id, w AS entity, t AS mtype,
+               CAST((length(text) - length(replace(text, w, ''))) / length(w) AS BIGINT) AS cnt
+        FROM documents, (VALUES ('spark','TOOL'), ('hash','OP'), ('join','OP'),
+                                ('window','OP'), ('customer','ENT')) AS d(w, t))
+      SELECT conv_id, entity, mtype, cnt FROM m WHERE cnt > 0
+      ORDER BY conv_id, entity"""),
 
     "g4_roots" -> ("""
       WITH e AS (SELECT r_name AS src, n_name AS dst

@@ -185,6 +185,49 @@ object Dedup {
       .drop("comp")
   }
 
+  /** [[dropNearDuplicates]] with EXACT dedup folded in front — the
+    * 100-TB shape: web-scale corpora are dominated by byte-identical
+    * duplicates, so shingling/minhashing each copy is wasted work and
+    * the identical-content groups are precisely what floods LSH buckets.
+    * Here each md5(text) group collapses to its min-id representative
+    * BEFORE MinHash; near-dup CC runs over representatives only; each
+    * exact group then inherits its representative's component and the
+    * survivor is the min id over all members. Output-identical to
+    * [[dropNearDuplicates]] (identical texts always band + verify
+    * together, so they form the same components) EXCEPT strictly
+    * better on unshingleable duplicates: exact copies of an empty /
+    * whitespace-only text have no shingles, so the plain path cannot
+    * pair them and keeps every copy, while this path still collapses
+    * them through the hash group. */
+  def dropNearDuplicatesExactFirst(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val withH = df.select(col(idCol), md5(col(textCol)).as("_h"))
+    val groups = withH.groupBy("_h").agg(min(col(idCol)).as("_rep")).persist()
+    val reps = df.join(groups.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
+    val (rawPairs, sigs) = minhashLshWithHandle(reps, idCol, textCol, threshold = threshold)
+    val pairs = rawPairs
+      .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"))
+      .persist()
+    val cc = Canonicalize.componentsAuto(pairs).persist()
+    cc.count()
+    pairs.unpersist()
+    sigs.unpersist()
+    // member → component: the rep's component, or the rep itself when
+    // the rep has no near-dup edges; survivor = min (string) member id,
+    // matching dropNearDuplicates' min-string component pick
+    val memberComp = withH.join(groups, Seq("_h"))
+      .join(cc.withColumnRenamed("v", "_repS"),
+        col("_rep").cast("string") === col("_repS"), "left")
+      .select(col(idCol), coalesce(col("comp"), col("_rep").cast("string")).as("_comp"))
+    val survivors = memberComp.groupBy("_comp")
+      .agg(min(col(idCol).cast("string")).as("_sid"))
+      .select("_sid").persist()
+    survivors.count() // materialize so the intermediate caches release now
+    cc.unpersist()
+    groups.unpersist()
+    df.join(survivors, col(idCol).cast("string") === col("_sid"), "left_semi")
+  }
+
   /** SimHash: fingerprint where bit b = sign of the weighted sum of
     * token-hash bits. Near-dups have small Hamming distance. The
     * majority-vote fold runs as ONE codegen'd Catalyst expression

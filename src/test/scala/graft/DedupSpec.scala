@@ -112,6 +112,23 @@ class DedupSpec extends SparkSpec {
     assert(kept.intersect(Set(4L, 6L)).size === 1)
   }
 
+  test("exact-first near-dup drop ≡ plain near-dup drop; stronger on unshingleable dups") {
+    import spark.implicits._
+    val plain = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fast = Dedup.dropNearDuplicatesExactFirst(docs, "doc_id", "text", threshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fast === plain)
+    // a flood of identical docs collapses to one through the hash group
+    val flood = (0 until 2000).map(i => (i.toLong, "flood text body")).toDF("doc_id", "text")
+    assert(Dedup.dropNearDuplicatesExactFirst(flood, "doc_id", "text").count() === 1L)
+    // empty-text copies have no shingles: the plain path cannot pair
+    // them (keeps all); exact-first still collapses the hash group
+    val empties = (0 until 5).map(i => (i.toLong, "")).toDF("doc_id", "text")
+    assert(Dedup.dropNearDuplicates(empties, "doc_id", "text").count() === 5L)
+    assert(Dedup.dropNearDuplicatesExactFirst(empties, "doc_id", "text").count() === 1L)
+  }
+
   test("simhash: identical text → identical fingerprint; near text → small hamming") {
     import spark.implicits._
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
