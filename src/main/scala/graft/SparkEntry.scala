@@ -365,6 +365,44 @@ object SparkEntry {
       Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
         bits = 32, bandBits = 8, maxDist = 3)),
 
+    // The near-dup-DROP architecture, DRIVER-ORACLED end to end: band →
+    // candidate pairs (the production bandedPairs, hot-bucket guard in
+    // the plan) → exact-Jaccard verify → connected components (the
+    // production componentsAuto) → keep-min-per-component. The hash
+    // family here is 4 md5 minhashes over distinct words INSTEAD of the
+    // engine's seeded xxhash64 signatures, only because DuckDB can
+    // replay md5 — everything downstream of the signatures is the same
+    // code dropNearDuplicates runs. bucketCap is set above the corpus
+    // size so the guard's star fallback (probabilistic) can't diverge
+    // from the oracle's exhaustive bucket equijoin.
+    "dedup_cc_oracle" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      val withSet = docs
+        .select(col("id"), Dedup.wordShingles(col("text"), 1).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sig = withSet.withColumn("sig", array((0 until 4).map { i =>
+        array_min(transform(col("sh"), w => md5(concat(lit(s"$i|"), w))))
+      }: _*))
+      val banded = sig.select(col("id"), explode(
+        transform(sequence(lit(0), lit(3)), i =>
+          concat(i.cast("string"), lit("|"), get(col("sig"), i)))).as("bucket"))
+      val verified = Dedup.bandedPairs(banded, bucketCap = 1000000)
+        .join(sig.select(col("id").as("a"), col("sh").as("shA")), Seq("a"))
+        .join(sig.select(col("id").as("b"), col("sh").as("shB")), Seq("b"))
+        .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
+        .filter(col("inter") /
+          (size(col("shA")) + size(col("shB")) - col("inter")) >= 0.5)
+        .select(col("a"), col("b")).persist()
+      // componentsAuto acts on the pairs when called (count + collect /
+      // propagate), so the cache can be released as soon as it returns
+      val cc = Canonicalize.componentsAuto(verified)
+      verified.unpersist()
+      cc.select(col("v").as("doc_id"), col("comp"),
+          (col("v") === col("comp")).cast("int").as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // ================= oracle-checked (testdata tables) ================
     // X1: md5(name)[:8] entity key (md2csv.py:20-22)
     "x1_md5_id" -> ((s, dir) =>
@@ -767,6 +805,24 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+
+    // quality scoring (length / alpha-ratio / punctuation / stopword /
+    // distinct-token components) — the REAL qualityScore column, DuckDB
+    // replaying the same IEEE arithmetic
+    "text_quality" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality")).orderBy("doc_id")),
+
+    // n-gram Jaccard as a direct pairwise verification primitive: each
+    // doc scored against the next doc id (broadcastable 1:1 self-join —
+    // the verify step of any candidate-pair pipeline, isolated)
+    "dedup_jaccard" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.as("x").join(d.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          Dedup.ngramJaccard(col("x.text"), col("y.text"), 3).as("jaccard"))
+        .orderBy("a")
+    }),
 
     // W4 full semantics: structure-aware tolerance-window splitter
     // (read_instruct.py:58-139 faithful kernel; Python-parity via the
@@ -1322,6 +1378,49 @@ object SparkEntry {
              min(md5('2|' || w)) AS h2, min(md5('3|' || w)) AS h3
       FROM w GROUP BY doc_id ORDER BY doc_id"""),
 
+    // the full drop architecture: band equijoin -> exact-Jaccard verify
+    // -> components (recursive CTE) -> keep-min
+    "dedup_cc_oracle" -> ("""
+      WITH RECURSIVE w AS (
+        SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id, w FROM (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents) WHERE w <> ''),
+      sig AS (SELECT id, min(md5('0|' || w)) AS h0, min(md5('1|' || w)) AS h1,
+                     min(md5('2|' || w)) AS h2, min(md5('3|' || w)) AS h3
+              FROM w GROUP BY id),
+      sz AS (SELECT id, count(*) AS n FROM w GROUP BY id),
+      cand AS (SELECT x.id AS a, y.id AS b FROM sig x JOIN sig y
+               ON x.id < y.id AND (x.h0 = y.h0 OR x.h1 = y.h1 OR
+                                   x.h2 = y.h2 OR x.h3 = y.h3)),
+      inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+                JOIN w wa ON wa.id = c.a
+                JOIN w wb ON wb.id = c.b AND wb.w = wa.w
+                GROUP BY c.a, c.b),
+      pairs AS (SELECT i.a, i.b FROM inter i
+                JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+                WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5),
+      sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      verts AS (SELECT DISTINCT a AS v FROM sym),
+      reach(v, u) AS (SELECT v, v FROM verts
+                      UNION SELECT r.v, s.b FROM reach r JOIN sym s ON s.a = r.u),
+      comp AS (SELECT v, min(u) AS comp FROM reach GROUP BY v)
+      SELECT v AS doc_id, comp, CAST(v = comp AS INT) AS kept
+      FROM comp ORDER BY doc_id"""),
+
+    "dedup_jaccard" -> ("""
+      WITH t AS (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws
+                 FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_filter(
+               [array_to_string(ws[i:i+2], ' ')
+                FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)],
+               g -> g <> '')) AS g FROM t)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) /
+               (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+      FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1
+      ORDER BY a"""),
+
     "text_langid" -> ("""
       WITH m AS (SELECT doc_id, text,
         greatest(length(text), 1) AS total,
@@ -1346,6 +1445,33 @@ object SparkEntry {
     "text_fingerprint" -> ("""
       SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
       FROM documents ORDER BY doc_id"""),
+
+    "text_quality" -> ("""
+      WITH m AS (SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS len,
+        CAST(length(text) - length(regexp_replace(text,
+          '[A-Za-z\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) AS nalpha,
+        CAST(length(text) - length(regexp_replace(text,
+          '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      c AS (SELECT doc_id,
+        CASE WHEN len < 20 THEN len / 20.0
+             WHEN len > 8000 THEN 0.5 ELSE 1.0 END AS len_score,
+        nalpha / greatest(len, 1.0) AS alpha,
+        npunct / greatest(len, 1.0) AS punct,
+        CAST(len(list_filter(ws, w -> list_contains(
+          ['the','a','of','to','and','in','is','it','that','for'], w)))
+          AS DOUBLE) AS stop_hits,
+        CAST(len(ws) AS DOUBLE) AS nw,
+        CAST(len(list_distinct(ws)) AS DOUBLE) AS ndw
+        FROM m)
+      SELECT doc_id, round(
+        len_score * 0.25 + alpha * 0.25 +
+        (CASE WHEN punct > 0.3 THEN 0.0 ELSE 1.0 - punct / 0.3 END) * 0.2 +
+        least(stop_hits / greatest(nw * 0.05, 1.0), 1.0) * 0.1 +
+        ndw / greatest(nw, 1.0) * 0.2, 4) AS quality
+      FROM c ORDER BY doc_id"""),
 
     "w4_chunk_split" -> ("""
       WITH c AS (SELECT lang, doc_id,
