@@ -353,6 +353,50 @@ object SparkEntry {
           q.length, q, 10, "vec_id")
         .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
     }),
+
+    // The hyperplane-LSH ANN architecture, DRIVER-ORACLED end to end:
+    // per-bit signed projection → sign pack → bucket-equality candidate
+    // join → exact cosine re-score → top-k. Differences from ann_topk,
+    // both forced by cross-engine determinism (see Similarity.hashSigns):
+    // the hyperplanes are md5-derived ±1 signs, and embeddings are
+    // quantized to exact int64 (round(x·1e6)) so every dot product and
+    // norm is EXACT integer arithmetic — the cosine doubles downstream
+    // are then bit-identical in any engine regardless of summation
+    // order, which float sums do not guarantee.
+    "ann_lsh_oracle" -> ((s, dir) => {
+      val bits = 4
+      val signs = Similarity.hashSigns(64, bits)
+      val withBucket = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")).as("iemb"))
+        .withColumn("bucket", (0 until bits).map { b =>
+          val dot = aggregate(zip_with(col("iemb"), typedLit(signs(b)),
+            (x, w) => x * w), lit(0L), (acc, v) => acc + v)
+          when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _))
+      val q = withBucket.filter(col("vec_id") === 0)
+        .select(col("bucket"), col("iemb").as("qemb"))
+      def idot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      withBucket.join(broadcast(q), Seq("bucket"))
+        .select(col("vec_id"), (idot(col("iemb"), col("qemb")).cast("double") /
+          (sqrt(idot(col("iemb"), col("iemb")).cast("double")) *
+           sqrt(idot(col("qemb"), col("qemb")).cast("double")))).as("cos"))
+        .orderBy(desc("cos"), col("vec_id")).limit(10)
+    }),
+
+    // The SimHash majority-vote fold (the codegen'd plans.SimhashFold
+    // expression), DRIVER-ORACLED: token hashes swapped from the
+    // engine's xxhash64 to the first 8 md5 hex digits so DuckDB can
+    // recompute them; the fold the expression JITs is replayed in SQL
+    // as the unrolled ±1 vote per bit.
+    "dedup_simhash_oracle" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        graft.plans.SimhashFold.simhash_fold(
+          transform(split(lower(trim(col("text"))), "\\s+"),
+            t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
+          16).as("fp"))
+        .orderBy("doc_id")),
     // plain path: this fixture corpus is dup-light (~95% distinct), so
     // the exact-first variant's group/remap machinery buys nothing
     // here; on dup-dominated corpora use
@@ -1406,6 +1450,53 @@ object SparkEntry {
       comp AS (SELECT v, min(u) AS comp FROM reach GROUP BY v)
       SELECT v AS doc_id, comp, CAST(v = comp AS INT) AS kept
       FROM comp ORDER BY doc_id"""),
+
+    // hyperplane-LSH ANN: signed integer projections -> sign-packed
+    // bucket -> bucket-equality candidates -> exact cosine -> top-k
+    "ann_lsh_oracle" -> ("""
+      WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                        unnest(range(1, len(embedding) + 1)) AS d
+                 FROM embeddings),
+      ie AS (SELECT vec_id, CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv, d
+             FROM e),
+      s AS (SELECT b, dd.d,
+              CASE WHEN strpos('89abcdef', substr(md5(b || '|' || (dd.d - 1)), 1, 1)) > 0
+                   THEN 1 ELSE -1 END AS sgn
+            FROM range(0, 4) t(b) CROSS JOIN (SELECT DISTINCT d FROM ie) dd),
+      dots AS (SELECT vec_id, b, sum(iv * sgn) AS dot
+               FROM ie JOIN s USING (d) GROUP BY vec_id, b),
+      bk AS (SELECT vec_id, sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b)
+                                     ELSE 0 END) AS bucket
+             FROM dots GROUP BY vec_id),
+      iv2 AS (SELECT vec_id, list(iv ORDER BY d) AS iemb FROM ie GROUP BY vec_id),
+      q AS (SELECT b.bucket, i.iemb FROM bk b JOIN iv2 i USING (vec_id)
+            WHERE b.vec_id = 0),
+      cand AS (SELECT b.vec_id, i.iemb, q.iemb AS qemb
+               FROM bk b JOIN q ON b.bucket = q.bucket
+               JOIN iv2 i ON i.vec_id = b.vec_id),
+      sc AS (SELECT vec_id,
+               CAST(list_sum(list_transform(range(1, len(iemb) + 1),
+                 j -> iemb[j] * qemb[j])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(iemb, x -> x * x)) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(qemb, x -> x * x)) AS DOUBLE))) AS cos
+             FROM cand)
+      SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT 10"""),
+
+    // SimHash majority fold over md5-derived token hashes: the ±1 vote
+    // per bit, unrolled relationally
+    "dedup_simhash_oracle" -> ("""
+      WITH toks AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                    FROM documents),
+      th AS (SELECT doc_id, list_sum(list_transform(range(1, 9),
+               i -> (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1) *
+                    ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i])) AS h
+             FROM toks),
+      bitsum AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+                 FROM th CROSS JOIN range(0, 16) t(b) GROUP BY doc_id, b)
+      SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b)
+                                   ELSE 0 END) AS BIGINT) AS fp
+      FROM bitsum GROUP BY doc_id ORDER BY doc_id"""),
 
     "dedup_jaccard" -> ("""
       WITH t AS (SELECT doc_id,

@@ -40,6 +40,23 @@ object Similarity {
   def lshBucket(emb: Column, dim: Int, bits: Int): Column =
     lshBucketTable(emb, dim, bits, 0)
 
+  /** Deterministic ±1 hyperplane family for the DRIVER-ORACLED LSH
+    * twin: sign(b, d) = +1 iff the first hex digit of md5("b|d") has
+    * its high bit set. Chosen over [[hyperplanes]]' murmur3 reals ONLY
+    * because an md5 of a string is recomputable in DuckDB, so the whole
+    * bucket→candidate→re-score pipeline can be replayed independently;
+    * the projection/sign/pack structure the engine runs is the same. */
+  private[graft] def hashSigns(dim: Int, bits: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until bits).map { b =>
+      (0 until dim).map { d =>
+        md.reset()
+        val first = (md.digest(s"$b|$d".getBytes("UTF-8"))(0) >> 4) & 0xF
+        if (first >= 8) 1L else -1L
+      }
+    }
+  }
+
   private[operators] def hyperplanes(dim: Int, bits: Int, table: Int): Seq[Seq[Double]] =
     (0 until bits).map { b =>
       (0 until dim).map { i =>
