@@ -560,6 +560,65 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X10: formula-line heuristic (math-symbol density + TeX-command /
+    // sub-superscript patterns) over the raw text and over a variant
+    // with a mathy prefix so both branches of the OR fire
+    "x10_formula" -> ((s, dir) => {
+      // rotate the prefix so each heuristic branch (symbol density, TeX
+      // command, sub/superscript) fires on a different residue class
+      val mathy = concat(
+        when(col("doc_id") % 3 === 0, lit("E=mc^2 \\frac{a}{b} ∑x "))
+          .when(col("doc_id") % 3 === 1, lit("see x_2 and y^3 "))
+          .otherwise(lit("plain words only ")),
+        substring(col("text"), 1, 30))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextNorm.isFormulaLike(col("text")).cast("int").as("f_text"),
+        TextNorm.isFormulaLike(mathy).cast("int").as("f_math"))
+        .orderBy("doc_id")
+    }),
+
+    // J7: dt/dd positional zip join through the REAL basicInfo pipeline
+    // (regexp_findall_groups custom expression -> arrays_zip ->
+    // map_from_entries, empty keys filtered); map serialized as sorted
+    // entries for the engine-independent compare
+    "j7_zip_join" -> ((s, dir) => {
+      val html = concat(
+        lit("<dl><dt>语言</dt><dd>"), col("lang"),
+        lit("</dd><dt>来源</dt><dd>"), col("source"),
+        lit("</dd><dt>编号</dt><dd>"), col("doc_id"),
+        lit("</dd><dt></dt><dd>skipped</dd></dl>"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), HtmlExtract.basicInfo(html).as("m"))
+        .select(col("doc_id"),
+          array_join(transform(array_sort(map_entries(col("m"))), e =>
+            concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+            .as("info"))
+        .orderBy("doc_id")
+    }),
+
+    // X20: one-level nested-struct flatten to parent_child columns
+    "x20_flatten" -> ((s, dir) =>
+      graft.sources.Readers.flatten(tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          struct(col("lang").as("l"), col("source").as("s")).as("meta")))
+        .orderBy("doc_id")),
+
+    // S1: text-line scan round-tripped through a REAL file — lines
+    // derived from nation are written out and read back through the
+    // production reader (at scale the path would be DFS; local tmp here)
+    "s1_text_roundtrip" -> ((s, dir) => {
+      val p = System.getProperty("java.io.tmpdir") +
+        s"/graft_s1_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      tbl(s, dir, "nation")
+        .select(concat(col("n_nationkey"), lit("|"), col("n_name")).as("value"))
+        .write.mode("overwrite").text(p)
+      graft.sources.Readers.textLines(s, p)
+        .select(split(col("line"), "\\|").as("f"))
+        .select(get(col("f"), lit(0)).cast("int").as("n_nationkey"),
+          get(col("f"), lit(1)).as("n_name"))
+        .orderBy("n_nationkey")
+    }),
+
     // X18: stringified-array parse — the CSV-compat path where arrays
     // were stored as their text form and must be parsed back
     // (rag_query.py:73-76 ast.literal_eval). from_json over a
@@ -1185,6 +1244,38 @@ object SparkEntry {
         UNION ALL
         SELECT doc_id, '/item/d' || doc_id AS href, 'self' AS text FROM documents)
       ORDER BY doc_id, href"""),
+
+    "x10_formula" -> ("""
+      WITH v AS (SELECT doc_id, text,
+                   (CASE WHEN doc_id % 3 = 0 THEN 'E=mc^2 \frac{a}{b} ∑x '
+                         WHEN doc_id % 3 = 1 THEN 'see x_2 and y^3 '
+                         ELSE 'plain words only ' END)
+                     || substr(text, 1, 30) AS mathy
+                 FROM documents)
+      SELECT doc_id,
+        CAST((CAST(length(text) - length(regexp_replace(text,
+            '[=+\-*/^_{}\\∑∏∫√≤≥≠±]', '', 'g')) AS DOUBLE) /
+            greatest(length(text), 1) > 0.1
+          OR regexp_matches(text, '\\[a-zA-Z]+\{')
+          OR regexp_matches(text, '[a-zA-Z][_^][0-9a-zA-Z]')) AS INT) AS f_text,
+        CAST((CAST(length(mathy) - length(regexp_replace(mathy,
+            '[=+\-*/^_{}\\∑∏∫√≤≥≠±]', '', 'g')) AS DOUBLE) /
+            greatest(length(mathy), 1) > 0.1
+          OR regexp_matches(mathy, '\\[a-zA-Z]+\{')
+          OR regexp_matches(mathy, '[a-zA-Z][_^][0-9a-zA-Z]')) AS INT) AS f_math
+      FROM v ORDER BY doc_id"""),
+
+    "j7_zip_join" -> ("""
+      SELECT doc_id,
+        '来源=' || source || ',编号=' || doc_id || ',语言=' || lang AS info
+      FROM documents ORDER BY doc_id"""),
+
+    "x20_flatten" -> ("""
+      SELECT doc_id, lang AS meta_l, source AS meta_s
+      FROM documents ORDER BY doc_id"""),
+
+    "s1_text_roundtrip" -> ("""
+      SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""),
 
     "x9_textnorm" -> ("""
       SELECT doc_id,
