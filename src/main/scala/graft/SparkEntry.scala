@@ -619,6 +619,37 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // S2+F8: extension-filtered directory glob — a root holding both
+    // .txt (the text writer's extension) and .csv part files; dirScan
+    // with ext="txt" must pick up only the text side
+    "s2_dir_scan" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") +
+        s"/graft_s2_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val nation = tbl(s, dir, "nation")
+      nation.select(concat(col("n_nationkey"), lit("|"), col("n_name")).as("value"))
+        .write.mode("overwrite").text(s"$root/txt_side")
+      nation.select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").option("header", "true").csv(s"$root/csv_side")
+      graft.sources.Readers.dirScan(s, root, "txt")
+        .select(split(col("line"), "\\|").as("f"))
+        .select(get(col("f"), lit(0)).cast("int").as("n_nationkey"),
+          get(col("f"), lit(1)).as("n_name"))
+        .orderBy("n_nationkey")
+    }),
+
+    // S4: header CSV write -> read round trip through the production
+    // reader (header inferred as column names, all columns string-typed
+    // like the reference's csv.DictReader)
+    "s4_csv_roundtrip" -> ((s, dir) => {
+      val p = System.getProperty("java.io.tmpdir") +
+        s"/graft_s4_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      tbl(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .write.mode("overwrite").option("header", "true").csv(p)
+      graft.sources.Readers.headerCsv(s, p)
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    }),
+
     // X18: stringified-array parse — the CSV-compat path where arrays
     // were stored as their text form and must be parsed back
     // (rag_query.py:73-76 ast.literal_eval). from_json over a
@@ -1276,6 +1307,12 @@ object SparkEntry {
 
     "s1_text_roundtrip" -> ("""
       SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""),
+
+    "s2_dir_scan" -> ("""
+      SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""),
+
+    "s4_csv_roundtrip" -> ("""
+      SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""),
 
     "x9_textnorm" -> ("""
       SELECT doc_id,
