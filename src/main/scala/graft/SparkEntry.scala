@@ -650,6 +650,31 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    // S6: crawler-graph JSON read — a top-level JSON ARRAY file (the
+    // reference's knowledge_graph.json shape, one doc per element) is
+    // synthesized driver-side from nation (25 elements) and read back
+    // through the schema'd multiLine reader; nested map/array/struct
+    // fields projected out for the compare
+    "s6_json_roundtrip" -> ((s, dir) => {
+      val p = System.getProperty("java.io.tmpdir") +
+        s"/graft_s6_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}.json"
+      val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name")
+        .orderBy("n_nationkey").collect()
+      val json = rows.map { r =>
+        val k = r.get(0).toString; val name = r.getString(1)
+        s"""{"name":"$name","URL":"http://kg/$k","basic_info":{"key":"$k"},""" +
+          s""""children":[{"name":"c$k","index":$k}]}"""
+      }.mkString("[", ",", "]")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        json.getBytes("UTF-8"))
+      graft.sources.Readers.crawlerGraphJson(s, p)
+        .select(col("name"), col("URL"),
+          element_at(col("basic_info"), lit("key")).as("bkey"),
+          get(col("children"), lit(0)).getField("name").as("child"),
+          get(col("children"), lit(0)).getField("index").as("cidx"))
+        .orderBy("name")
+    }),
+
     // X18: stringified-array parse — the CSV-compat path where arrays
     // were stored as their text form and must be parsed back
     // (rag_query.py:73-76 ast.literal_eval). from_json over a
@@ -1313,6 +1338,13 @@ object SparkEntry {
 
     "s4_csv_roundtrip" -> ("""
       SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""),
+
+    "s6_json_roundtrip" -> ("""
+      SELECT n_name AS name, 'http://kg/' || n_nationkey AS "URL",
+             CAST(n_nationkey AS VARCHAR) AS bkey,
+             'c' || n_nationkey AS child,
+             CAST(n_nationkey AS INT) AS cidx
+      FROM nation ORDER BY name"""),
 
     "x9_textnorm" -> ("""
       SELECT doc_id,
