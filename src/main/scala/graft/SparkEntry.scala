@@ -413,21 +413,28 @@ object SparkEntry {
     // candidate pairs (the production bandedPairs, hot-bucket guard in
     // the plan) → exact-Jaccard verify → connected components (the
     // production componentsAuto) → keep-min-per-component. The hash
-    // family here is 4 md5 minhashes over distinct words INSTEAD of the
-    // engine's seeded xxhash64 signatures, only because DuckDB can
-    // replay md5 — everything downstream of the signatures is the same
-    // code dropNearDuplicates runs. bucketCap is set above the corpus
-    // size so the guard's star fallback (probabilistic) can't diverge
-    // from the oracle's exhaustive bucket equijoin.
+    // family here is 4 md5 minhashes over distinct word TRIGRAMS
+    // instead of the engine's seeded xxhash64 signatures, only because
+    // DuckDB can replay md5 — everything downstream of the signatures
+    // is the same code dropNearDuplicates runs. Trigrams (not words)
+    // keep the min-hash buckets selective: a shared min-word like "the"
+    // would put most of the corpus in one bucket, and bucketCap is set
+    // above the corpus size here so the guard's star fallback
+    // (probabilistic) can't diverge from the oracle's exhaustive
+    // bucket equijoin.
     "dedup_cc_oracle" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id").cast("string").as("id"), col("text"))
       val withSet = docs
-        .select(col("id"), Dedup.wordShingles(col("text"), 1).as("sh"))
+        .select(col("id"), Dedup.wordShingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
+      // persisted like the production minhashLshWithHandle: banded
+      // references it four times (hot agg, both self-join sides, star
+      // branch) and the verify step twice more — unpersisted, the
+      // shingle+minhash pipeline would run six times
       val sig = withSet.withColumn("sig", array((0 until 4).map { i =>
         array_min(transform(col("sh"), w => md5(concat(lit(s"$i|"), w))))
-      }: _*))
+      }: _*)).persist()
       val banded = sig.select(col("id"), explode(
         transform(sequence(lit(0), lit(3)), i =>
           concat(i.cast("string"), lit("|"), get(col("sig"), i)))).as("bucket"))
@@ -439,9 +446,10 @@ object SparkEntry {
           (size(col("shA")) + size(col("shB")) - col("inter")) >= 0.5)
         .select(col("a"), col("b")).persist()
       // componentsAuto acts on the pairs when called (count + collect /
-      // propagate), so the cache can be released as soon as it returns
+      // propagate), so the caches can be released as soon as it returns
       val cc = Canonicalize.componentsAuto(verified)
       verified.unpersist()
+      sig.unpersist()
       cc.select(col("v").as("doc_id"), col("comp"),
           (col("v") === col("comp")).cast("int").as("kept"))
         .orderBy("doc_id")
@@ -1585,10 +1593,15 @@ object SparkEntry {
     // the full drop architecture: band equijoin -> exact-Jaccard verify
     // -> components (recursive CTE) -> keep-min
     "dedup_cc_oracle" -> ("""
-      WITH RECURSIVE w AS (
-        SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id, w FROM (
-          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-          FROM documents) WHERE w <> ''),
+      WITH RECURSIVE t AS (
+        SELECT CAST(doc_id AS VARCHAR) AS id,
+               string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      w AS (SELECT id, unnest(list_distinct(list_filter(
+              [array_to_string(ws[i:i+2], ' ')
+               FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)],
+              g -> g <> ''))) AS w
+            FROM t),
       sig AS (SELECT id, min(md5('0|' || w)) AS h0, min(md5('1|' || w)) AS h1,
                      min(md5('2|' || w)) AS h2, min(md5('3|' || w)) AS h3
               FROM w GROUP BY id),
