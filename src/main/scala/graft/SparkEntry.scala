@@ -28,6 +28,28 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch path for the file round-trip queries (S1/S2/S4/S6): keyed
+    * by (appId, sf dir) like the ANN index so concurrent JVMs and
+    * multiple sf dirs can't collide, and registered for recursive
+    * deletion at JVM exit so repeated runs don't accumulate in /tmp. */
+  private val scratchReg = scala.collection.mutable.HashSet.empty[String]
+  private def scratchPath(s: SparkSession, dir: String, tag: String): String = {
+    val p = System.getProperty("java.io.tmpdir") +
+      s"/graft_${tag}_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+    scratchReg.synchronized {
+      if (scratchReg.isEmpty)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          scratchReg.foreach { root =>
+            def rm(f: java.io.File): Unit = {
+              val sub = f.listFiles; if (sub != null) sub.foreach(rm); f.delete()
+            }
+            rm(new java.io.File(root))
+          }))
+      scratchReg += p
+    }
+    p
+  }
+
   /** Fixture transcripts shared across the kg_* battery: several
     * queries consume the same deterministic input at the same size —
     * synthesizing it once per (size, session) removes fixture-
@@ -365,7 +387,12 @@ object SparkEntry {
     // order, which float sums do not guarantee.
     "ann_lsh_oracle" -> ((s, dir) => {
       val bits = 4
-      val signs = Similarity.hashSigns(64, bits)
+      // dim from the data, like ann_topk — a hardcoded 64 would turn a
+      // regenerated-fixture dim change into null-padded zip_with dots
+      // (every bucket 0) instead of a loud failure
+      val dim = tbl(s, dir, "embeddings")
+        .select(size(col("embedding"))).first().getInt(0)
+      val signs = Similarity.hashSigns(dim, bits)
       val withBucket = tbl(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"),
           x => round(x.cast("double") * 1000000).cast("long")).as("iemb"))
@@ -615,8 +642,7 @@ object SparkEntry {
     // derived from nation are written out and read back through the
     // production reader (at scale the path would be DFS; local tmp here)
     "s1_text_roundtrip" -> ((s, dir) => {
-      val p = System.getProperty("java.io.tmpdir") +
-        s"/graft_s1_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val p = scratchPath(s, dir, "s1")
       tbl(s, dir, "nation")
         .select(concat(col("n_nationkey"), lit("|"), col("n_name")).as("value"))
         .write.mode("overwrite").text(p)
@@ -631,8 +657,7 @@ object SparkEntry {
     // .txt (the text writer's extension) and .csv part files; dirScan
     // with ext="txt" must pick up only the text side
     "s2_dir_scan" -> ((s, dir) => {
-      val root = System.getProperty("java.io.tmpdir") +
-        s"/graft_s2_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val root = scratchPath(s, dir, "s2")
       val nation = tbl(s, dir, "nation")
       nation.select(concat(col("n_nationkey"), lit("|"), col("n_name")).as("value"))
         .write.mode("overwrite").text(s"$root/txt_side")
@@ -649,8 +674,7 @@ object SparkEntry {
     // reader (header inferred as column names, all columns string-typed
     // like the reference's csv.DictReader)
     "s4_csv_roundtrip" -> ((s, dir) => {
-      val p = System.getProperty("java.io.tmpdir") +
-        s"/graft_s4_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+      val p = scratchPath(s, dir, "s4")
       tbl(s, dir, "region").select(col("r_regionkey"), col("r_name"))
         .write.mode("overwrite").option("header", "true").csv(p)
       graft.sources.Readers.headerCsv(s, p)
@@ -664,8 +688,7 @@ object SparkEntry {
     // through the schema'd multiLine reader; nested map/array/struct
     // fields projected out for the compare
     "s6_json_roundtrip" -> ((s, dir) => {
-      val p = System.getProperty("java.io.tmpdir") +
-        s"/graft_s6_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}.json"
+      val p = scratchPath(s, dir, "s6")
       val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name")
         .orderBy("n_nationkey").collect()
       val json = rows.map { r =>

@@ -198,10 +198,14 @@ object Dedup {
     * better on unshingleable duplicates: exact copies of an empty /
     * whitespace-only text have no shingles, so the plain path cannot
     * pair them and keeps every copy, while this path still collapses
-    * them through the hash group. */
+    * them through the hash group (null texts likewise: they share the
+    * null hash group and collapse to its min-id member). */
   def dropNearDuplicatesExactFirst(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7): DataFrame = {
-    val withH = df.select(col(idCol), md5(col(textCol)).as("_h"))
+    // persisted narrow projection: consumed by the groups aggregate AND
+    // the member→component join below — unpersisted, the full corpus
+    // would be re-read and re-hashed a second time
+    val withH = df.select(col(idCol), md5(col(textCol)).as("_h")).persist()
     val groups = withH.groupBy("_h").agg(min(col(idCol)).as("_rep")).persist()
     val reps = df.join(groups.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
     val (rawPairs, sigs) = minhashLshWithHandle(reps, idCol, textCol, threshold = threshold)
@@ -214,17 +218,23 @@ object Dedup {
     sigs.unpersist()
     // member → component: the rep's component, or the rep itself when
     // the rep has no near-dup edges; survivor = min (string) member id,
-    // matching dropNearDuplicates' min-string component pick
-    val memberComp = withH.join(groups, Seq("_h"))
+    // matching dropNearDuplicates' min-string component pick. The join
+    // on _h is NULL-SAFE (<=>): null texts hash to a null key, and a
+    // plain equijoin would silently drop every null-text row instead of
+    // collapsing the null group to its representative.
+    val memberComp = withH.as("m")
+      .join(groups.as("g"), col("m._h") <=> col("g._h"))
       .join(cc.withColumnRenamed("v", "_repS"),
-        col("_rep").cast("string") === col("_repS"), "left")
-      .select(col(idCol), coalesce(col("comp"), col("_rep").cast("string")).as("_comp"))
+        col("g._rep").cast("string") === col("_repS"), "left")
+      .select(col(s"m.$idCol"),
+        coalesce(col("comp"), col("g._rep").cast("string")).as("_comp"))
     val survivors = memberComp.groupBy("_comp")
       .agg(min(col(idCol).cast("string")).as("_sid"))
       .select("_sid").persist()
     survivors.count() // materialize so the intermediate caches release now
     cc.unpersist()
     groups.unpersist()
+    withH.unpersist()
     df.join(survivors, col(idCol).cast("string") === col("_sid"), "left_semi")
   }
 

@@ -127,6 +127,13 @@ class DedupSpec extends SparkSpec {
     val empties = (0 until 5).map(i => (i.toLong, "")).toDF("doc_id", "text")
     assert(Dedup.dropNearDuplicates(empties, "doc_id", "text").count() === 5L)
     assert(Dedup.dropNearDuplicatesExactFirst(empties, "doc_id", "text").count() === 1L)
+    // null texts share the null hash group: they must collapse to the
+    // min-id member, not vanish (the member join on _h is null-safe)
+    val nulls = Seq((1L, null: String), (2L, null: String),
+      (3L, "real shingleable text body here")).toDF("doc_id", "text")
+    val keptN = Dedup.dropNearDuplicatesExactFirst(nulls, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptN === Set(1L, 3L))
   }
 
   test("simhash: identical text → identical fingerprint; near text → small hamming") {
