@@ -412,6 +412,36 @@ object SparkEntry {
         .orderBy(desc("cos"), col("vec_id")).limit(10)
     }),
 
+    // The X16 feature-hash EMBEDDING architecture, DRIVER-ORACLED:
+    // token → hash → signed vote into hash % dim → L2 normalize. Two
+    // deliberate swaps vs the Embeddings.embed kernel, both forced by
+    // cross-engine determinism (same rationale as ann_lsh_oracle /
+    // dedup_simhash_oracle): whitespace tokens instead of the kernel's
+    // letter-run scanner, md5-derived hashes instead of murmur3. Votes
+    // are exact integers, so the norm/divide doubles downstream are
+    // bit-identical in any engine.
+    "x16_embed_oracle" -> ((s, dir) => {
+      val dim = 16
+      val toks = tbl(s, dir, "documents").select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("v", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+      val votes = toks
+        .groupBy(col("doc_id"), pmod(col("v"), lit(dim)).as("idx"))
+        .agg(sum(when(shiftright(col("v"), 31).bitwiseAND(lit(1L)) === 0L, 1L)
+          .otherwise(-1L)).as("cnt"))
+      val grid = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(dim - 1L))).as("idx"))
+      val full = grid.join(votes, Seq("doc_id", "idx"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      full.withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(w).cast("double")))
+        .select(col("doc_id"), col("idx"),
+          when(col("norm") > 0, col("cnt").cast("double") / col("norm"))
+            .otherwise(lit(0.0)).as("val"))
+        .orderBy("doc_id", "idx")
+    }),
+
     // The SimHash majority-vote fold (the codegen'd plans.SimhashFold
     // expression), DRIVER-ORACLED: token hashes swapped from the
     // engine's xxhash64 to the first 8 md5 hex digits so DuckDB can
@@ -1677,6 +1707,31 @@ object SparkEntry {
                 sqrt(CAST(list_sum(list_transform(qemb, x -> x * x)) AS DOUBLE))) AS cos
              FROM cand)
       SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT 10"""),
+
+    // feature-hash embedding: signed votes into hash % dim, L2 norm
+    "x16_embed_oracle" -> ("""
+      WITH toks AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                    FROM documents),
+      tv AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+               i -> (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1) *
+                    ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+               AS BIGINT) AS v
+             FROM toks WHERE w <> ''),
+      votes AS (SELECT doc_id, v % 16 AS idx,
+                  sum(CASE WHEN (v >> 31) & 1 = 0 THEN 1 ELSE -1 END) AS cnt
+                FROM tv GROUP BY doc_id, v % 16),
+      grid AS (SELECT d.doc_id, g.idx FROM documents d
+               CROSS JOIN range(0, 16) g(idx)),
+      full_g AS (SELECT g.doc_id, g.idx, coalesce(v.cnt, 0) AS cnt
+                 FROM grid g LEFT JOIN votes v
+                 ON v.doc_id = g.doc_id AND v.idx = g.idx),
+      n AS (SELECT doc_id, idx, cnt,
+              sqrt(CAST(sum(cnt * cnt) OVER (PARTITION BY doc_id) AS DOUBLE)) AS norm
+            FROM full_g)
+      SELECT doc_id, idx,
+             CASE WHEN norm > 0 THEN CAST(cnt AS DOUBLE) / norm ELSE 0.0 END AS val
+      FROM n ORDER BY doc_id, idx"""),
 
     // SimHash majority fold over md5-derived token hashes: the ±1 vote
     // per bit, unrolled relationally
