@@ -412,6 +412,47 @@ object SparkEntry {
         .orderBy(desc("cos"), col("vec_id")).limit(10)
     }),
 
+    // The IVF coarse-quantization architecture, DRIVER-ORACLED: assign
+    // each vector to its best centroid (the REAL ivfAssign shape — a
+    // greatest-of-(sim, cell) structs, ties to the larger cell), rank
+    // centroids against the query ON THE DRIVER like ivfTopK, probe the
+    // top-nprobe cells, exact-rescore only those rows. Embeddings are
+    // int-quantized (see ann_lsh_oracle) so every cosine double is
+    // bit-identical across engines, including the driver-side probe
+    // ranking (exact long dots → the same IEEE sqrt/divide).
+    "ivf_oracle" -> ((s, dir) => {
+      val nCents = 4; val nprobe = 2
+      val base = tbl(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")).as("iemb"))
+      val centRows = base.filter(col("vec_id") < nCents)
+        .select(col("vec_id"), col("iemb")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+        .sortBy(_._1)
+      val qemb = base.filter(col("vec_id") === 7).select("iemb")
+        .first().getSeq[Long](0)
+      def dcos(a: Seq[Long], b: Seq[Long]): Double = {
+        var d = 0L; var na = 0L; var nb = 0L; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      }
+      val probeCells = centRows.map { case (c, ce) => (dcos(qemb, ce), c) }
+        .sortBy { case (sim, c) => (-sim, -c) }.take(nprobe).map(_._2).toSeq
+      def idot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      def cosc(a: Column, b: Column): Column = idot(a, b).cast("double") /
+        (sqrt(idot(a, a).cast("double")) * sqrt(idot(b, b).cast("double")))
+      val scoreCols = centRows.map { case (c, ce) =>
+        struct(cosc(col("iemb"), typedLit(ce)).as("sim"), lit(c).as("cell"))
+      }
+      base.withColumn("cell", greatest(scoreCols: _*).getField("cell"))
+        .filter(col("cell").isin(probeCells: _*))
+        .select(col("vec_id"), cosc(col("iemb"), typedLit(qemb)).as("cos"))
+        .orderBy(desc("cos"), col("vec_id")).limit(10)
+    }),
+
     // The X16 feature-hash EMBEDDING architecture, DRIVER-ORACLED:
     // token → hash → signed vote into hash % dim → L2 normalize. Two
     // deliberate swaps vs the Embeddings.embed kernel, both forced by
@@ -1707,6 +1748,42 @@ object SparkEntry {
                 sqrt(CAST(list_sum(list_transform(qemb, x -> x * x)) AS DOUBLE))) AS cos
              FROM cand)
       SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT 10"""),
+
+    // IVF: assign to best centroid (ties -> larger cell), probe the
+    // query's top-2 cells, exact-rescore
+    "ivf_oracle" -> ("""
+      WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                        unnest(range(1, len(embedding) + 1)) AS d
+                 FROM embeddings),
+      ie AS (SELECT vec_id, CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv, d
+             FROM e),
+      iv2 AS (SELECT vec_id, list(iv ORDER BY d) AS iemb FROM ie GROUP BY vec_id),
+      cents AS (SELECT vec_id AS cell, iemb AS cemb FROM iv2 WHERE vec_id < 4),
+      q AS (SELECT iemb AS qemb FROM iv2 WHERE vec_id = 7),
+      sc AS (SELECT v.vec_id, c.cell,
+               CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> v.iemb[j] * c.cemb[j])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(v.iemb, x -> x * x)) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(c.cemb, x -> x * x)) AS DOUBLE))) AS sim
+             FROM iv2 v CROSS JOIN cents c),
+      assigned AS (SELECT vec_id, cell FROM sc
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, cell DESC) = 1),
+      qsc AS (SELECT c.cell,
+                CAST(list_sum(list_transform(range(1, len(q.qemb) + 1),
+                  j -> q.qemb[j] * c.cemb[j])) AS DOUBLE) /
+                (sqrt(CAST(list_sum(list_transform(q.qemb, x -> x * x)) AS DOUBLE)) *
+                 sqrt(CAST(list_sum(list_transform(c.cemb, x -> x * x)) AS DOUBLE))) AS sim
+              FROM cents c, q),
+      probe AS (SELECT cell FROM qsc ORDER BY sim DESC, cell DESC LIMIT 2),
+      res AS (SELECT v.vec_id,
+                CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                  j -> v.iemb[j] * q.qemb[j])) AS DOUBLE) /
+                (sqrt(CAST(list_sum(list_transform(v.iemb, x -> x * x)) AS DOUBLE)) *
+                 sqrt(CAST(list_sum(list_transform(q.qemb, x -> x * x)) AS DOUBLE))) AS cos
+              FROM iv2 v JOIN assigned a ON a.vec_id = v.vec_id
+              JOIN probe p ON p.cell = a.cell, q)
+      SELECT vec_id, cos FROM res ORDER BY cos DESC, vec_id LIMIT 10"""),
 
     // feature-hash embedding: signed votes into hash % dim, L2 norm
     "x16_embed_oracle" -> ("""

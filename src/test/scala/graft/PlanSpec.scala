@@ -107,4 +107,18 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
+
+  test("architecture-oracle similarity queries: TakeOrdered re-score, broadcast query row") {
+    val ann = SparkEntry.queries("ann_lsh_oracle")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(ann.contains("TakeOrderedAndProject"), ann.take(800))
+    assert(ann.contains("BroadcastHashJoin") || ann.contains("BroadcastExchange"),
+      ann.take(1200))
+    val ivf = SparkEntry.queries("ivf_oracle")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(ivf.contains("TakeOrderedAndProject"), ivf.take(800))
+    // assignment + probe are pure projections/filters over ONE scan —
+    // no join or shuffle before the top-k
+    assert(!ivf.contains("SortMergeJoin"), ivf.take(1200))
+  }
 }
