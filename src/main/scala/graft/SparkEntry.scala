@@ -280,6 +280,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("len")).cast("long").as("chars"))
         .orderBy("mtype")
     }),
+    // X6 DRIVER-ORACLED: the REAL labels-from-entities kernel over a
+    // bounded prefix of each doc with two fixed entities. Both entities
+    // are non-self-overlapping ("the", "a"), so the kernel's greedy
+    // left-to-right indexOf stamping equals all-positions stamping —
+    // the form DuckDB can replay (later entity in the list wins a
+    // position, exactly like the kernel's overwrite order).
+    "x6_bioes_encode" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          val labels = graft.functions.Bioes.encode(Option(t).getOrElse(""),
+            Seq(("the", "W"), ("a", "C")))
+          (id, labels.mkString(","))
+        }
+        .toDF("doc_id", "ls")
+        .select(col("doc_id"), md5(col("ls")).as("lab_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming extension surface: the flatMapGroupsWithState fold over
     // a bounded MemoryStream MUST equal the batch kernel on the same
     // conversations — asserted inside the query (rows-only for the
@@ -1237,6 +1258,32 @@ object SparkEntry {
              '}' AS value
       FROM surv s JOIN pj ON pj.cid = s.cid LEFT JOIN rj ON rj.cid = s.cid
       ORDER BY id"""),
+
+    // BIOES encode: stamp B/I/E/S over every occurrence span; later
+    // entity wins a contested position
+    "x6_bioes_encode" -> ("""
+      WITH t AS (SELECT doc_id, substr(text, 1, 60) AS s FROM documents),
+      pos AS (SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS p FROM t),
+      occ AS (
+        SELECT doc_id, p AS st, 3 AS elen, 'W' AS etype, 1 AS eidx
+        FROM pos WHERE substr(s, p, 3) = 'the'
+        UNION ALL
+        SELECT doc_id, p, 1, 'C', 2 FROM pos WHERE substr(s, p, 1) = 'a'),
+      lab AS (SELECT p.doc_id, p.p,
+                CASE WHEN o.elen = 1 THEN 'S-' || o.etype
+                     WHEN p.p = o.st THEN 'B-' || o.etype
+                     WHEN p.p = o.st + o.elen - 1 THEN 'E-' || o.etype
+                     ELSE 'I-' || o.etype END AS l,
+                o.eidx
+              FROM pos p JOIN occ o ON o.doc_id = p.doc_id
+                AND p.p BETWEEN o.st AND o.st + o.elen - 1),
+      best AS (SELECT doc_id, p, l FROM lab
+               QUALIFY row_number() OVER (PARTITION BY doc_id, p
+                 ORDER BY eidx DESC) = 1),
+      seq AS (SELECT p.doc_id, string_agg(coalesce(b.l, 'O'), ',' ORDER BY p.p) AS ls
+              FROM pos p LEFT JOIN best b ON b.doc_id = p.doc_id AND b.p = p.p
+              GROUP BY p.doc_id)
+      SELECT doc_id, md5(ls) AS lab_md5 FROM seq ORDER BY doc_id"""),
 
     "x5_span_counts" -> ("""
       WITH pos0 AS (
