@@ -468,7 +468,7 @@ object SparkEntry {
       val scoreCols = centRows.map { case (c, ce) =>
         struct(cosc(col("iemb"), typedLit(ce)).as("sim"), lit(c).as("cell"))
       }
-      base.withColumn("cell", greatest(scoreCols: _*).getField("cell"))
+      base.withColumn("cell", greatest(scoreCols.toIndexedSeq: _*).getField("cell"))
         .filter(col("cell").isin(probeCells: _*))
         .select(col("vec_id"), cosc(col("iemb"), typedLit(qemb)).as("cos"))
         .orderBy(desc("cos"), col("vec_id")).limit(10)
@@ -1503,11 +1503,11 @@ object SparkEntry {
               regexp_replace(
                 regexp_replace(
                   '![alt](http://x/y.png) 开头 $$E=mc^2$$ mid ' || text ||
-                    ' $x+y$ \uF06E 一级 \uF075 二级 ok',
+                    ' $x+y$  一级  二级 ok',
                   '!\[[^\]]*\]\([^)]*\)', '[图片]', 'g'),
                 '\$\$[^$]+\$\$', '[公式]', 'g'),
-              '\uF06E', '- ● ', 'g'),
-            '\uF075', '    - ◆ ', 'g'),
+              '', '- ● ', 'g'),
+            '', '    - ◆ ', 'g'),
           '\$([^$]+)\$', '\\(\1\\)', 'g') AS norm
       FROM documents ORDER BY doc_id"""),
 

@@ -149,7 +149,7 @@ object Similarity {
       struct(Embeddings.cosine(col(embCol), typedLit(c.toSeq)).as("sim"),
         lit(i).as("cell"))
     }
-    df.withColumn("cell", greatest(cellScores: _*).getField("cell"))
+    df.withColumn("cell", greatest(cellScores.toIndexedSeq: _*).getField("cell"))
   }
 
   /** IVF probe: rank centroids against the query ON THE DRIVER (the
