@@ -474,6 +474,44 @@ object SparkEntry {
         .orderBy(desc("cos"), col("vec_id")).limit(10)
     }),
 
+    // The embedding-cosine NEAR-DUP architecture, DRIVER-ORACLED:
+    // hyperplane-sign bucket → within-bucket pairs through the REAL
+    // bandedPairs (dedup=false: one bucket per id, like
+    // embeddingNearDup) → exact-cosine verify. Same determinism swaps
+    // as ann_lsh_oracle (md5-sign hyperplanes, int-quantized exact
+    // arithmetic); threshold 0.3 because the synthetic embeddings carry
+    // no planted near-dups (corpus max pairwise cosine ≈ 0.51).
+    "emb_neardup_oracle" -> ((s, dir) => {
+      val bits = 4
+      val dim = tbl(s, dir, "embeddings")
+        .select(size(col("embedding"))).first().getInt(0)
+      val signs = Similarity.hashSigns(dim, bits)
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")).as("iemb"))
+        .withColumn("bucket", (0 until bits).map { b =>
+          val dot = aggregate(zip_with(col("iemb"), typedLit(signs(b)),
+            (x, w) => x * w), lit(0L), (acc, v) => acc + v)
+          when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _))
+      // deliberately NOT persisted: the query is lazy end-to-end (no
+      // eager point after which to unpersist), and re-deriving the
+      // narrow quantize+bucket projection per reference is cheaper
+      // than a cache entry that would outlive the query
+      def idot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      val out = Dedup.bandedPairs(base.select("id", "bucket"),
+          bucketCap = 1000000, dedup = false)
+        .join(base.select(col("id").as("a"), col("iemb").as("embA")), Seq("a"))
+        .join(base.select(col("id").as("b"), col("iemb").as("embB")), Seq("b"))
+        .select(col("a"), col("b"), (idot(col("embA"), col("embB")).cast("double") /
+          (sqrt(idot(col("embA"), col("embA")).cast("double")) *
+           sqrt(idot(col("embB"), col("embB")).cast("double")))).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy("a", "b")
+      out
+    }),
+
     // The X16 feature-hash EMBEDDING architecture, DRIVER-ORACLED:
     // token → hash → signed vote into hash % dim → L2 normalize. Two
     // deliberate swaps vs the Embeddings.embed kernel, both forced by
@@ -1831,6 +1869,34 @@ object SparkEntry {
               FROM iv2 v JOIN assigned a ON a.vec_id = v.vec_id
               JOIN probe p ON p.cell = a.cell, q)
       SELECT vec_id, cos FROM res ORDER BY cos DESC, vec_id LIMIT 10"""),
+
+    // embedding near-dup: same-bucket pairs, exact-cosine verify
+    "emb_neardup_oracle" -> ("""
+      WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                        unnest(range(1, len(embedding) + 1)) AS d
+                 FROM embeddings),
+      ie AS (SELECT vec_id, CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv, d
+             FROM e),
+      s AS (SELECT b, dd.d,
+              CASE WHEN strpos('89abcdef', substr(md5(b || '|' || (dd.d - 1)), 1, 1)) > 0
+                   THEN 1 ELSE -1 END AS sgn
+            FROM range(0, 4) t(b) CROSS JOIN (SELECT DISTINCT d FROM ie) dd),
+      dots AS (SELECT vec_id, b, sum(iv * sgn) AS dot
+               FROM ie JOIN s USING (d) GROUP BY vec_id, b),
+      bk AS (SELECT vec_id, sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b)
+                                     ELSE 0 END) AS bucket
+             FROM dots GROUP BY vec_id),
+      iv2 AS (SELECT vec_id, list(iv ORDER BY d) AS iemb FROM ie GROUP BY vec_id),
+      pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+                FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      sc AS (SELECT p.a, p.b,
+               CAST(list_sum(list_transform(range(1, len(xa.iemb) + 1),
+                 j -> xa.iemb[j] * xb.iemb[j])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(xa.iemb, t -> t * t)) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(xb.iemb, t -> t * t)) AS DOUBLE))) AS cos
+             FROM pairs p JOIN iv2 xa ON xa.vec_id = p.a
+             JOIN iv2 xb ON xb.vec_id = p.b)
+      SELECT a, b, cos FROM sc WHERE cos >= 0.3 ORDER BY a, b"""),
 
     // feature-hash embedding: signed votes into hash % dim, L2 norm
     "x16_embed_oracle" -> ("""
