@@ -28,6 +28,25 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared exact-arithmetic kit for the ARCHITECTURE-ORACLE queries
+    * (ann_lsh/ivf/emb_neardup): the determinism contract with their
+    * DuckDB twins lives HERE, single-sourced — int-quantized
+    * embeddings (round(x·1e6) as int64), exact long dot products, and
+    * the md5-sign bucket fold. A change to any of these must be
+    * mirrored in every twin's SQL. */
+  private def iembCol(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1000000).cast("long"))
+  private def idotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  private def icosCol(a: Column, b: Column): Column =
+    idotCol(a, b).cast("double") /
+      (sqrt(idotCol(a, a).cast("double")) * sqrt(idotCol(b, b).cast("double")))
+  private def signBucketCol(iemb: Column, signs: Seq[Seq[Long]]): Column =
+    signs.indices.map { b =>
+      val dot = idotCol(iemb, typedLit(signs(b)))
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Scratch path for the file round-trip queries (S1/S2/S4/S6): keyed
     * by (appId, sf dir) like the ANN index so concurrent JVMs and
     * multiple sf dirs can't collide, and registered for recursive
@@ -288,8 +307,14 @@ object SparkEntry {
     // position, exactly like the kernel's overwrite order).
     "x6_bioes_encode" -> ((s, dir) => {
       import s.implicits._
+      // hardened against fixture drift: null text → empty (both sides
+      // then agree on md5('')), and astral codepoints stripped — the
+      // kernel labels per UTF-16 unit while the SQL twin counts per
+      // codepoint, so the comparison is defined over the BMP
       tbl(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+        .select(col("doc_id"), regexp_replace(
+          coalesce(substring(col("text"), 1, 60), lit("")),
+          "[\\x{10000}-\\x{10FFFF}]", "").as("t"))
         .as[(Long, String)]
         .map { case (id, t) =>
           val labels = graft.functions.Bioes.encode(Option(t).getOrElse(""),
@@ -415,21 +440,12 @@ object SparkEntry {
         .select(size(col("embedding"))).first().getInt(0)
       val signs = Similarity.hashSigns(dim, bits)
       val withBucket = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"),
-          x => round(x.cast("double") * 1000000).cast("long")).as("iemb"))
-        .withColumn("bucket", (0 until bits).map { b =>
-          val dot = aggregate(zip_with(col("iemb"), typedLit(signs(b)),
-            (x, w) => x * w), lit(0L), (acc, v) => acc + v)
-          when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _))
+        .select(col("vec_id"), iembCol(col("embedding")).as("iemb"))
+        .withColumn("bucket", signBucketCol(col("iemb"), signs))
       val q = withBucket.filter(col("vec_id") === 0)
         .select(col("bucket"), col("iemb").as("qemb"))
-      def idot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
       withBucket.join(broadcast(q), Seq("bucket"))
-        .select(col("vec_id"), (idot(col("iemb"), col("qemb")).cast("double") /
-          (sqrt(idot(col("iemb"), col("iemb")).cast("double")) *
-           sqrt(idot(col("qemb"), col("qemb")).cast("double")))).as("cos"))
+        .select(col("vec_id"), icosCol(col("iemb"), col("qemb")).as("cos"))
         .orderBy(desc("cos"), col("vec_id")).limit(10)
     }),
 
@@ -443,34 +459,34 @@ object SparkEntry {
     // ranking (exact long dots → the same IEEE sqrt/divide).
     "ivf_oracle" -> ((s, dir) => {
       val nCents = 4; val nprobe = 2
-      val base = tbl(s, dir, "embeddings").select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000000).cast("long")).as("iemb"))
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), iembCol(col("embedding")).as("iemb"))
       val centRows = base.filter(col("vec_id") < nCents)
         .select(col("vec_id"), col("iemb")).collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
         .sortBy(_._1)
       val qemb = base.filter(col("vec_id") === 7).select("iemb")
         .first().getSeq[Long](0)
+      // zero-norm guard matches the production ivfTopK.cos (returns
+      // 0.0); NOTE the SQL twin divides unguarded and would yield
+      // inf/NaN there — unreachable on quantized unit-norm embeddings
+      // (every fixture norm ≈ 1e12), stated here for the contract
       def dcos(a: Seq[Long], b: Seq[Long]): Double = {
         var d = 0L; var na = 0L; var nb = 0L; var i = 0
         while (i < a.length) {
           d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
         }
-        d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+        if (na == 0L || nb == 0L) 0.0
+        else d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
       }
       val probeCells = centRows.map { case (c, ce) => (dcos(qemb, ce), c) }
         .sortBy { case (sim, c) => (-sim, -c) }.take(nprobe).map(_._2).toSeq
-      def idot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-      def cosc(a: Column, b: Column): Column = idot(a, b).cast("double") /
-        (sqrt(idot(a, a).cast("double")) * sqrt(idot(b, b).cast("double")))
       val scoreCols = centRows.map { case (c, ce) =>
-        struct(cosc(col("iemb"), typedLit(ce)).as("sim"), lit(c).as("cell"))
+        struct(icosCol(col("iemb"), typedLit(ce)).as("sim"), lit(c).as("cell"))
       }
       base.withColumn("cell", greatest(scoreCols.toIndexedSeq: _*).getField("cell"))
         .filter(col("cell").isin(probeCells: _*))
-        .select(col("vec_id"), cosc(col("iemb"), typedLit(qemb)).as("cos"))
+        .select(col("vec_id"), icosCol(col("iemb"), typedLit(qemb)).as("cos"))
         .orderBy(desc("cos"), col("vec_id")).limit(10)
     }),
 
@@ -487,29 +503,19 @@ object SparkEntry {
         .select(size(col("embedding"))).first().getInt(0)
       val signs = Similarity.hashSigns(dim, bits)
       val base = tbl(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), transform(col("embedding"),
-          x => round(x.cast("double") * 1000000).cast("long")).as("iemb"))
-        .withColumn("bucket", (0 until bits).map { b =>
-          val dot = aggregate(zip_with(col("iemb"), typedLit(signs(b)),
-            (x, w) => x * w), lit(0L), (acc, v) => acc + v)
-          when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _))
+        .select(col("vec_id").as("id"), iembCol(col("embedding")).as("iemb"))
+        .withColumn("bucket", signBucketCol(col("iemb"), signs))
       // deliberately NOT persisted: the query is lazy end-to-end (no
       // eager point after which to unpersist), and re-deriving the
       // narrow quantize+bucket projection per reference is cheaper
       // than a cache entry that would outlive the query
-      def idot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-      val out = Dedup.bandedPairs(base.select("id", "bucket"),
+      Dedup.bandedPairs(base.select("id", "bucket"),
           bucketCap = 1000000, dedup = false)
         .join(base.select(col("id").as("a"), col("iemb").as("embA")), Seq("a"))
         .join(base.select(col("id").as("b"), col("iemb").as("embB")), Seq("b"))
-        .select(col("a"), col("b"), (idot(col("embA"), col("embB")).cast("double") /
-          (sqrt(idot(col("embA"), col("embA")).cast("double")) *
-           sqrt(idot(col("embB"), col("embB")).cast("double")))).as("cos"))
+        .select(col("a"), col("b"), icosCol(col("embA"), col("embB")).as("cos"))
         .filter(col("cos") >= 0.3)
         .orderBy("a", "b")
-      out
     }),
 
     // The X16 feature-hash EMBEDDING architecture, DRIVER-ORACLED:
@@ -1300,7 +1306,10 @@ object SparkEntry {
     // BIOES encode: stamp B/I/E/S over every occurrence span; later
     // entity wins a contested position
     "x6_bioes_encode" -> ("""
-      WITH t AS (SELECT doc_id, substr(text, 1, 60) AS s FROM documents),
+      WITH t AS (SELECT doc_id,
+                   regexp_replace(coalesce(substr(text, 1, 60), ''),
+                     '[\x{10000}-\x{10FFFF}]', '', 'g') AS s
+                 FROM documents),
       pos AS (SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS p FROM t),
       occ AS (
         SELECT doc_id, p AS st, 3 AS elen, 'W' AS etype, 1 AS eidx
@@ -1318,9 +1327,13 @@ object SparkEntry {
       best AS (SELECT doc_id, p, l FROM lab
                QUALIFY row_number() OVER (PARTITION BY doc_id, p
                  ORDER BY eidx DESC) = 1),
-      seq AS (SELECT p.doc_id, string_agg(coalesce(b.l, 'O'), ',' ORDER BY p.p) AS ls
-              FROM pos p LEFT JOIN best b ON b.doc_id = p.doc_id AND b.p = p.p
-              GROUP BY p.doc_id)
+      seq AS (SELECT t.doc_id,
+                coalesce(string_agg(
+                  CASE WHEN p.doc_id IS NULL THEN NULL
+                       ELSE coalesce(b.l, 'O') END, ',' ORDER BY p.p), '') AS ls
+              FROM t LEFT JOIN pos p ON p.doc_id = t.doc_id
+              LEFT JOIN best b ON b.doc_id = p.doc_id AND b.p = p.p
+              GROUP BY t.doc_id)
       SELECT doc_id, md5(ls) AS lab_md5 FROM seq ORDER BY doc_id"""),
 
     "x5_span_counts" -> ("""
