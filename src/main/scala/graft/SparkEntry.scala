@@ -490,6 +490,42 @@ object SparkEntry {
         .orderBy(desc("cos"), col("vec_id")).limit(10)
     }),
 
+    // The FUZZY ENTITY-LINKING candidate architecture, DRIVER-ORACLED:
+    // the exact fuzzyCandidates shape — char-2-shingles of normalized
+    // surface forms → minhash signature → per-band bucket → the
+    // production bandedPairs → lossless size-ratio prefilter → exact
+    // Jaccard — with the md5 hash family standing in for the seeded
+    // xxhash64 signatures (same swap rationale as dedup_cc_oracle).
+    // Surface forms are synthesized with deliberate near-collisions
+    // ("item 7" vs "item 7 v2", J = 2/3) so the candidate set is
+    // non-trivial.
+    "j8_fuzzy_oracle" -> ((s, dir) => {
+      val names = tbl(s, dir, "documents").select(
+        concat(lit("item "), pmod(col("doc_id"), lit(50)),
+          when(col("doc_id") % 3 === 0, lit(" v2")).otherwise(lit("")))
+          .as("name"))
+      val sigs = names.distinct()
+        .withColumn("sh", EntityLinking.shingles(col("name"), 2))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", array((0 until 4).map { i =>
+          array_min(transform(col("sh"), w => md5(concat(lit(s"$i|"), w))))
+        }: _*))
+      val banded = sigs.select(col("name").as("id"), explode(
+        transform(sequence(lit(0), lit(3)), i =>
+          concat(i.cast("string"), lit("|"), get(col("sig"), i)))).as("bucket"))
+      Dedup.bandedPairs(banded, bucketCap = 1000000)
+        .join(sigs.select(col("name").as("a"), col("sh").as("shA")), Seq("a"))
+        .join(sigs.select(col("name").as("b"), col("sh").as("shB")), Seq("b"))
+        .filter(least(size(col("shA")), size(col("shB"))).cast("double") /
+          greatest(size(col("shA")), size(col("shB"))) >= 0.5)
+        .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
+        .withColumn("jaccard", col("inter") /
+          (size(col("shA")) + size(col("shB")) - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    }),
+
     // The embedding-cosine NEAR-DUP architecture, DRIVER-ORACLED:
     // hyperplane-sign bucket → within-bucket pairs through the REAL
     // bandedPairs (dedup=false: one bucket per id, like
@@ -1882,6 +1918,33 @@ object SparkEntry {
               FROM iv2 v JOIN assigned a ON a.vec_id = v.vec_id
               JOIN probe p ON p.cell = a.cell, q)
       SELECT vec_id, cos FROM res ORDER BY cos DESC, vec_id LIMIT 10"""),
+
+    // fuzzy linking: char-2-shingle minhash band -> verified Jaccard
+    "j8_fuzzy_oracle" -> ("""
+      WITH names AS (SELECT DISTINCT 'item ' || (doc_id % 50) ||
+               (CASE WHEN doc_id % 3 = 0 THEN ' v2' ELSE '' END) AS name
+             FROM documents),
+      t AS (SELECT name, lower(regexp_replace(name, '\s+', '', 'g')) AS norm
+            FROM names),
+      sh AS (SELECT name, unnest(list_distinct(
+               [substr(norm, i, 2)
+                FOR i IN range(1, greatest(len(norm) - 1, 1) + 1)])) AS g
+             FROM t),
+      sig AS (SELECT name, min(md5('0|' || g)) AS h0, min(md5('1|' || g)) AS h1,
+                     min(md5('2|' || g)) AS h2, min(md5('3|' || g)) AS h3
+              FROM sh GROUP BY name),
+      sz AS (SELECT name, count(*) AS n FROM sh GROUP BY name),
+      cand AS (SELECT x.name AS a, y.name AS b FROM sig x JOIN sig y
+               ON x.name < y.name AND (x.h0 = y.h0 OR x.h1 = y.h1 OR
+                                       x.h2 = y.h2 OR x.h3 = y.h3)),
+      inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+                JOIN sh sa ON sa.name = c.a
+                JOIN sh sb ON sb.name = c.b AND sb.g = sa.g
+                GROUP BY c.a, c.b)
+      SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+      FROM inter i JOIN sz sa ON sa.name = i.a JOIN sz sb ON sb.name = i.b
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+      ORDER BY a, b"""),
 
     // embedding near-dup: same-bucket pairs, exact-cosine verify
     "emb_neardup_oracle" -> ("""
