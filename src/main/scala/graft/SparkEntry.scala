@@ -52,9 +52,7 @@ object SparkEntry {
     * multiple sf dirs can't collide, and registered for recursive
     * deletion at JVM exit so repeated runs don't accumulate in /tmp. */
   private val scratchReg = scala.collection.mutable.HashSet.empty[String]
-  private def scratchPath(s: SparkSession, dir: String, tag: String): String = {
-    val p = System.getProperty("java.io.tmpdir") +
-      s"/graft_${tag}_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+  private def registerScratch(p: String): String = {
     scratchReg.synchronized {
       if (scratchReg.isEmpty)
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -68,6 +66,9 @@ object SparkEntry {
     }
     p
   }
+  private def scratchPath(s: SparkSession, dir: String, tag: String): String =
+    registerScratch(System.getProperty("java.io.tmpdir") +
+      s"/graft_${tag}_${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}")
 
   /** Fixture transcripts shared across the kg_* battery: several
     * queries consume the same deterministic input at the same size —
@@ -412,8 +413,11 @@ object SparkEntry {
         // points there
         val dirKey = java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-        val p = System.getProperty("java.io.tmpdir") +
-          s"/graft_ann_index_${s.sparkContext.applicationId}_$dirKey"
+        // registered for JVM-exit cleanup like the round-trip scratch
+        // dirs — one index dir per (appId, sf dir) otherwise
+        // accumulates in /tmp across runs
+        val p = registerScratch(System.getProperty("java.io.tmpdir") +
+          s"/graft_ann_index_${s.sparkContext.applicationId}_$dirKey")
         Similarity.buildAnnIndex(emb, "vec_id", "embedding", q.length, p)
         p
       })
