@@ -771,6 +771,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X11 isolated: PDF private-use dir markers → list markers
+    "x11_dir_markers" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextNorm.rewriteDirMarkers(
+          concat(lit(" 顶层 "), substring(col("text"), 1, 40),
+            lit("  次层"))).as("marked"))
+        .orderBy("doc_id")),
+
+    // X12 isolated: inline $...$ → \( ... \)
+    "x12_inline_latex" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextNorm.rewriteInlineLatex(
+          concat(lit("pre $a+b$ "), substring(col("text"), 1, 40),
+            lit(" $x^2$ post"))).as("tex"))
+        .orderBy("doc_id")),
+
     // X10: formula-line heuristic (math-symbol density + TeX-command /
     // sub-superscript patterns) over the raw text and over a variant
     // with a mathy prefix so both branches of the OR fire
@@ -1540,6 +1556,19 @@ object SparkEntry {
         UNION ALL
         SELECT doc_id, '/item/d' || doc_id AS href, 'self' AS text FROM documents)
       ORDER BY doc_id, href"""),
+
+    "x11_dir_markers" -> ("""
+      SELECT doc_id,
+        regexp_replace(regexp_replace(
+          ' 顶层 ' || substr(text, 1, 40) || '  次层',
+          '', '- ● ', 'g'), '', '    - ◆ ', 'g') AS marked
+      FROM documents ORDER BY doc_id"""),
+
+    "x12_inline_latex" -> ("""
+      SELECT doc_id,
+        regexp_replace('pre $a+b$ ' || substr(text, 1, 40) || ' $x^2$ post',
+          '\$([^$]+)\$', '\\(\1\\)', 'g') AS tex
+      FROM documents ORDER BY doc_id"""),
 
     "x10_formula" -> ("""
       WITH v AS (SELECT doc_id, text,
