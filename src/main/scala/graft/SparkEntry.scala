@@ -771,6 +771,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // F4: non-empty paragraph filter through the REAL paragraphs
+    // pipeline (regexp_findall_groups → stripTags → pyTrim → drop
+    // empties): three <p> blocks per doc, the middle one
+    // whitespace/tags-only so the filter provably drops it
+    "f4_paragraphs" -> ((s, dir) => {
+      val html = concat(lit("<p> lead "), col("lang"),
+        lit(" </p><p> <b>&nbsp;</b> </p><p>tail "), col("source"), lit("</p>"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(HtmlExtract.paragraphs(html)).as(Seq("idx", "para")))
+        .orderBy("doc_id", "idx")
+    }),
+
     // X11 isolated: PDF private-use dir markers → list markers
     "x11_dir_markers" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -1556,6 +1569,14 @@ object SparkEntry {
         UNION ALL
         SELECT doc_id, '/item/d' || doc_id AS href, 'self' AS text FROM documents)
       ORDER BY doc_id, href"""),
+
+    // the tags-only middle paragraph strips+trims to '' and is dropped,
+    // so exactly two paragraphs survive per doc
+    "f4_paragraphs" -> ("""
+      SELECT doc_id, 0 AS idx, 'lead ' || lang AS para FROM documents
+      UNION ALL
+      SELECT doc_id, 1 AS idx, 'tail ' || source AS para FROM documents
+      ORDER BY doc_id, idx"""),
 
     "x11_dir_markers" -> ("""
       SELECT doc_id,
