@@ -283,9 +283,15 @@ object SparkEntry {
     // position); span counts and span character totals per type are
     // SQL-expressible, shrinking the "not SQL-expressible" set to the
     // span-text kernel itself (which stays golden/property-tested).
+    // Astral-hardened like x6: the kernel labels per UTF-16 unit while
+    // the DuckDB twin cycles per codepoint, so non-BMP codepoints are
+    // stripped on BOTH sides and the comparison is defined over the BMP.
     "x5_span_counts" -> ((s, dir) => {
       import s.implicits._
-      tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(coalesce(col("text"), lit("")),
+            "[\\x{10000}-\\x{10FFFF}]", "").as("text"))
         .as[(Long, String)]
         .flatMap { case (_, text) =>
           val t = Option(text).getOrElse("")
@@ -1301,6 +1307,13 @@ object SparkEntry {
   """
 
   /** DuckDB-equivalent SQL (column names must match the Spark side). */
+  /** DuckDB twin of Exporters.csvQuote: RFC-4180 quote a field iff it
+    * contains a comma, quote, or newline ('\n' inside the RE2 pattern
+    * literal is interpreted by the regex engine, not the SQL lexer). */
+  private def csvQSql(e: String): String =
+    s"""CASE WHEN regexp_matches($e, '[",\\n]')
+        THEN '"' || replace($e, '"', '""') || '"' ELSE $e END"""
+
   def oracleSql: Map[String, String] = Map(
     "kg_cc_oracle" -> (CcPrefix + """,
       surv AS (
@@ -1407,7 +1420,8 @@ object SparkEntry {
 
     "x5_span_counts" -> ("""
       WITH pos0 AS (
-        SELECT unnest(range(length(text))) AS i FROM documents),
+        SELECT unnest(range(length(regexp_replace(coalesce(text, ''),
+          '[\x{10000}-\x{10FFFF}]', '', 'g')))) AS i FROM documents),
       pos AS (SELECT CAST(i % 6 AS INT) AS j FROM pos0)
       SELECT mtype, CAST(cnt AS BIGINT) AS cnt, CAST(chars AS BIGINT) AS chars
       FROM (
@@ -1658,7 +1672,11 @@ object SparkEntry {
         UNION ALL SELECT doc_id, 1 AS idx, n_chars AS v FROM documents)
       ORDER BY doc_id, idx"""),
 
-    "s9_neo4j_csv_oracle" -> (GrammarCorpus.DuckPrefix + """,
+    // each field runs through the same RFC-4180 quoting as the Spark
+    // side's csvQuote (quote + double-quote escape when the value holds
+    // a comma, quote, or newline) so a future fixture containing any of
+    // those diverges loudly on neither side
+    "s9_neo4j_csv_oracle" -> (GrammarCorpus.DuckPrefix + s""",
       surv AS (
         SELECT conv_id, cid, name, ntype, parent FROM nodes
         QUALIFY row_number() OVER (PARTITION BY cid ORDER BY conv_id) = 1),
@@ -1669,9 +1687,12 @@ object SparkEntry {
                max(CASE WHEN pk = '类型' THEN pval END) AS p_t
         FROM props GROUP BY conv_id, cid)
       SELECT value FROM (
-        SELECT s.cid || ',' || s.name || ',' || s.ntype || ',' ||
-               coalesce(s.parent, '') || ',' || coalesce(pv.p_w, '') || ',' ||
-               coalesce(pv.p_s, '') || ',' || coalesce(pv.p_t, '') AS value
+        SELECT ${csvQSql("s.cid")} || ',' || ${csvQSql("s.name")} || ',' ||
+               ${csvQSql("s.ntype")} || ',' ||
+               ${csvQSql("coalesce(s.parent, '')")} || ',' ||
+               ${csvQSql("coalesce(pv.p_w, '')")} || ',' ||
+               ${csvQSql("coalesce(pv.p_s, '')")} || ',' ||
+               ${csvQSql("coalesce(pv.p_t, '')")} AS value
         FROM surv s LEFT JOIN pv ON pv.conv_id = s.conv_id AND pv.cid = s.cid
         UNION ALL SELECT ':ID,name,type,parent,weight:LABEL,状态:LABEL,类型:LABEL')
       ORDER BY value"""),

@@ -62,19 +62,25 @@ object Dedup {
     * recompute (a projection of a persisted table; Spark's exchange
     * reuse dedupes the identical shuffle subtrees at runtime). */
   private[graft] def bandedPairs(banded: DataFrame, bucketCap: Int,
-      payload: Seq[String] = Nil, dedup: Boolean = true): DataFrame = {
+      payload: Seq[String] = Nil, dedup: Boolean = true,
+      hotBroadcastLimit: Long = 1000000L): DataFrame = {
     // hot-bucket detection costs one partial-aggregable pass; the hot
-    // list is bounded by n/bucketCap rows BY CONSTRUCTION (each hot
-    // bucket holds > bucketCap members), so it broadcasts — the normal
-    // path pays only a broadcast anti-join, not a shuffle join, and is
-    // plan-identical to the uncapped self-join when no bucket is hot
+    // list is bounded by n/bucketCap rows (each hot bucket holds
+    // > bucketCap members), which in PRACTICE is tiny — but at
+    // 100-TB row counts (n ~ 1e10, cap 1000) the adversarial bound is
+    // ~1e7 rows, too big to broadcast. So the broadcast is COUNT-GATED:
+    // one cheap aggregate job counts the hot list; at or below
+    // `hotBroadcastLimit` rows the normal path pays only a broadcast
+    // anti-join (plan-identical to the uncapped self-join when no
+    // bucket is hot), above it both hot joins fall back to shuffle
+    // joins instead of OOMing the driver on an unbroadcastable list
     val aggs = count(lit(1)).as("_bc") +: min(col("id")).as("_rep") +:
       (if (payload.nonEmpty)
          Seq(min_by(struct(payload.map(col): _*), col("id")).as("_repP"))
        else Nil)
-    val hot = broadcast(
-      banded.groupBy("bucket").agg(aggs.head, aggs.tail: _*)
-        .filter(col("_bc") > bucketCap))
+    val hotAgg = banded.groupBy("bucket").agg(aggs.head, aggs.tail: _*)
+      .filter(col("_bc") > bucketCap)
+    val hot = if (hotAgg.count() <= hotBroadcastLimit) broadcast(hotAgg) else hotAgg
     val normal = banded.join(hot.select("bucket"), Seq("bucket"), "left_anti")
     val outCols = (col("x.id").as("a") +: payload.map(p => col(s"x.$p").as(p + "A"))) ++
       (col("y.id").as("b") +: payload.map(p => col(s"y.$p").as(p + "B")))
@@ -102,7 +108,20 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: shingle → minhash signature → band →
     * bucket join → verified Jaccard (the standard web-dedup pipeline).
-    * Returns candidate pairs (a, b, jaccard ≥ threshold). */
+    * Returns candidate pairs (a, b, jaccard ≥ threshold).
+    *
+    * TUNING CONTRACT (bands × rowsPerBand = signature length):
+    * when the signature has ≥ 16 hashes, a probabilistic
+    * signature-estimate prefilter runs before the exact Jaccard and can
+    * drop a true pair (J ≥ threshold) with probability at most
+    * exp(−2·numHashes·0.35²) — Hoeffding ≈ 2e-2 at exactly 16 hashes
+    * (exact binomial ≈ 1e-4 at J = t = 0.7), vanishing as the signature
+    * grows. BELOW 16 hashes the bound is too weak, so the filter
+    * silently DISABLES and the output is exactly the losslessly-verified
+    * candidate set — callers shrinking bands/rowsPerBand get strictly
+    * MORE faithful (and somewhat slower) output, never lossier. The
+    * ≥16-hash output is always a subset of the filter-off output
+    * (property-tested in DedupSpec). */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.7,
       shingleN: Int = 3, bucketCap: Int = 1000): DataFrame =
@@ -114,7 +133,8 @@ object Dedup {
     * of waiting for the ContextCleaner. */
   private[graft] def minhashLshWithHandle(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.7,
-      shingleN: Int = 3, bucketCap: Int = 1000): (DataFrame, DataFrame) = {
+      shingleN: Int = 3, bucketCap: Int = 1000,
+      estFilter: Boolean = true): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
     val withSig = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -149,7 +169,7 @@ object Dedup {
       .filter(least(size(col("shA")), size(col("shB"))).cast("double") /
         greatest(size(col("shA")), size(col("shB"))) >= threshold)
     val estFiltered =
-      if (numHashes >= MinHashesForEstFilter)
+      if (estFilter && numHashes >= MinHashesForEstFilter)
         base.withColumn("est", size(filter(zip_with(col("sigA"), col("sigB"),
             (x, y) => x === y), m => m)).cast("double") / numHashes)
           .filter(col("est") >= threshold - EstMargin)

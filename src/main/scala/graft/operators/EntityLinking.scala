@@ -67,8 +67,10 @@ object EntityLinking {
     * jaccard >= threshold. Never computes the O(n²) cross product —
     * only the banded buckets join. */
   def fuzzyCandidates(names: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
-      threshold: Double = 0.5, shingleN: Int = 2): DataFrame =
-    fuzzyCandidatesWithHandle(names, bands, rowsPerBand, threshold, shingleN)._1
+      threshold: Double = 0.5, shingleN: Int = 2,
+      bucketCap: Int = 1000): DataFrame =
+    fuzzyCandidatesWithHandle(names, bands, rowsPerBand, threshold, shingleN,
+      bucketCap)._1
 
   /** [[fuzzyCandidates]] plus the persisted-signatures handle (same
     * contract as Dedup.minhashLshWithHandle): callers that materialize
@@ -76,7 +78,7 @@ object EntityLinking {
     * cache entry per call until the ContextCleaner GCs it. */
   private[graft] def fuzzyCandidatesWithHandle(names: DataFrame, bands: Int = 4,
       rowsPerBand: Int = 2, threshold: Double = 0.5,
-      shingleN: Int = 2): (DataFrame, DataFrame) = {
+      shingleN: Int = 2, bucketCap: Int = 1000): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
     val sigs = names.select(col("name")).distinct()
       .withColumn("sh", shingles(col("name"), shingleN))
@@ -92,8 +94,12 @@ object EntityLinking {
         hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as("bucket"))
       .distinct()
-    // hot-bucket guard shared with Dedup (star topology above the cap)
-    val pairs = Dedup.bandedPairs(banded, bucketCap = 1000)
+    // hot-bucket guard shared with Dedup (star topology above the cap);
+    // the cap is caller-tunable like every other LSH family member, so a
+    // name distribution with >cap members in one band bucket can be
+    // handled losslessly by raising it instead of silently switching to
+    // the star topology
+    val pairs = Dedup.bandedPairs(banded, bucketCap = bucketCap)
     // fetch shingle sets once per candidate pair; the size-ratio
     // prefilter is LOSSLESS (J(A,B) ≤ min|·|/max|·|, so J ≥ t implies
     // the ratio ≥ t) — unlike minhashLsh's signature-estimate filter,
@@ -116,8 +122,10 @@ object EntityLinking {
     * Materializes the pairs (downstream componentsAuto takes two
     * actions on them anyway) so the signature cache can be released
     * deterministically. */
-  def fuzzyIdEdges(names: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val (cands, sigs) = fuzzyCandidatesWithHandle(names, threshold = threshold)
+  def fuzzyIdEdges(names: DataFrame, threshold: Double = 0.6,
+      bucketCap: Int = 1000): DataFrame = {
+    val (cands, sigs) =
+      fuzzyCandidatesWithHandle(names, threshold = threshold, bucketCap = bucketCap)
     val edges = cands
       .select(substring(md5(col("a")), 1, 8).as("a"),
         substring(md5(col("b")), 1, 8).as("b"))

@@ -81,6 +81,40 @@ class DedupSpec extends SparkSpec {
     assert(base === capped)
   }
 
+  test("hot-list broadcast is count-gated: adversarial hot majority completes via shuffle fallback") {
+    import spark.implicits._
+    // >50% of buckets hot: 20 buckets, 15 of them hold cap+5 members.
+    // With hotBroadcastLimit = 1 the 15-row hot list must NOT be
+    // force-broadcast — the joins fall back to shuffle joins — and the
+    // output must be identical to the broadcast regime.
+    val cap = 10
+    val banded = (0 until 20).flatMap { bkt =>
+      val members = if (bkt < 15) cap + 5 else 2
+      (0 until members).map(m => (f"id_${bkt}%02d_$m%03d", bkt))
+    }.toDF("id", "bucket")
+    val viaBroadcast = Dedup.bandedPairs(banded, cap)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaShuffle = Dedup.bandedPairs(banded, cap, hotBroadcastLimit = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaBroadcast === viaShuffle)
+    // star topology held in both regimes: hot buckets emit n−1 pairs
+    assert(viaShuffle.size === 15 * (cap + 4) + 5 * 1)
+  }
+
+  test("est-filter (≥16 hashes) output ⊆ filter-off output; equal on the fixture") {
+    // same banding/verify, only the probabilistic prefilter toggled: the
+    // filter may only REMOVE pairs, never add — and on this fixture the
+    // Hoeffding margin loses nothing
+    def run(filter: Boolean) =
+      Dedup.minhashLshWithHandle(docs, "doc_id", "text",
+        bands = 16, rowsPerBand = 1, threshold = 0.4, shingleN = 2,
+        estFilter = filter)._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val on = run(true); val off = run(false)
+    assert(on.subsetOf(off))
+    assert(on === off)
+  }
+
   test("minhashLsh candidates ⊇ brute-force ground truth (est-filter bound holds)") {
     import spark.implicits._
     val t = 0.4

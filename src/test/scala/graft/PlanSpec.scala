@@ -89,6 +89,27 @@ class PlanSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("LSH hot-bucket guard above the broadcast limit plans NO forced broadcast") {
+    import spark.implicits._
+    val banded = (0 until 40).map(i => (s"id$i", i % 4)).toDF("id", "bucket")
+    // autoBroadcastJoinThreshold off isolates the FORCED broadcast: the
+    // gate must not wrap the hot list in broadcast() when it exceeds the
+    // limit (at 100-TB the optimizer's stats would block auto-broadcast
+    // anyway; the hint would not be blocked — that's the landmine)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gated = graft.operators.Dedup
+        .bandedPairs(banded, bucketCap = 5, hotBroadcastLimit = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!gated.contains("BroadcastExchange"), gated.take(1500))
+      val forced = graft.operators.Dedup
+        .bandedPairs(banded, bucketCap = 5, hotBroadcastLimit = 1000L)
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("BroadcastExchange"), forced.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("keep-first dedup plans a partial aggregate, not a window") {
     import spark.implicits._
     val nodes = Seq(
