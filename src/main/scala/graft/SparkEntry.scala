@@ -943,6 +943,72 @@ object SparkEntry {
       graft.sources.Exporters.neo4jNodeLines(
         Canonicalize.dedupNodes(nodes).as[graft.model.Node]).orderBy("value")
     }),
+    // S16, DRIVER-ORACLED exactly-once resume: a bucketed resumable run
+    // (Checkpoint.runResumable — the Spark-scale form of the reference's
+    // memoized HTML cache, constructor.py:94-101, and processed-file
+    // skip, automate_scripts.py:6-9,29) suffers an injected partial
+    // failure — half the done-markers vanish, two of those buckets also
+    // lose their data (crash-before-marker), two keep data without a
+    // marker (crash-between) — then resumes. The query returns the
+    // per-bucket committed counts, which the oracle recomputes straight
+    // from the input: any duplicate or lost row after the resume
+    // diverges the counts. Buckets are doc_id % B so the lineage is
+    // replayable outside Spark.
+    "s16_resume" -> ((s, dir) => {
+      val out = scratchPath(s, dir, s"s16_${streamSeq.incrementAndGet()}")
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val B = 8
+      val byId = (key: Column, b: Int) => pmod(key, lit(b))
+      val ident = (df: DataFrame) => df
+      val (p1, s1) = graft.sources.Checkpoint.runResumable(docs, ident, out,
+        buckets = B, groupSize = 2, keyCol = "doc_id", bucketOf = byId)
+      require(p1 == (0 until B) && s1.isEmpty, s"phase1 processed $p1, skipped $s1")
+      val root = new java.io.File(out)
+      Seq(1, 3, 5, 7).foreach(b =>
+        new java.io.File(root, s"_done_$b.json").delete(): Unit)
+      def rmr(fl: java.io.File): Unit = {
+        val sub = fl.listFiles; if (sub != null) sub.foreach(rmr); fl.delete(): Unit
+      }
+      Seq(1, 5).foreach(b => rmr(new java.io.File(root, s"data/bucket=$b")))
+      val (p2, s2) = graft.sources.Checkpoint.runResumable(docs, ident, out,
+        buckets = B, groupSize = 2, keyCol = "doc_id", bucketOf = byId)
+      require(p2 == Seq(1, 3, 5, 7) && s2 == Seq(0, 2, 4, 6),
+        s"phase2 processed $p2, skipped $s2 — resume must rerun exactly the failed buckets")
+      val committed = graft.sources.Checkpoint.readCommitted(s, out)
+      // partitionBy strips the bucket column from the data files; the
+      // assignment is deterministic, so recompute it for the counts
+      val counts = committed
+        .groupBy(pmod(col("doc_id"), lit(B)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val fromData = counts.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val fromMarkers = graft.sources.Checkpoint.counters(s, out)
+      require(fromMarkers == fromData,
+        s"marker counters $fromMarkers diverge from committed data $fromData")
+      require(committed.select("doc_id").distinct().count() == committed.count(),
+        "duplicate rows survived the resume")
+      counts.orderBy("bucket")
+    }),
+    // G5, DRIVER-ORACLED: KgTable snapshot layout round-trip — two
+    // commits, manifest read-back (id, parent, rows), time travel to v1
+    // verified against the manifest before returning the lineage table
+    "g5_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratchPath(s, dir, s"g5_${streamSeq.incrementAndGet()}")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val v1 = graft.sources.KgTable.commit(docs, out, bucketCol = "doc_id", buckets = 4)
+      val v2 = graft.sources.KgTable.commit(docs.filter(col("lang") === "en"),
+        out, bucketCol = "doc_id", buckets = 4)
+      val snaps = graft.sources.KgTable.snapshots(s, out)
+      require(snaps.map(_.id) == Seq(1L, 2L), s"snapshot ids: ${snaps.map(_.id)}")
+      require(graft.sources.KgTable.read(s, out, 1L).count() == v1.rows,
+        "time travel to v1 diverges from its manifest row count")
+      require(graft.sources.KgTable.read(s, out).count() == v2.rows,
+        "latest read diverges from the v2 manifest row count")
+      snaps.map(sn => (sn.id, sn.parent, sn.rows))
+        .toDF("snapshot_id", "parent", "row_cnt")
+        .orderBy("snapshot_id")
+    }),
     // S12, DRIVER-ORACLED: OWL RDF/XML body lines (csv2owl.py semantics)
     "s12_owl_oracle" -> ((s, dir) => {
       import s.implicits._
@@ -1696,6 +1762,20 @@ object SparkEntry {
         FROM surv s LEFT JOIN pv ON pv.conv_id = s.conv_id AND pv.cid = s.cid
         UNION ALL SELECT ':ID,name,type,parent,weight:LABEL,状态:LABEL,类型:LABEL')
       ORDER BY value"""),
+
+    // independent recompute of the exactly-once evidence: per-bucket
+    // counts straight from the input — a resume that duplicated or lost
+    // rows cannot reproduce these
+    "s16_resume" -> ("""
+      SELECT CAST(doc_id % 8 AS INT) AS bucket, count(*) AS cnt
+      FROM documents GROUP BY 1 ORDER BY 1"""),
+
+    "g5_snapshot" -> ("""
+      SELECT snapshot_id, parent, row_cnt FROM (
+        SELECT 1 AS snapshot_id, -1 AS parent, count(*) AS row_cnt FROM documents
+        UNION ALL
+        SELECT 2, 1, count(*) FROM documents WHERE lang = 'en')
+      ORDER BY snapshot_id"""),
 
     "s12_owl_oracle" -> (GrammarCorpus.DuckPrefix + """,
       surv AS (

@@ -76,21 +76,31 @@ object Canonicalize {
       .union(sym.select(col("b").as("v"), col("b").as("comp")))
       .groupBy("v").agg(min("comp").as("comp"))
       .localCheckpoint(eager = true)
+    val compType = labels.schema("comp").dataType
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // propagate: each vertex takes min(own, neighbours' comp)
+      // propagate: each vertex takes min(own, neighbours' comp). The
+      // vertex's PREVIOUS comp rides through the same aggregate (as
+      // max(old): null on neighbour rows, the own value on the single
+      // self row), so convergence detection needs NO join against the
+      // previous labels — the round costs one shuffle job (this
+      // checkpoint) plus a narrow scan of the checkpointed blocks for
+      // the change probe, instead of the former shuffle-join-per-round
+      // probe that doubled each round's cost on deep graphs.
       val prop = sym.join(labels.withColumnRenamed("v", "b2"), col("b") === col("b2"))
-        .select(col("a").as("v"), col("comp"))
-      val next = labels.union(prop)
-        .groupBy("v").agg(min("comp").as("comp"))
+        .select(col("a").as("v"), col("comp"),
+          lit(null).cast(compType).as("old"))
+      val self = labels.select(col("v"), col("comp"), col("comp").as("old"))
+      val next = prop.union(self)
+        .groupBy("v").agg(min("comp").as("comp"), max("old").as("oldComp"))
         .localCheckpoint(eager = true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.v") === col("o.v"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+      // take(1) = CollectLimitExec.executeTake over the checkpointed
+      // blocks: short-circuits at the first changed row and plans NO
+      // exchange (both isEmpty and limit(1).count() route through a
+      // single-partition shuffle; take does not)
+      converged = next.filter(col("comp") =!= col("oldComp")).take(1).isEmpty
+      labels = next.select("v", "comp")
       i += 1
     }
     sym.unpersist()
@@ -100,19 +110,26 @@ object Canonicalize {
   /** Connected components with a scale-aware strategy switch: candidate
     * pair sets are tiny relative to the corpus even at 100 TB, so when
     * the pair count fits comfortably on the driver (≤ `localLimit`) we
-    * run an exact union-find there (one collect, zero iterative jobs —
-    * the iterative label-prop costs ~2 Spark jobs per round, pure
-    * overhead on small graphs); above the limit, the distributed
-    * min-label propagation takes over. Both pick component = min vertex
-    * id, so results are identical. */
-  def componentsAuto(edgesAB: DataFrame, localLimit: Long = 2000000L): DataFrame = {
+    * run an exact union-find there (zero iterative jobs — the iterative
+    * label-prop costs a shuffle per round, pure overhead on small
+    * graphs); above the limit, the distributed min-label propagation
+    * takes over. Both pick component = min vertex id, so results are
+    * identical.
+    *
+    * Driver-memory discipline (the 100×-scale landmine this guards):
+    * the default cutoff is 200k pairs (~tens of MB of strings — an
+    * order of magnitude below the former 2M default), and the pairs are
+    * STREAMED via toLocalIterator into the union-find (union-by-size +
+    * path compression) instead of collect()ed into one array, so peak
+    * driver memory is the vertex map alone, never map + full edge
+    * array. Above the cutoff nothing is ever collected. */
+  def componentsAuto(edgesAB: DataFrame, localLimit: Long = 200000L): DataFrame = {
     val spark = edgesAB.sparkSession
     import spark.implicits._
     val cnt = edgesAB.count()
     if (cnt > localLimit) return connectedComponents(edgesAB)
-    val pairs = edgesAB.select(col("a").cast("string"), col("b").cast("string"))
-      .collect().map(r => (r.getString(0), r.getString(1)))
     val parent = scala.collection.mutable.HashMap.empty[String, String]
+    val size = scala.collection.mutable.HashMap.empty[String, Int]
     def find(x: String): String = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -120,14 +137,31 @@ object Canonicalize {
       while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    pairs.foreach { case (a, b) =>
+    val it = edgesAB.select(col("a").cast("string"), col("b").cast("string"))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val a = row.getString(0); val b = row.getString(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)
-      if (ra != rb) { // deterministic: min id becomes the root
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      if (ra != rb) { // union by size; canonical min id assigned below
+        val sa = size.getOrElse(ra, 1); val sb = size.getOrElse(rb, 1)
+        if (sa >= sb) { parent(rb) = ra; size(ra) = sa + sb }
+        else { parent(ra) = rb; size(rb) = sa + sb }
       }
     }
-    val vertices = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    vertices.map(v => (v, find(v))).toSeq.toDF("v", "comp")
+    // relabel pass: component id = min member id, independent of union
+    // order — same deterministic pick as the distributed path. Keys are
+    // snapshotted because find()'s path compression writes into the map
+    // mid-iteration (values only, but snapshotting removes the hazard).
+    val vs = parent.keys.toArray
+    val byRoot = scala.collection.mutable.HashMap.empty[String, String]
+    vs.foreach { v =>
+      val r = find(v)
+      val cur = byRoot.get(r)
+      if (cur.isEmpty || v < cur.get) byRoot(r) = v
+    }
+    vs.iterator.map(v => (v, byRoot(find(v)))).toSeq.toDF("v", "comp")
   }
 
   /** G3 generalized: cluster nodes whose surface forms were linked as

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.net.URI
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Resumable, exactly-once batch checkpointing with per-partition
@@ -23,8 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Checkpoint {
 
-  def bucketed(df: DataFrame, buckets: Int, keyCol: String = "conv_id"): DataFrame =
-    df.withColumn("bucket", pmod(hash(col(keyCol)), lit(buckets)))
+  /** Default bucket assignment: murmur3 of the key. Overridable (e.g.
+    * `pmod(key, B)` for integer keys) so an independent engine can
+    * replay the bucket → count lineage without Spark's hash. */
+  val hashBucket: (Column, Int) => Column =
+    (key, b) => pmod(hash(key), lit(b))
+
+  def bucketed(df: DataFrame, buckets: Int, keyCol: String = "conv_id",
+      bucketOf: (Column, Int) => Column = hashBucket): DataFrame =
+    df.withColumn("bucket", bucketOf(col(keyCol), buckets))
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     FileSystem.get(new URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -48,13 +55,14 @@ object Checkpoint {
       outDir: String,
       buckets: Int = 16,
       groupSize: Int = 4,
-      keyCol: String = "conv_id"): (Seq[Int], Seq[Int]) = {
+      keyCol: String = "conv_id",
+      bucketOf: (Column, Int) => Column = hashBucket): (Seq[Int], Seq[Int]) = {
     val spark = input.sparkSession
     val f = fs(spark, outDir)
     f.mkdirs(new Path(outDir))
     val done = doneBuckets(spark, outDir)
     val todo = (0 until buckets).filterNot(done)
-    val withBucket = bucketed(input, buckets, keyCol)
+    val withBucket = bucketed(input, buckets, keyCol, bucketOf)
     todo.grouped(groupSize).foreach { group =>
       val slice = withBucket.filter(col("bucket").isin(group.map(Integer.valueOf): _*))
       val out = transform(slice)

@@ -88,6 +88,69 @@ class CanonicalizeSpec extends SparkSpec {
     assert(cc2 === cc)
   }
 
+  test("componentsAuto: distributed path ≡ streamed driver union-find (forced both ways)") {
+    import spark.implicits._
+    // 60 chained groups of 5 + 10 singleton self-loops: nontrivial
+    // component structure, deterministic expected labels
+    val edges = (0 until 60).flatMap { g =>
+      (0 until 4).map(i => (f"v${g * 5 + i}%04d", f"v${g * 5 + i + 1}%04d"))
+    } ++ (300 until 310).map(i => (f"v$i%04d", f"v$i%04d"))
+    val df = edges.toDF("a", "b").repartition(7)
+    val viaDriver = Canonicalize.componentsAuto(df, localLimit = Long.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaDistributed = Canonicalize.componentsAuto(df, localLimit = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaDriver === viaDistributed)
+    // analytic expectation: every member maps to its group's min id
+    (0 until 300).foreach { v =>
+      assert(viaDriver(f"v$v%04d") === f"v${v - v % 5}%04d")
+    }
+    (300 until 310).foreach(v => assert(viaDriver(f"v$v%04d") === f"v$v%04d"))
+  }
+
+  test("connectedComponents: ONE shuffle job per round (join-free convergence probe)") {
+    import spark.implicits._
+    // chain of 5 vertices: the min label travels 1 hop/round → 4
+    // propagate rounds + 1 confirming round = 5 iterations; plus the
+    // initial label build = 6 shuffle jobs total. The convergence probe
+    // must be a narrow scan of the checkpointed labels (no shuffle) —
+    // the former join-against-previous-labels probe shuffled every round.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val jobStages = scala.collection.concurrent.TrieMap.empty[Int, Seq[Int]]
+    val shuffleStages = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStages.put(j.jobId, j.stageIds.map(_.toInt))
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleStages.put(s.stageInfo.stageId,
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val edges = Seq(("w1", "w0"), ("w2", "w1"), ("w3", "w2"), ("w4", "w3"))
+        .toDF("a", "b")
+      spark.sparkContext.addSparkListener(listener)
+      val cc = Canonicalize.connectedComponents(edges)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert((0 to 4).forall(i => cc(s"w$i") === "w0"))
+      // drain the listener bus before reading the captured events
+      Thread.sleep(2000)
+      val jobsWithShuffle = jobStages.count { case (_, stages) =>
+        stages.exists(sid => shuffleStages.getOrElse(sid, 0L) > 0L)
+      }
+      assert(jobsWithShuffle === 6,
+        s"expected 6 shuffle jobs (init + 5 rounds), got $jobsWithShuffle; " +
+          s"jobs=${jobStages.size}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("canonicalizeGraph: fuzzy alias clusters merge, edges redirected, dedup applied") {
     import spark.implicits._
     val nodes = Seq(node("c1", "神经网络"), node("c2", "神经网络模型"),
