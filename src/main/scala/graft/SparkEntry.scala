@@ -306,6 +306,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("len")).cast("long").as("chars"))
         .orderBy("mtype")
     }),
+    // X5 span TEXTS, DRIVER-ORACLED: the same real decode kernel over
+    // the deterministic tag cycle, but emitting every decoded span as a
+    // row (begin position, type, md5 of the span text). Over the cycle
+    // the span text is provably substring(text, pos, ≤3) — PER spans
+    // start at positions ≡1 mod 6 (truncated by end-of-text flush to 2
+    // or 1 chars when the I/E tags fall off the end), LOC singletons at
+    // ≡4 — so DuckDB replays the kernel's surface output exactly. This
+    // shrinks the kernel-only X5 surface to the torch-scoped items.
+    "x5_spans" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(coalesce(col("text"), lit("")),
+            "[\\x{10000}-\\x{10FFFF}]", "").as("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val t = Option(text).getOrElse("")
+          val labels = (0 until t.length).map(_ % 6 match {
+            case 1 => "B-PER"; case 2 => "I-PER"; case 3 => "E-PER"
+            case 4 => "S-LOC"; case _ => "O"
+          })
+          graft.functions.Bioes.decode(t, labels)
+            .map(sp => (id, sp.begin, sp.mtype, sp.text))
+        }
+        .toDF("doc_id", "pos", "mtype", "stext")
+        .select(col("doc_id"), col("pos"), col("mtype"),
+          md5(col("stext")).as("span_md5"))
+        .orderBy("doc_id", "pos")
+    }),
     // X6 DRIVER-ORACLED: the REAL labels-from-entities kernel over a
     // bounded prefix of each doc with two fixed entities. Both entities
     // are non-self-overlapping ("the", "a"), so the kernel's greedy
@@ -1019,6 +1048,19 @@ object SparkEntry {
           Canonicalize.dedupEdges(edges).as[graft.model.Edge])
         .orderBy("value")
     }),
+    // S15, DRIVER-ORACLED: the DOT preview's body lines (knowledge
+    // preview, md2csv.py:160-167) as distributed concat expressions
+    // over the canonical grammar graph — the debug sink's exact payload
+    // without the capped collect
+    "s15_dot" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
+      val (nodes, edges, _) = TripleExtract.extractShared(corpus)
+      graft.sources.Exporters.dotLines(
+          Canonicalize.dedupNodes(nodes).as[graft.model.Node],
+          Canonicalize.dedupEdges(edges).as[graft.model.Edge])
+        .orderBy("value")
+    }),
     // X7: char→id tokenization with [UNK] default, a plan-shipped map
     // literal lookup per char (bilstm_crf_ner.py:169,583)
     "x7_char_ids" -> ((s, dir) => {
@@ -1180,28 +1222,46 @@ object SparkEntry {
     }),
 
     // O4: drop-LARGEST-until-fits batch trim, faithful to
-    // read_v2.py:34-53: items are batched 16 at a time in input order;
-    // each batch greedily removes its largest-token item (Python `max`
-    // = FIRST max on ties) until the batch total fits the cap. The kept
+    // read_v2.py:34-53 INCLUDING the JSON envelope: items are batched
+    // 16 at a time in input order; the batch total is estimated over
+    // json.dumps(batch) — '[' + items joined by ', ' + ']', so
+    // total_len = Σ item_len + 2k and tokens = total_len // 2 =
+    // Σ//2 + k; each removal takes the item with max PER-ITEM estimate
+    // len(json.dumps({"id": i, "text": t})) // 2 where the item json is
+    // '{"id": ' + digits + ', "text": "' + escaped(t) + '"}' →
+    // item_len = 20 + digits(id) + len(t) + #escapables (", \, \n, \t,
+    // \r each grow by one; Python max = FIRST max on ties). The kept
     // set per batch ≡ the maximal prefix under (tokens asc, id desc)
-    // with running sum ≤ cap — one window, no loop (equivalence
-    // unit-tested against a direct replay of the Python loop in
-    // OpsSpec). tokens = len // 2 (read_v2.py:39-40); the per-item JSON
-    // envelope overhead is abstracted to the item's own length, and the
-    // cap is scaled to the fixture batches (the reference's 4096 never
-    // fires on sf-scale documents, leaving the drop path untested).
+    // with floor(running Σ/2) + row ≤ cap — one window, no loop
+    // (equivalence unit-tested against a direct replay of the Python
+    // loop in OpsSpec). Exotic control chars (which json escapes as
+    // 6-char \u00XX) and astral codepoints (UTF-16 vs codepoint length)
+    // are stripped on both sides; the cap is scaled to the fixture
+    // batches (the reference's 4096 never fires on sf-scale documents,
+    // leaving the drop path untested).
     "o4_batch_trim" -> ((s, dir) => {
+      val clean = regexp_replace(
+        regexp_replace(coalesce(col("text"), lit("")),
+          "[\\x{10000}-\\x{10FFFF}]", ""),
+        """[\x00-\x08\x0B\x0C\x0E-\x1F]""", "")
+      val jlen = (lit(20) + length(col("doc_id").cast("string")) +
+        length(clean) +
+        (length(clean) - length(regexp_replace(clean, """["\\\n\t\r]""", ""))))
+        .cast("long")
       val wBatch = Window.partitionBy("lang").orderBy("doc_id")
       val batched = tbl(s, dir, "documents")
-        .select(col("lang"), col("doc_id"),
-          floor(col("n_chars") / 2).cast("long").as("tokens"))
+        .select(col("lang"), col("doc_id"), jlen.as("jlen"))
+        .withColumn("tokens", floor(col("jlen") / 2).cast("long"))
         .withColumn("batch",
           floor((row_number().over(wBatch) - 1) / 16).cast("int"))
       val wTrim = Window.partitionBy("lang", "batch")
         .orderBy(col("tokens").asc, col("doc_id").desc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      batched.withColumn("cum", sum(col("tokens")).over(wTrim).cast("long"))
-        .filter(col("cum") <= 1500)
+      batched
+        .withColumn("cum",
+          sum(col("jlen")).over(wTrim.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"))
+        .withColumn("rn", row_number().over(wTrim).cast("long"))
+        .filter(floor(col("cum") / 2) + col("rn") <= 1520)
         .select("lang", "batch", "doc_id", "tokens")
         .orderBy("lang", "batch", "doc_id")
     }),
@@ -1499,6 +1559,18 @@ object SparkEntry {
                sum(CASE WHEN j = 1 THEN 1 ELSE 0 END),
                sum(CASE WHEN j IN (1,2,3) THEN 1 ELSE 0 END) FROM pos)
       ORDER BY mtype"""),
+
+    "x5_spans" -> ("""
+      WITH t AS (SELECT doc_id, regexp_replace(coalesce(text, ''),
+                   '[\x{10000}-\x{10FFFF}]', '', 'g') AS s FROM documents),
+      pos AS (SELECT doc_id, s, CAST(unnest(range(length(s))) AS INT) AS p FROM t),
+      spans AS (
+        SELECT doc_id, p AS pos, 'PER' AS mtype, substr(s, p + 1, 3) AS stext
+        FROM pos WHERE p % 6 = 1
+        UNION ALL
+        SELECT doc_id, p, 'LOC', substr(s, p + 1, 1) FROM pos WHERE p % 6 = 4)
+      SELECT doc_id, pos, mtype, md5(stext) AS span_md5 FROM spans
+      ORDER BY doc_id, pos"""),
 
     "kg_triples_oracle" -> (GrammarCorpus.DuckPrefix + """,
       parents AS (
@@ -1802,6 +1874,22 @@ object SparkEntry {
         WHERE src IN (SELECT cid FROM surv) AND dst IN (SELECT cid FROM surv))
       ORDER BY value"""),
 
+    "s15_dot" -> (GrammarCorpus.DuckPrefix + """,
+      surv AS (
+        SELECT conv_id, cid, name FROM nodes
+        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY conv_id) = 1),
+      dedup AS (
+        SELECT src, dst, etype FROM rels
+        QUALIFY row_number() OVER (PARTITION BY src, dst, etype
+                                   ORDER BY conv_id, eord) = 1)
+      SELECT value FROM (
+        SELECT '  "' || cid || '" [label="' || name || '"]' AS value FROM surv
+        UNION ALL
+        SELECT '  "' || src || '" -> "' || dst || '" [label="' || etype || '"]'
+        FROM dedup
+        WHERE src IN (SELECT cid FROM surv) AND dst IN (SELECT cid FROM surv))
+      ORDER BY value"""),
+
     "x7_char_ids" -> ("""
       WITH e AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
       p0 AS (SELECT doc_id, cs, unnest(range(len(cs))) AS pos FROM e),
@@ -1912,16 +2000,30 @@ object SparkEntry {
       FROM events ORDER BY user_id, event_id"""),
 
     "o4_batch_trim" -> ("""
-      WITH b AS (SELECT lang, doc_id,
-        CAST(floor(n_chars / 2) AS BIGINT) AS tokens,
+      WITH t AS (SELECT lang, doc_id,
+        regexp_replace(regexp_replace(coalesce(text, ''),
+          '[\x{10000}-\x{10FFFF}]', '', 'g'),
+          '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS ct
+        FROM documents),
+      j AS (SELECT lang, doc_id,
+        CAST(20 + length(doc_id::VARCHAR) + length(ct) +
+             (length(ct) - length(regexp_replace(ct, '["\\\n\t\r]', '', 'g')))
+             AS BIGINT) AS jlen
+        FROM t),
+      b AS (SELECT lang, doc_id, jlen,
+        CAST(floor(jlen / 2) AS BIGINT) AS tokens,
         CAST(floor((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
                    / 16) AS INT) AS batch
-        FROM documents),
-      c AS (SELECT *, sum(tokens) OVER (PARTITION BY lang, batch
+        FROM j),
+      c AS (SELECT *,
+        sum(jlen) OVER (PARTITION BY lang, batch
           ORDER BY tokens ASC, doc_id DESC
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        row_number() OVER (PARTITION BY lang, batch
+          ORDER BY tokens ASC, doc_id DESC) AS rn
         FROM b)
-      SELECT lang, batch, doc_id, tokens FROM c WHERE cum <= 1500
+      SELECT lang, batch, doc_id, tokens FROM c
+      WHERE floor(cum / 2) + rn <= 1520
       ORDER BY lang, batch, doc_id"""),
 
     "o5_union_distinct" -> ("""

@@ -163,6 +163,25 @@ object Exporters {
       |         xmlns:ont="http://www.example.org/ontology#">""".stripMargin
   val owlXmlFooter: String = "</rdf:RDF>"
 
+  /** S15 distributed: the DOT body lines (same grammar as
+    * [[dotPreview]], md2csv.py:160-167) as a DataFrame — node lines
+    * `  "id" [label="name"]` and edge lines
+    * `  "src" -> "dst" [label="etype"]`, edges restricted to live
+    * endpoints. Pure concat expressions, no collect; the caller wraps
+    * with `digraph {` / `}` at write time. */
+  def dotLines(nodes: Dataset[Node], edges: Dataset[Edge]): DataFrame = {
+    val nodeLines = nodes.toDF().select(
+      concat(lit("  \""), col("id"), lit("\" [label=\""), col("name"),
+        lit("\"]")).as("value"))
+    val ids = nodes.toDF().select(col("id")).distinct()
+    val edgeLines = edges.toDF()
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select(concat(lit("  \""), col("src"), lit("\" -> \""), col("dst"),
+        lit("\" [label=\""), col("etype"), lit("\"]")).as("value"))
+    nodeLines.union(edgeLines)
+  }
+
   /** S15: Graphviz DOT preview (md2csv.py:160-167) — debug-only,
     * driver-side collect with a row cap. */
   def dotPreview(nodes: Dataset[Node], edges: Dataset[Edge], maxNodes: Int = 100): String = {

@@ -107,4 +107,52 @@ class OpsSpec extends SparkSpec {
       assert(kept === replay(items, cap), s"trial=$trial cap=$cap items=$items")
     }
   }
+
+  test("O4 envelope form ≡ Python loop incl. json.dumps lengths (read_v2.py:34-53)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // per-item json length of {"id": i, "text": t} (ensure_ascii=False,
+    // default separators): 20 fixed chars + id digits + text length +
+    // one extra char per json-escapable (", \, \n, \t, \r)
+    def jl(id: Long, t: String): Long =
+      20L + id.toString.length + t.length +
+        t.count(c => "\"\\\n\t\r".contains(c))
+    // direct replay of the reference loop: total estimate over the
+    // BATCH json ('[' + items joined by ', ' + ']' → Σ + 2k chars);
+    // removal by FIRST max of the per-item token estimate (len // 2)
+    def replay(items: Seq[(Long, String)], cap: Long): Set[Long] = {
+      val buf = scala.collection.mutable.ArrayBuffer(
+        items.map { case (id, t) => (id, jl(id, t)) }: _*)
+      while (buf.nonEmpty && (buf.map(_._2).sum + 2 * buf.size) / 2 > cap) {
+        val m = buf.maxBy(_._2 / 2)
+        buf.remove(buf.indexOf(m))
+      }
+      buf.map(_._1).toSet
+    }
+    // sanity-pin the length formula against real json (python replay
+    // checked once by hand): {"id": 7, "text": "abc"} is 24 chars,
+    // the escaped {"id": 7, "text": "a\"b"} is 25
+    assert(jl(7L, "abc") === 24L)
+    assert(jl(7L, "a\"b") === 25L)
+    val alphabet = "ab\"\\\n\t\r"
+    val rnd = new scala.util.Random(11)
+    val wOrd = Window.orderBy(col("tokens").asc, col("id").desc)
+    for (trial <- 0 until 25) {
+      val items = (0 until 16).map { i =>
+        val t = Seq.fill(rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.length)))
+          .mkString
+        (i.toLong, t)
+      }
+      val cap = (150 + rnd.nextInt(120)).toLong
+      val kept = items.map { case (id, t) => (id, jl(id, t)) }
+        .toDF("id", "jlen")
+        .withColumn("tokens", floor(col("jlen") / 2).cast("long"))
+        .withColumn("cum",
+          sum(col("jlen")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .filter(floor(col("cum") / 2) + col("rn") <= cap)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(kept === replay(items, cap), s"trial=$trial cap=$cap items=$items")
+    }
+  }
 }
