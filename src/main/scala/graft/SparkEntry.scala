@@ -1307,6 +1307,50 @@ object SparkEntry {
       Dedup.exactGroups(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy("h")),
 
+    // incremental exact dedup: the batch-append shape — docs with
+    // doc_id%3==0 play the existing corpus, the rest arrive as the new
+    // batch; survivors = batch-internal keep-first minus already-seen
+    // hashes (null-safe on the null-text group)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val seen = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      Dedup.incrementalExact(fresh, seen, "doc_id", "text")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // deterministic Bernoulli sample: selection keyed on md5(doc_id),
+    // reproducible across retries/engines — never rand()
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(tbl(s, dir, "documents"), "doc_id", 0.35)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // per-stratum quota (mixture balancing): at most 40 docs per lang,
+    // picked by stable hash order
+    "sample_quota" -> ((s, dir) =>
+      Sampling.quotaSample(tbl(s, dir, "documents"), "lang", "doc_id", 40)
+        .select("lang", "doc_id").orderBy("lang", "doc_id")),
+
+    // TF-IDF top terms per doc with INTEGER-ONLY determinism: rank by
+    // (tf desc, df asc, term) — the idf ordering without the float log
+    "tfidf_topterms" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("w").asc)
+      tf.join(dfreq, Seq("w"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("term"),
+          col("tf"), col("df"))
+        .orderBy("doc_id", "rank")
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       val words = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -2029,6 +2073,48 @@ object SparkEntry {
     "o5_union_distinct" -> ("""
       SELECT DISTINCT v FROM (SELECT lang AS v FROM documents
         UNION ALL SELECT source AS v FROM documents) ORDER BY v"""),
+
+    "dedup_incremental" -> ("""
+      WITH seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+      batch AS (
+        SELECT doc_id, lang, md5(text) AS h FROM documents
+        WHERE doc_id % 3 <> 0
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+      SELECT doc_id, lang FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h IS NOT DISTINCT FROM b.h)
+      ORDER BY doc_id"""),
+
+    // 8-hex md5 prefix decoded to int64 (same literal-power idiom as
+    // the LSH architecture oracles) < floor(0.35·2^32)
+    "sample_hash" -> ("""
+      WITH h AS (SELECT doc_id, lang,
+        CAST(list_sum(list_transform(range(1, 9),
+          i -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i, 1)) - 1) *
+               ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+          AS BIGINT) AS hv
+        FROM documents)
+      SELECT doc_id, lang FROM h WHERE hv < 1503238553 ORDER BY doc_id"""),
+
+    "sample_quota" -> ("""
+      SELECT lang, doc_id FROM documents
+      QUALIFY row_number() OVER (PARTITION BY lang
+        ORDER BY md5(doc_id::VARCHAR), doc_id) <= 40
+      ORDER BY lang, doc_id"""),
+
+    "tfidf_topterms" -> ("""
+      WITH toks AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                    FROM documents),
+      tok AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+      dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      ranked AS (
+        SELECT t.doc_id, t.w, t.tf, d.df,
+               row_number() OVER (PARTITION BY t.doc_id
+                 ORDER BY t.tf DESC, d.df ASC, t.w ASC) AS rank
+        FROM tf t JOIN dfreq d ON d.w = t.w)
+      SELECT doc_id, rank, w AS term, tf, df FROM ranked
+      WHERE rank <= 3 ORDER BY doc_id, rank"""),
 
     "a9_label_prf" -> ("""
       WITH pairs AS (

@@ -33,6 +33,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep"), count(lit(1)).as("cnt"))
 
+  /** Incremental exact dedup for snapshot-append pipelines: exact-dedup
+    * within the new batch, then drop every row whose content hash
+    * already exists in `seen` (the corpus so far). The anti-join is
+    * NULL-SAFE (<=>): a null-text row in the batch is dropped when the
+    * corpus already holds a null text, exactly like any other hash
+    * group. At scale the seen side is a narrow (hash) projection — at
+    * most one shuffle of 16-byte keys against the deduped batch. */
+  def incrementalExact(newDf: DataFrame, seen: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val seenH = seen.select(md5(col(textCol)).as("_sh")).distinct()
+    exact(newDf, idCol, textCol)
+      .withColumn("_h", md5(col(textCol)))
+      .join(seenH, col("_h") <=> col("_sh"), "left_anti")
+      .drop("_h")
+  }
+
   /** Candidate pairs from a banded (id, bucket[, payload…]) table with a
     * degenerate-bucket guard: buckets of at most `bucketCap` members do
     * the normal within-bucket all-pairs self-join; hotter buckets emit a

