@@ -35,10 +35,12 @@ object Sampling {
   /** Per-stratum quota: keep at most `k` rows per value of
     * `stratumCol`, picking deterministically by hash order (md5 of the
     * key — an unbiased "random k" that is stable across runs), ties
-    * broken by the key itself. One window per stratum; the partial
-    * top-k aggregates map-side under AQE so a hot stratum (one language
-    * dominating the corpus) does not funnel its whole population
-    * through a single task before the limit applies. */
+    * broken by the key itself. The `row_number() <= k` filter triggers
+    * Spark's WindowGroupLimit rewrite: a PARTIAL group-limit runs
+    * below the exchange (plan-asserted in PlanSpec), so a hot stratum
+    * (one language dominating the corpus) ships at most k rows per
+    * input partition instead of funneling its whole population through
+    * one window task. */
   def quotaSample(df: DataFrame, stratumCol: String, keyCol: String,
       k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

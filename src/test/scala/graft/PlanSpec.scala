@@ -110,6 +110,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("quota sample plans a PARTIAL WindowGroupLimit below the exchange (hot-stratum safe)") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"l${i % 4}")).toDF("doc_id", "lang")
+    val plan = graft.operators.Sampling.quotaSample(df, "lang", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    // the map-side limit must sit under the shuffle: a hot stratum then
+    // ships ≤ k rows per input partition, never its full population
+    val partialIdx = plan.indexOf("WindowGroupLimit")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(lang")
+    assert(partialIdx >= 0 && plan.contains("Partial"), plan.take(1500))
+    assert(exchangeIdx >= 0 && plan.indexOf("Partial") > exchangeIdx, plan.take(1500))
+  }
+
   test("keep-first dedup plans a partial aggregate, not a window") {
     import spark.implicits._
     val nodes = Seq(
