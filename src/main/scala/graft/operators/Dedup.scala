@@ -89,7 +89,12 @@ object Dedup {
     // `hotBroadcastLimit` rows the normal path pays only a broadcast
     // anti-join (plan-identical to the uncapped self-join when no
     // bucket is hot), above it both hot joins fall back to shuffle
-    // joins instead of OOMing the driver on an unbroadcastable list
+    // joins instead of OOMing the driver on an unbroadcastable list.
+    // NOTE the count is an EAGER action at construction time — callers
+    // get the gate's safety in exchange for one aggregate job per call
+    // (it also materializes a lazily-persisted upstream, so the cost is
+    // shared with the first real action); plan-only inspection of the
+    // result therefore runs that one job too
     val aggs = count(lit(1)).as("_bc") +: min(col("id")).as("_rep") +:
       (if (payload.nonEmpty)
          Seq(min_by(struct(payload.map(col): _*), col("id")).as("_repP"))

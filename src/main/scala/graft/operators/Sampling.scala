@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * breaks — so selection is keyed on a content hash of the row key, not
   * on RNG state. Both are single-pass and shuffle-frugal:
   * [[hashSample]] is a pure filter (no shuffle at all — it pushes into
-  * the scan); [[quotaSample]] is one window per stratum key (or
-  * TakeOrdered when the stratum set is a single group).
+  * the scan); [[quotaSample]] is one window per stratum key with the
+  * group limit applied map-side.
   *
   * Reference context: the reference corpus tooling samples by slicing
   * file lists (`automate_scripts.py:6-29` processes a fixed file
@@ -22,9 +22,13 @@ object Sampling {
 
   /** Keep a row iff the first 8 md5 hex digits of its key, read as an
     * integer, fall under rate·2³² — an unbiased deterministic Bernoulli
-    * sample, replayable by any engine with md5. Null keys are kept iff
-    * `keepNulls` (they hash to a stable bucket otherwise distinct rows
-    * with null keys would all share one fate). */
+    * sample, replayable by any engine with md5, and NESTED: raising the
+    * rate only adds rows, so a sample can grow without resampling
+    * history. NULL keys are always DROPPED (md5(null) is null, the
+    * comparison is null, the filter rejects) — a sampling key should
+    * identify the row; callers with nullable keys must coalesce to a
+    * sentinel first, consciously accepting that all sentinel rows then
+    * share one fate. */
   def hashSampleCol(key: Column, rate: Double): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") <
       lit((rate * 4294967296.0).toLong)

@@ -66,10 +66,14 @@ object CcScale {
 
     val peakMb = (Runtime.getRuntime.totalMemory -
       Runtime.getRuntime.freeMemory) / 1024 / 1024
-    println(f"""{"edges":$nEdges,"vertices":$nVerts,"sec":$sec%.1f,""" +
-      f""""edges_per_sec":${nEdges / sec}%.0f,"mismatches":$mism,""" +
-      f""""subsample_match":$subsampleMatch,"driver_heap_mb":$peakMb,""" +
-      f""""cpus":$cpus}""")
+    // plain toString interpolation: the f-interpolator is locale-
+    // sensitive (comma decimals on e.g. de_DE would corrupt the JSON)
+    val sec1 = math.round(sec * 10) / 10.0
+    val eps = math.round(nEdges / sec)
+    println(s"""{"edges":$nEdges,"vertices":$nVerts,"sec":$sec1,""" +
+      s""""edges_per_sec":$eps,"mismatches":$mism,""" +
+      s""""subsample_match":$subsampleMatch,"driver_heap_mb":$peakMb,""" +
+      s""""cpus":$cpus}""")
     require(mism == 0L, s"analytic mismatch count $mism")
     require(subsampleMatch, "distributed != driver union-find on subsample")
     spark.stop()

@@ -136,8 +136,16 @@ class CanonicalizeSpec extends SparkSpec {
       val cc = Canonicalize.connectedComponents(edges)
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       assert((0 to 4).forall(i => cc(s"w$i") === "w0"))
-      // drain the listener bus before reading the captured events
-      Thread.sleep(2000)
+      // drain the (asynchronous) listener bus: poll until the captured
+      // event counts stop changing, bounded at 15 s — a fixed sleep
+      // false-fails on a loaded box
+      def snapshot() = (jobStages.size, shuffleStages.size)
+      var prev = (-1, -1)
+      var cur = snapshot()
+      val deadline = System.nanoTime() + 15000000000L
+      while (prev != cur && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(500); cur = snapshot()
+      }
       val jobsWithShuffle = jobStages.count { case (_, stages) =>
         stages.exists(sid => shuffleStages.getOrElse(sid, 0L) > 0L)
       }

@@ -134,7 +134,9 @@ class OpsSpec extends SparkSpec {
     // the escaped {"id": 7, "text": "a\"b"} is 25
     assert(jl(7L, "abc") === 24L)
     assert(jl(7L, "a\"b") === 25L)
-    val alphabet = "ab\"\\\n\t\r"
+    // includes CJK: the reference passes ensure_ascii=False, so a BMP
+    // non-ASCII char counts 1 in both the Python len and the formula
+    val alphabet = "ab\"\\\n\t\r模型"
     val rnd = new scala.util.Random(11)
     val wOrd = Window.orderBy(col("tokens").asc, col("id").desc)
     for (trial <- 0 until 25) {
