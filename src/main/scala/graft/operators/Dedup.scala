@@ -157,11 +157,14 @@ object Dedup {
       shingleN: Int = 3, bucketCap: Int = 1000,
       estFilter: Boolean = true): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
+    // ONE hash pass over the shingles (string → long), then the whole
+    // numHashes-signature in one codegen'd fold — the per-seed
+    // array_min(transform(...)) formulation walked the shingle array
+    // numHashes times through interpreted lambdas
     val withSig = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", array((0 until numHashes).map { seed =>
-        array_min(transform(col("sh"), s => xxhash64(lit(seed), s)))
-      }: _*))
+      .withColumn("sig", graft.plans.MinhashFold.minhash_fold(
+        transform(col("sh"), s => xxhash64(s)), numHashes))
     val sigs = withSig.persist()
     // banding carries ONLY (id, bucket) — the heavy shingle/signature
     // arrays never enter the self-join or the pair distinct

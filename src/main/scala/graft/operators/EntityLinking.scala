@@ -53,12 +53,14 @@ object EntityLinking {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * min over shingle hashes. xxhash64(seed, shingle) is a proper
-    * independent-ish family and stays inside codegen. */
+    * min over shingle hashes — computed as one codegen'd fold over the
+    * once-hashed shingle array (seed variant k = XXH64.hashLong(h, k),
+    * the engine's own hash primitive; see [[graft.plans.MinhashFold]]).
+    * The previous per-seed array_min(transform(...)) walked the array
+    * numHashes times through interpreted lambdas. */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
-    }: _*)
+    graft.plans.MinhashFold.minhash_fold(
+      transform(shinglesCol, s => xxhash64(s)), numHashes)
 
   /** Candidate pairs via LSH banding: signature split into `bands`
     * bands of `rowsPerBand`; names sharing any band bucket become a

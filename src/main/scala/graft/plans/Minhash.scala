@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `minhash_fold(hashes, numHashes)` — the full MinHash signature over
+  * a token-hash array as ONE codegen'd expression: a tight JIT'd
+  * `long[] → long[numHashes]` loop where seed variant k of element h is
+  * `XXH64.hashLong(h, k)` (the exact primitive Spark's own `xxhash64`
+  * codegen emits, so the family quality is the engine's own). The
+  * DataFrame formulation — `array(array_min(transform(sh, xxhash64(k,
+  * _))) for k < n)` — walks the shingle array numHashes times through
+  * interpreted higher-order lambdas and materializes numHashes
+  * intermediate arrays; this fold walks it once with zero intermediate
+  * allocation. Null elements are skipped; a position with no valid
+  * element yields Long.MaxValue (callers pre-filter empty shingle
+  * sets, matching the previous formulation's size(sh) > 0 guard). */
+case class MinhashFold(hashes: Expression, numExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = hashes
+  override def right: Expression = numExpr
+  override def nullIntolerant: Boolean = true
+
+  private lazy val num: Int = numExpr.eval(null).asInstanceOf[Int]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!hashes.dataType.isInstanceOf[ArrayType] ||
+        hashes.dataType.asInstanceOf[ArrayType].elementType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hashes must be array<bigint>, got ${hashes.dataType.simpleString}")
+    else if (!numExpr.foldable || numExpr.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "numHashes must be a foldable int literal")
+    else if (num < 1 || num > 512)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "numHashes must be in [1, 512]")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = hashes.nullable
+
+  protected override def nullSafeEval(h: Any, _n: Any): Any = {
+    val arr = h.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(num)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        var k = 0
+        while (k < num) {
+          val v = XXH64.hashLong(x, k.toLong)
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, _) => {
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$num];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |int $n = $h.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($h.isNullAt($i)) continue;
+         |  long $x = $h.getLong($i);
+         |  for (int $k = 0; $k < $num; $k++) {
+         |    long $v = $xxh.hashLong($x, (long) $k);
+         |    if ($v < $sig[$k]) $sig[$k] = $v;
+         |  }
+         |}
+         |${ev.value} = new $gad($sig);
+       """.stripMargin
+    })
+
+  override def prettyName: String = "minhash_fold"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(hashes = l, numExpr = r)
+}
+
+object MinhashFold {
+  def minhash_fold(hashes: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      MinhashFold(
+        org.apache.spark.sql.graft.shims.toExpression(hashes),
+        Literal(numHashes, IntegerType)))
+}

@@ -217,6 +217,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("minhash_fold == driver replay of XXH64.hashLong minima (codegen + interpreted)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val rows = Seq(1L -> Seq(5L, -3L, 99L), 2L -> Seq(0L),
+      3L -> Seq(Long.MaxValue, Long.MinValue, 7L))
+    val df = rows.toDF("id", "hs")
+    val out = df.select(col("id"),
+        graft.plans.MinhashFold.minhash_fold(col("hs"), 6).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, hs) <- rows) {
+      val exp = (0 until 6).map(k => hs.map(h => XXH64.hashLong(h, k.toLong)).min)
+      assert(out(id) === exp, s"id=$id")
+    }
+  }
+
   test("simhash codegen'd fold == higher-order-function fold (all bit widths)") {
     import spark.implicits._
     val texts = docs.select(col("text"))
