@@ -157,28 +157,33 @@ object Dedup {
       shingleN: Int = 3, bucketCap: Int = 1000,
       estFilter: Boolean = true): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
-    // ONE hash pass over the shingles (string → long), then the whole
-    // numHashes-signature in one codegen'd fold — the per-seed
-    // array_min(transform(...)) formulation walked the shingle array
-    // numHashes times through interpreted lambdas
-    val withSig = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", graft.plans.MinhashFold.minhash_fold(
-        transform(col("sh"), s => xxhash64(s)), numHashes))
+    // FULL-CORPUS pass: tokens → per-window shingle HASHES → signature,
+    // two codegen'd expressions, zero shingle strings materialized
+    // (ShingleHashes + MinhashFold; the former
+    // array_distinct/transform/concat_ws pipeline allocated every
+    // shingle string for every document and then walked them through
+    // numHashes interpreted array_min passes). The persisted signature
+    // table carries (id, text, sig) — shingle SETS are reconstructed
+    // later for CANDIDATE PAIRS ONLY, which at web scale is orders of
+    // magnitude fewer rows than the corpus.
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .withColumn("__hs", graft.plans.ShingleHashes.shingle_hashes(
+        split(lower(trim(col("__t"))), "\\s+"), shingleN))
+      .filter(size(col("__hs")) > 0)
+      .withColumn("sig", graft.plans.MinhashFold.minhash_fold(col("__hs"), numHashes))
+      .drop("__hs")
     val sigs = withSig.persist()
-    // banding carries ONLY (id, bucket) — the heavy shingle/signature
-    // arrays never enter the self-join or the pair distinct
+    // banding carries ONLY (id, bucket) — text/signature arrays never
+    // enter the self-join or the pair distinct
     val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as("bucket"))
       .distinct()
     val idPairs = bandedPairs(banded, bucketCap)
-    // fetch sets/signatures once per verified pair, then two cheap
-    // prefilters before the exact Jaccard:
-    //  (1) size ratio — LOSSLESS: J(A,B) ≤ min|·|/max|·|, so J ≥ t
-    //      implies the ratio ≥ t;
-    //  (2) signature estimate — PROBABILISTIC: each of the numHashes
+    // per candidate pair, cheapest-first before the exact Jaccard:
+    //  (1) signature estimate — PROBABILISTIC, from the already-
+    //      persisted sigs (no shingle work): each of the numHashes
     //      components matches with prob J, so est ~ Binom(numHashes,J)/
     //      numHashes and a true pair (J ≥ t) is falsely dropped with
     //      P[est < t−EstMargin] ≤ exp(−2·numHashes·EstMargin²)
@@ -187,18 +192,24 @@ object Dedup {
     //      bound holds; below that the filter is skipped and the output
     //      is exactly the verified-candidate set (the lossless path —
     //      same choice as EntityLinking.fuzzyCandidates at 8 hashes).
-    val base = idPairs
-      .join(sigs.select(col("id").as("a"), col("sh").as("shA"), col("sig").as("sigA")), Seq("a"))
-      .join(sigs.select(col("id").as("b"), col("sh").as("shB"), col("sig").as("sigB")), Seq("b"))
-      .filter(least(size(col("shA")), size(col("shB"))).cast("double") /
-        greatest(size(col("shA")), size(col("shB"))) >= threshold)
+    //  (2) size ratio — LOSSLESS: J(A,B) ≤ min|·|/max|·|, so J ≥ t
+    //      implies the ratio ≥ t.
+    // Shingle sets are computed AFTER the join (withColumn on joined
+    // rows), so only surviving candidates pay for them.
+    val joined = idPairs
+      .join(sigs.select(col("id").as("a"), col("__t").as("_tA"), col("sig").as("sigA")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("__t").as("_tB"), col("sig").as("sigB")), Seq("b"))
     val estFiltered =
       if (estFilter && numHashes >= MinHashesForEstFilter)
-        base.withColumn("est", size(filter(zip_with(col("sigA"), col("sigB"),
+        joined.withColumn("est", size(filter(zip_with(col("sigA"), col("sigB"),
             (x, y) => x === y), m => m)).cast("double") / numHashes)
           .filter(col("est") >= threshold - EstMargin)
-      else base
+      else joined
     val out = estFiltered
+      .withColumn("shA", wordShingles(col("_tA"), shingleN))
+      .withColumn("shB", wordShingles(col("_tB"), shingleN))
+      .filter(least(size(col("shA")), size(col("shB"))).cast("double") /
+        greatest(size(col("shA")), size(col("shB"))) >= threshold)
       .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
       .withColumn("jaccard", col("inter") /
         (size(col("shA")) + size(col("shB")) - col("inter")))

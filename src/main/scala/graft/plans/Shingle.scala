@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `shingle_hashes(tokens, n)` — the hashes of all word n-gram
+  * shingles of a token array as ONE codegen'd expression, WITHOUT
+  * materializing a single shingle string.
+  *
+  * Each non-empty token is byte-hashed once (`XXH64.hashUnsafeBytes`,
+  * the engine's own string-hash primitive); the hash of a shingle
+  * window is the seed-chained fold of its token hashes (order-
+  * sensitive, exactly the chaining Spark's multi-argument `xxhash64`
+  * performs over its inputs). Window semantics mirror
+  * [[graft.operators.Dedup.wordShingles]]: with m valid tokens and
+  * shingle size n, m == 0 yields an empty array, m < n yields the one
+  * window over all m tokens, otherwise the m−n+1 sliding windows.
+  * Duplicate windows are KEPT (the consumer is min-over-array — a
+  * multiset minimum equals its support-set minimum, so downstream
+  * MinHash signatures are unaffected by skipping the distinct).
+  *
+  * This replaces, on the full-corpus path, the
+  * `array_distinct(transform(sequence…, concat_ws(slice…)))` pipeline
+  * — four interpreted higher-order passes allocating every shingle
+  * string — with one loop of long-mixes.
+  */
+case class ShingleHashes(tokens: Expression, nExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = nExpr
+  override def nullIntolerant: Boolean = true
+
+  private lazy val n: Int = nExpr.eval(null).asInstanceOf[Int]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!tokens.dataType.isInstanceOf[ArrayType] ||
+        tokens.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tokens must be array<string>, got ${tokens.dataType.simpleString}")
+    else if (!nExpr.foldable || nExpr.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "n must be a foldable int literal")
+    else if (n < 1 || n > 64)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "n must be in [1, 64]")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = tokens.nullable
+
+  protected override def nullSafeEval(t: Any, _n: Any): Any = {
+    val arr = t.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    val th = new Array[Long](total)
+    var m = 0
+    var i = 0
+    while (i < total) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s.numBytes() > 0) {
+          th(m) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes(), 42L)
+          m += 1
+        }
+      }
+      i += 1
+    }
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val cnt = if (m < n) 1 else m - n + 1
+    val out = new Array[Long](cnt)
+    var w = 0
+    while (w < cnt) {
+      var acc = 42L
+      var j = w
+      val end = math.min(w + n, m)
+      while (j < end) { acc = XXH64.hashLong(th(j), acc); j += 1 }
+      out(w) = acc
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      val utf8 = classOf[UTF8String].getName
+      val th = ctx.freshName("th")
+      val total = ctx.freshName("total")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      val w = ctx.freshName("w")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val end = ctx.freshName("end")
+      s"""
+         |int $total = $t.numElements();
+         |long[] $th = new long[$total];
+         |int $m = 0;
+         |for (int $i = 0; $i < $total; $i++) {
+         |  if ($t.isNullAt($i)) continue;
+         |  $utf8 $s = $t.getUTF8String($i);
+         |  if ($s.numBytes() == 0) continue;
+         |  $th[$m++] = $xxh.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |}
+         |long[] $out;
+         |if ($m == 0) {
+         |  $out = new long[0];
+         |} else {
+         |  int $cnt = ($m < $n) ? 1 : $m - $n + 1;
+         |  $out = new long[$cnt];
+         |  for (int $w = 0; $w < $cnt; $w++) {
+         |    long $acc = 42L;
+         |    int $end = java.lang.Math.min($w + $n, $m);
+         |    for (int $j = $w; $j < $end; $j++) {
+         |      $acc = $xxh.hashLong($th[$j], $acc);
+         |    }
+         |    $out[$w] = $acc;
+         |  }
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override def prettyName: String = "shingle_hashes"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(tokens = l, nExpr = r)
+}
+
+object ShingleHashes {
+  def shingle_hashes(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      ShingleHashes(
+        org.apache.spark.sql.graft.shims.toExpression(tokens),
+        Literal(n, IntegerType)))
+}

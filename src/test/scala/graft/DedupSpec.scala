@@ -217,6 +217,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("shingle_hashes: window count matches wordShingles semantics; distinct support == set size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val texts = (0 until 80).map { i =>
+      val m = rnd.nextInt(7)
+      (i.toLong, (0 until m).map(_ => s"w${rnd.nextInt(4)}").mkString(" "))
+    }
+    val rows = texts.toDF("id", "text").select(col("id"),
+        graft.plans.ShingleHashes.shingle_hashes(
+          split(lower(trim(col("text"))), "\\s+"), 3).as("hs"),
+        Dedup.wordShingles(col("text"), 3).as("sh"))
+      .collect()
+    rows.foreach { r =>
+      val hs = r.getSeq[Long](1); val sh = r.getSeq[String](2)
+      val m = texts(r.getLong(0).toInt)._2.split("\\s+").count(_.nonEmpty)
+      val expCnt = if (m == 0) 0 else math.max(m - 3 + 1, 1)
+      assert(hs.length === expCnt, s"id=${r.getLong(0)} m=$m")
+      // multiset support == the distinct shingle set (collision-free at
+      // this scale): MinHash minima over either are identical
+      assert(hs.distinct.length === sh.length, s"id=${r.getLong(0)}")
+    }
+  }
+
   test("minhash_fold == driver replay of XXH64.hashLong minima (codegen + interpreted)") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.XXH64
