@@ -72,10 +72,18 @@ object Embeddings {
     }(enc)
   }
 
-  /** Cosine similarity between two ArrayType(Float) columns, computed
-    * in double with a single sequential fold — X17
-    * (rag_query.py:104-108) as pure Catalyst expressions (codegen). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two ArrayType(Float) columns — X17
+    * (rag_query.py:104-108) as ONE codegen'd Catalyst expression
+    * ([[graft.plans.CosineSim]]: dot + both norms in a single loop of
+    * double adds, bit-identical numerics and null semantics to the
+    * higher-order-function fold it replaced — see [[cosineHof]], the
+    * cross-validation twin). */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSim.cosine_sim(a, b)
+
+  /** The original higher-order-function formulation (three interpreted
+    * array walks) — kept as the cross-validation twin for [[cosine]]. */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))

@@ -299,14 +299,20 @@ object Dedup {
     * ([[graft.plans.SimhashFold]] — a tight JIT'd loop), replacing the
     * round-1 per-bit `aggregate` passes (O(bits·tokens) array scans). */
   def simhash(c: Column, bits: Int = 16): Column =
+    // token hashing via the n=1 shingle fast path (identical values to
+    // xxhash64(token), computed in one codegen loop instead of an
+    // interpreted transform; empty tokens — e.g. from an empty doc —
+    // are skipped, so an empty doc folds to fingerprint 0)
     graft.plans.SimhashFold.simhash_fold(
-      transform(split(lower(trim(c)), "\\s+"), t => xxhash64(t)), bits)
+      graft.plans.ShingleHashes.shingle_hashes(
+        split(lower(trim(c)), "\\s+"), 1), bits)
 
   /** Higher-order-function formulation of the same fold (single
     * traversal, but interpreted lambdas + a fresh bits-element array per
     * token) — kept as the cross-validation twin for [[simhash]]. */
   private[graft] def simhashHof(c: Column, bits: Int): Column = {
-    val toks = split(lower(trim(c)), "\\s+")
+    // empty tokens skipped to mirror simhash's shingle_hashes input
+    val toks = filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
     val hashes = transform(toks, t => xxhash64(t))
     val bitIdx = sequence(lit(0), lit(bits - 1))
     val zeros = transform(bitIdx, _ => lit(0L))

@@ -82,10 +82,19 @@ object EntityLinking {
       rowsPerBand: Int = 2, threshold: Double = 0.5,
       shingleN: Int = 2, bucketCap: Int = 1000): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
+    // full-corpus pass: char tokens → per-window shingle HASHES →
+    // signature, all codegen'd (ShingleHashes over the char split
+    // computes exactly the n-char substring windows without building
+    // them; see Dedup.minhashLshWithHandle for the same shape on word
+    // shingles). Names whose normalized form is empty produce no
+    // shingle hashes and drop out of banding.
+    val norm = lower(regexp_replace(col("name"), "\\s+", ""))
     val sigs = names.select(col("name")).distinct()
-      .withColumn("sh", shingles(col("name"), shingleN))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("__hs", graft.plans.ShingleHashes.shingle_hashes(
+        split(norm, ""), shingleN))
+      .filter(size(col("__hs")) > 0)
+      .withColumn("sig", graft.plans.MinhashFold.minhash_fold(col("__hs"), numHashes))
+      .drop("__hs")
       .persist()
     // banding carries ONLY (name, bucket) — the shingle arrays never
     // enter the self-join or the pair distinct (same join shape as
@@ -102,13 +111,15 @@ object EntityLinking {
     // handled losslessly by raising it instead of silently switching to
     // the star topology
     val pairs = Dedup.bandedPairs(banded, bucketCap = bucketCap)
-    // fetch shingle sets once per candidate pair; the size-ratio
-    // prefilter is LOSSLESS (J(A,B) ≤ min|·|/max|·|, so J ≥ t implies
-    // the ratio ≥ t) — unlike minhashLsh's signature-estimate filter,
-    // which is probabilistic and would change output at 8 hashes
+    // the pair columns ARE the surface forms, so the verification
+    // shingle sets are recomputed directly from them — candidate rows
+    // only, no join back to sigs at all. The size-ratio prefilter is
+    // LOSSLESS (J(A,B) ≤ min|·|/max|·|, so J ≥ t implies the ratio
+    // ≥ t) — unlike minhashLsh's signature-estimate filter, which is
+    // probabilistic and would change output at 8 hashes
     val out = pairs
-      .join(sigs.select(col("name").as("a"), col("sh").as("shA")), Seq("a"))
-      .join(sigs.select(col("name").as("b"), col("sh").as("shB")), Seq("b"))
+      .withColumn("shA", shingles(col("a"), shingleN))
+      .withColumn("shB", shingles(col("b"), shingleN))
       .filter(least(size(col("shA")), size(col("shB"))).cast("double") /
         greatest(size(col("shA")), size(col("shB"))) >= threshold)
       .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))

@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `cosine_sim(a, b)` — cosine similarity of two float vectors as ONE
+  * codegen'd expression: dot product and both squared norms accumulate
+  * in a single loop of double adds.
+  *
+  * Numerics are BIT-IDENTICAL to the higher-order-function formulation
+  * it replaces (`aggregate(zip_with(...))` + two `aggregate` norms):
+  * element order of every accumulation is preserved, the norms take
+  * `sqrt` before multiplying, and the result is `dot / (na * nb)`.
+  * Null semantics are replicated too: mismatched lengths or any null
+  * element → null (zip_with pads with null and `acc + null` poisons
+  * the fold in the HOF form). ONE deliberate divergence: a zero-norm
+  * vector yields IEEE NaN here, where the HOF form's `Divide` raises
+  * DIVIDE_BY_ZERO under ANSI mode (Spark 4's default) — one empty
+  * document must not kill a corpus-wide scan. The HOF form walked both
+  * arrays three times through interpreted lambdas, allocating the
+  * zipped products array — the tail cost of every brute-force cosine
+  * scan.
+  */
+case class CosineSim(a: Expression, b: Expression) extends BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def nullIntolerant: Boolean = true
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!okType(a.dataType) || !okType(b.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"inputs must be array<float>, got ${a.dataType.simpleString} / ${b.dataType.simpleString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(av: Any, bv: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xa = x.getFloat(i).toDouble
+      val yb = y.getFloat(i).toDouble
+      dot += xa * yb; na += xa * xa; nb += yb * yb
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xa = ctx.freshName("xa")
+      val yb = ctx.freshName("yb")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $x.numElements();
+         |boolean $bad = ($n != $y.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
+         |  double $xa = (double) $x.getFloat($i);
+         |  double $yb = (double) $y.getFloat($i);
+         |  $dot += $xa * $yb; $na += $xa * $xa; $nb += $yb * $yb;
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
+  override def prettyName: String = "cosine_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+object CosineSim {
+  def cosine_sim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      CosineSim(
+        org.apache.spark.sql.graft.shims.toExpression(a),
+        org.apache.spark.sql.graft.shims.toExpression(b)))
+}

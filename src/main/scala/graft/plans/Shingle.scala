@@ -15,7 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the engine's own string-hash primitive); the hash of a shingle
   * window is the seed-chained fold of its token hashes (order-
   * sensitive, exactly the chaining Spark's multi-argument `xxhash64`
-  * performs over its inputs). Window semantics mirror
+  * performs over its inputs; n = 1 emits the raw token hashes —
+  * bit-identical to `xxhash64(token)`). Window semantics mirror
   * [[graft.operators.Dedup.wordShingles]]: with m valid tokens and
   * shingle size n, m == 0 yields an empty array, m < n yields the one
   * window over all m tokens, otherwise the m−n+1 sliding windows.
@@ -71,6 +72,9 @@ case class ShingleHashes(tokens: Expression, nExpr: Expression)
       i += 1
     }
     if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    // n == 1: a window IS its token — emit the raw token hashes (the
+    // same values Spark's xxhash64(token) produces), no chain remix
+    if (n == 1) return new GenericArrayData(java.util.Arrays.copyOf(th, m))
     val cnt = if (m < n) 1 else m - n + 1
     val out = new Array[Long](cnt)
     var w = 0
@@ -115,6 +119,8 @@ case class ShingleHashes(tokens: Expression, nExpr: Expression)
          |long[] $out;
          |if ($m == 0) {
          |  $out = new long[0];
+         |} else if ($n == 1) {
+         |  $out = java.util.Arrays.copyOf($th, $m);
          |} else {
          |  int $cnt = ($m < $n) ? 1 : $m - $n + 1;
          |  $out = new long[$cnt];

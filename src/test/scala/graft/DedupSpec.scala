@@ -388,6 +388,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 5L) })
   }
 
+  test("cosine_sim == HOF cosine bit-for-bit (incl. zero-vector NaN, length-mismatch null)") {
+    import spark.implicits._
+    val emb = Embeddings.withEmbedding(docs, "text")
+    val q = emb.filter(col("doc_id") === 1).select(col("embedding").as("q"))
+    emb.crossJoin(q)
+      .select(Embeddings.cosine(col("embedding"), col("q")).as("fast"),
+        Embeddings.cosineHof(col("embedding"), col("q")).as("hof"))
+      .collect()
+      .foreach(r => assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) === 0))
+    // deliberate divergence: a zero-norm vector is NaN on the fast path
+    // while the HOF form's ANSI Divide would ERROR a whole scan on it
+    val zero = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+      .select(Embeddings.cosine(col("a"), col("b")).as("fast")).collect()(0)
+    assert(!zero.isNullAt(0) && zero.getDouble(0).isNaN)
+    intercept[Exception] {
+      Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+        .select(Embeddings.cosineHof(col("a"), col("b")).as("hof")).collect()
+    }
+    val mm = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+      .select(Embeddings.cosine(col("a"), col("b")).as("fast"),
+        Embeddings.cosineHof(col("a"), col("b")).as("hof")).collect()(0)
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
+
   test("brute-force cosine top-k and ANN top-k agree on the top hit") {
     val withEmb = Embeddings.withEmbedding(docs, "text")
     val q = Embeddings.embed("quick brown fox jumps")
