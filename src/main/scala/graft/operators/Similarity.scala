@@ -65,16 +65,13 @@ object Similarity {
       }
     }
 
-  private[operators] def lshBucketTable(emb: Column, dim: Int, bits: Int, table: Int): Column = {
-    val hCol = typedLit(hyperplanes(dim, bits, table))
-    // bucket id = hash of the sign-bit vector (bit packing not needed)
-    hash(transform(sequence(lit(0), lit(bits - 1)), b => {
-      val dot = aggregate(
-        zip_with(emb, element_at(hCol, b + 1), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1)).otherwise(lit(0))
-    }), lit(table))
-  }
+  private[operators] def lshBucketTable(emb: Column, dim: Int, bits: Int, table: Int): Column =
+    // bucket id = hash of the sign-bit vector (bit packing not needed);
+    // all `bits` projections run in one codegen'd pass with the plane
+    // matrix as a reference object (HyperplaneSigns — bucket values are
+    // identical to the former per-bit aggregate/zip_with formulation)
+    hash(graft.plans.HyperplaneSigns.hyperplane_signs(
+      emb, hyperplanes(dim, bits, table)), lit(table))
 
   /** The query vector's bucket in each of `tables` hash tables — ONE
     * driver-side evaluation for all tables (single-row select). */

@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `hyperplane_signs(emb, planes)` — the random-hyperplane LSH sign
+  * vector (one 0/1 per plane) as ONE codegen'd expression: all
+  * `bits` dot products accumulate in a single pass over the embedding,
+  * with the plane matrix shipped as a reference object (a
+  * `double[][]`), not an expression-tree literal.
+  *
+  * Replaces the `transform(sequence(...), b => when(aggregate(
+  * zip_with(emb, plane_b, ...)) >= 0, 1, 0))` formulation — `bits`
+  * interpreted walks allocating a zipped array each — on the
+  * full-corpus paths (embedding near-dup bucketing, ANN index build).
+  * Sign semantics replicate the HOF form exactly for well-formed
+  * input: sequential-order double accumulation, `dot >= 0 → 1 else 0`,
+  * and a dimension mismatch or null element yields sign 0 (the HOF's
+  * null-poisoned dot fell through `when` to the otherwise-0 branch).
+  * One divergence: a NULL embedding yields a NULL sign vector (this
+  * expression is null-intolerant) where the HOF form produced the
+  * all-zero vector — a null row now drops out of bucketing instead of
+  * clustering with other nulls, which is the behavior a dedup pipeline
+  * wants. */
+case class HyperplaneSigns(emb: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def child: Expression = emb
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    emb.dataType match {
+      case ArrayType(FloatType, _) =>
+        if (planes.isEmpty || planes.exists(_.length != planes.head.length))
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "planes must be a non-empty rectangular matrix")
+        else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"emb must be array<float>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = emb.nullable
+
+  protected override def nullSafeEval(e: Any): Any = {
+    val x = e.asInstanceOf[ArrayData]
+    val bits = mat.length
+    val dim = mat(0).length
+    val out = new Array[Int](bits)
+    val n = x.numElements()
+    if (n == dim) {
+      var ok = true
+      var i = 0
+      while (ok && i < n) { if (x.isNullAt(i)) ok = false; i += 1 }
+      if (ok) {
+        var b = 0
+        while (b < bits) {
+          val row = mat(b)
+          var dot = 0.0
+          var d = 0
+          while (d < dim) { dot += x.getFloat(d).toDouble * row(d); d += 1 }
+          out(b) = if (dot >= 0) 1 else 0
+          b += 1
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val gad = classOf[GenericArrayData].getName
+      val matRef = ctx.addReferenceObj("planesMat", mat, "double[][]")
+      val bits = mat.length
+      val dim = mat(0).length
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val ok = ctx.freshName("ok")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val row = ctx.freshName("row")
+      s"""
+         |int[] $out = new int[$bits];
+         |int $n = $x.numElements();
+         |if ($n == $dim) {
+         |  boolean $ok = true;
+         |  for (int $i = 0; $ok && $i < $n; $i++) {
+         |    if ($x.isNullAt($i)) $ok = false;
+         |  }
+         |  if ($ok) {
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      double[] $row = $matRef[$b];
+         |      double $dot = 0.0;
+         |      for (int $d = 0; $d < $dim; $d++) {
+         |        $dot += ((double) $x.getFloat($d)) * $row[$d];
+         |      }
+         |      $out[$b] = ($dot >= 0) ? 1 : 0;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override def prettyName: String = "hyperplane_signs"
+  override protected def withNewChildInternal(e: Expression): Expression =
+    copy(emb = e)
+}
+
+object HyperplaneSigns {
+  def hyperplane_signs(emb: Column, planes: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      HyperplaneSigns(
+        org.apache.spark.sql.graft.shims.toExpression(emb), planes))
+}
