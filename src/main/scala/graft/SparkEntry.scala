@@ -1344,6 +1344,22 @@ object SparkEntry {
       Sampling.quotaSample(tbl(s, dir, "documents"), "lang", "doc_id", 40)
         .select("lang", "doc_id").orderBy("lang", "doc_id")),
 
+    // benchmark decontamination: probes = the first-5-token phrases of
+    // every 97th document; flag every document sharing that 5-gram.
+    // Spark matches by broadcast 5-gram HASH membership (one codegen'd
+    // ShingleHashes pass over the corpus); the oracle replays the flags
+    // with exact token-boundary string containment — a hash collision
+    // would surface here as a diff
+    "decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val probes = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(array_join(slice(toks, 1, 5), " ").as("probe"), size(toks).as("m"))
+        .filter(col("m") >= 5).select("probe")
+      Decontaminate.flag(docs, "doc_id", "text", probes, "probe", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top terms per doc with INTEGER-ONLY determinism: rank by
     // (tf desc, df asc, term) — the idf ordering without the float log
     "tfidf_topterms" -> ((s, dir) => {
@@ -2113,6 +2129,19 @@ object SparkEntry {
       QUALIFY row_number() OVER (PARTITION BY lang
         ORDER BY md5(doc_id::VARCHAR), doc_id) <= 40
       ORDER BY lang, doc_id"""),
+
+    "decontaminate" -> ("""
+      WITH t AS (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+                 FROM documents),
+      probes AS (
+        SELECT DISTINCT array_to_string(toks[1:5], ' ') AS probe
+        FROM t WHERE doc_id % 97 = 0 AND len(toks) >= 5),
+      norm AS (SELECT doc_id,
+                 ' ' || array_to_string(toks, ' ') || ' ' AS body FROM t)
+      SELECT n.doc_id, count(DISTINCT p.probe) AS n_matched
+      FROM norm n JOIN probes p ON contains(n.body, ' ' || p.probe || ' ')
+      GROUP BY n.doc_id ORDER BY n.doc_id"""),
 
     "tfidf_topterms" -> ("""
       WITH toks AS (SELECT doc_id,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag (or drop)
+  * documents sharing any token n-gram with a probe set (eval-set
+  * passages, canary strings). The standard LLM-training hygiene step —
+  * n-gram overlap is the widely used contamination criterion, and n
+  * defaults to 13 tokens following common practice.
+  *
+  * Scale shape: probe n-gram HASHES are a small broadcast set (probes
+  * are eval suites, not corpora); the corpus side streams through one
+  * codegen'd [[graft.plans.ShingleHashes]] pass + an explode that
+  * carries only (id, hash) into the broadcast semi-join — no shuffle
+  * of the corpus, no probe strings shipped. A 64-bit chained hash
+  * equality stands in for n-gram string equality (collision odds are
+  * negligible at eval-set sizes; the driver oracle replays the flags
+  * with exact string containment, so a collision would surface as a
+  * correctness diff).
+  *
+  * Window caveat: a probe with fewer than n tokens hashes as its
+  * single whole-probe window, which only ever equals a document window
+  * of the same token count — i.e. short probes effectively match only
+  * equally short documents. Feed probes of ≥ n tokens (slice them
+  * upstream) for substring semantics.
+  */
+object Decontaminate {
+
+  def ngramHashes(c: Column, n: Int): Column =
+    graft.plans.ShingleHashes.shingle_hashes(
+      split(lower(trim(c)), "\\s+"), n)
+
+  /** (id, n_matched): documents sharing ≥1 token n-gram with any
+    * probe, with the count of distinct matching probe n-grams. */
+  def flag(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeCol: String, n: Int = 13): DataFrame = {
+    val ph = probes
+      .select(explode(ngramHashes(col(probeCol), n)).as("_ph")).distinct()
+    docs.select(col(idCol), explode(ngramHashes(col(textCol), n)).as("_h"))
+      .join(broadcast(ph), col("_h") === col("_ph"))
+      .groupBy(idCol).agg(count_distinct(col("_h")).as("n_matched"))
+  }
+
+  /** The corpus minus every flagged document. */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeCol: String, n: Int = 13): DataFrame =
+    docs.join(flag(docs, idCol, textCol, probes, probeCol, n),
+      Seq(idCol), "left_anti")
+}

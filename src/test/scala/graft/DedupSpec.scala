@@ -193,6 +193,24 @@ class DedupSpec extends SparkSpec {
       q.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("decontamination: n-gram overlap flags exactly the contaminated docs") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "preamble text then the secret eval answer is here trailing"),
+      (3L, "the secret eval answer appears here too"),      // shares a 5-gram? no — differs at token 5
+      (4L, "completely unrelated cooking content")
+    ).toDF("doc_id", "text")
+    val probes = Seq("the secret eval answer is").toDF("probe")
+    val flagged = Decontaminate.flag(corpus, "doc_id", "text", probes, "probe", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged === Map(2L -> 1L)) // only doc 2 contains the exact 5-gram
+    val clean = Decontaminate.clean(corpus, "doc_id", "text", probes, "probe", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(1L, 3L, 4L))
+  }
+
   test("incremental exact dedup: in-batch keep-first + seen-corpus drop, null-safe") {
     import spark.implicits._
     val seen = Seq((1L, "alpha"), (2L, null: String)).toDF("doc_id", "text")
