@@ -53,16 +53,33 @@ object CollapseRegexpExtracts extends Rule[LogicalPlan] {
   }
 }
 
-/** Session extensions: inject the optimizer rule + register
-  * `regexp_groups` for SQL use.
+/** Session extensions: inject the optimizer rule + register the
+  * engine's codegen'd expressions for SQL use.
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseRegexpExtracts)
-    e.injectFunction((
-      FunctionIdentifier("regexp_groups"),
-      new ExpressionInfo(classOf[RegexpExtractStruct].getName, "regexp_groups"),
-      (exprs: Seq[Expression]) => RegexpExtractStruct(exprs.head, exprs(1))))
+    def reg(name: String, clazz: Class[_], b: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), b))
+    reg("regexp_groups", classOf[RegexpExtractStruct],
+      es => RegexpExtractStruct(es.head, es(1)))
+    reg("simhash_fold", classOf[SimhashFold], es => SimhashFold(es.head, es(1)))
+    reg("minhash_fold", classOf[MinhashFold], es => MinhashFold(es.head, es(1)))
+    reg("shingle_hashes", classOf[ShingleHashes], es => ShingleHashes(es.head, es(1)))
+    reg("cosine_sim", classOf[CosineSim], es => CosineSim(es.head, es(1)))
+    // SQL form takes the plane matrix as a foldable array<array<double>>
+    reg("hyperplane_signs", classOf[HyperplaneSigns], { es =>
+      require(es.length == 2 && es(1).foldable,
+        "hyperplane_signs(emb, planes): planes must be a foldable array<array<double>> literal")
+      val rows = es(1).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val planes = (0 until rows.numElements()).map { i =>
+        val r = rows.getArray(i)
+        (0 until r.numElements()).map(j => r.getDouble(j))
+      }
+      HyperplaneSigns(es.head, planes)
+    })
   }
 }

@@ -90,6 +90,19 @@ class RegexpStructSpec extends SparkSpec {
       // SQL registration works too
       assert(s2.sql("SELECT regexp_groups('- x @t', '^(-+)\\\\s*(.*?)\\\\s*@(\\\\w+)').g2")
         .collect()(0).getString(0) === "x")
+      // the whole codegen'd-expression surface is SQL-callable
+      assert(s2.sql("SELECT simhash_fold(array(3L, 3L, 1L), 4)")
+        .collect()(0).getLong(0) === 3L)
+      assert(s2.sql("SELECT size(minhash_fold(array(7L, 9L), 5))")
+        .collect()(0).getInt(0) === 5)
+      assert(s2.sql("SELECT size(shingle_hashes(array('a','b','c','d'), 3))")
+        .collect()(0).getInt(0) === 2)
+      assert(math.abs(s2.sql(
+        "SELECT cosine_sim(array(float(1), float(0)), array(float(1), float(0)))")
+        .collect()(0).getDouble(0) - 1.0) < 1e-12)
+      assert(s2.sql(
+        "SELECT hyperplane_signs(array(float(1), float(-1)), array(array(1.0d, 2.0d), array(1.0d, 0.5d)))")
+        .collect()(0).getSeq[Int](0) === Seq(0, 1))
       // NULL semantics preserved: stock regexp_extract returns NULL for
       // a NULL subject; the rewrite must not coalesce that into ''
       val nullDf = Seq(Some("- x @t"), None).toDF("line")
