@@ -1380,6 +1380,72 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // W8 (beyond-reference): gap-based sessionization of an ordered
+    // per-key event stream — the burst/session structure of transcript
+    // and event logs. Integer-microsecond gap arithmetic (unix_micros),
+    // 6 h cutoff (median inter-event gap in the fixture is ~7 h, so
+    // both split and no-split branches fire); one window shuffle on
+    // user_id, the key the stream is already partitioned by.
+    "w8_sessions" -> ((s, dir) =>
+      Sessions.sessionStats(tbl(s, dir, "events"), "user_id", "ts",
+          Seq("event_id"), gapSeconds = 21600L)
+        .orderBy("user_id", "session_idx")),
+
+    // G6 (beyond-reference): label-transition graph over per-key
+    // ordered streams — the tool-call / event-type transition analytic
+    // for agent traces (lag window → pair counts; first row of each
+    // key contributes no edge).
+    "g6_transitions" -> ((s, dir) =>
+      Sessions.transitions(tbl(s, dir, "events"), "user_id", "event_type",
+          Seq("ts", "event_id"))
+        .orderBy("src_label", "dst_label")),
+
+    // PII scrub (beyond-reference): email / IPv4 / phone detection and
+    // typed-tag redaction. Deterministic PII is injected from doc_id
+    // (mod-5 emails, mod-7 IPs, mod-11 phones) so every detector
+    // provably fires; the oracle replays the same injection and the
+    // same RE2-safe regexes, and compares the redacted text by md5.
+    "pii_scrub" -> ((s, dir) => {
+      val base = coalesce(col("text"), lit(""))
+      val id = col("doc_id").cast("string")
+      val injected = concat(base,
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact u"), id, lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), pmod(col("doc_id"), lit(100)).cast("string"), lit(".1")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" call +86-138-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Pii.scrub(tbl(s, dir, "documents").withColumn("text", injected),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("redacted")).as("red_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style line-repetition signals (integer-exact counters);
+    // mod-3 docs get their first line appended twice so the duplicate
+    // path provably fires on the fixture corpus
+    "text_repetition" -> ((s, dir) => {
+      val base = coalesce(col("text"), lit(""))
+      val l1 = element_at(split(base, "\n"), 1)
+      val injected = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat_ws("\n", base, l1, l1)).otherwise(base)
+      TextAnalysis.repetitionSignals(
+          tbl(s, dir, "documents").withColumn("text", injected),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // most frequent word bigram per doc (the top-n-gram char-share
+    // repetition gate), ties broken by the gram string
+    "text_topngram" -> ((s, dir) =>
+      TextAnalysis.topNgram(tbl(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")),
+
     "dedup_minhash" -> ((s, dir) => {
       val words = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -2157,6 +2223,101 @@ object SparkEntry {
         FROM tf t JOIN dfreq d ON d.w = t.w)
       SELECT doc_id, rank, w AS term, tf, df FROM ranked
       WHERE rank <= 3 ORDER BY doc_id, rank"""),
+
+    // integer-microsecond gap arithmetic: epoch_us == Spark unix_micros
+    // exactly; session_idx / span_us cast to BIGINT (DuckDB sums
+    // integers into HUGEINT)
+    "w8_sessions" -> ("""
+      WITH f AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) > 21600000000
+          THEN 1 ELSE 0 END AS flag
+        FROM events),
+      sess AS (SELECT user_id, event_id, us,
+        CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_idx
+        FROM f)
+      SELECT user_id, session_idx, count(*) AS n_events,
+        min(event_id) AS first_ord, max(event_id) AS last_ord,
+        CAST(max(us) - min(us) AS BIGINT) AS span_us
+      FROM sess GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""),
+
+    "g6_transitions" -> ("""
+      WITH o AS (SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS src_label,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+      SELECT src_label, event_type AS dst_label, count(*) AS cnt
+      FROM o WHERE rn > 1 GROUP BY src_label, event_type
+      ORDER BY src_label, dst_label"""),
+
+    // same injection, same RE2-safe patterns, 'g' flag for Spark's
+    // replace-all; redacted text compared by md5
+    "pii_scrub" -> ("""
+      WITH t AS (SELECT doc_id, coalesce(text, '')
+        || CASE WHEN doc_id % 5 = 0
+             THEN ' contact u' || doc_id::VARCHAR || '@example.com' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+             THEN ' host 10.' || (doc_id % 256)::VARCHAR || '.'
+               || (doc_id % 100)::VARCHAR || '.1'
+             ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+             THEN ' call +86-138-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             ELSE '' END AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(text,
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+          AS n_ips,
+        CAST(len(regexp_extract_all(text,
+          '\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+          '\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}', '[PHONE]', 'g')) AS red_md5
+      FROM t ORDER BY doc_id"""),
+
+    "text_repetition" -> ("""
+      WITH t AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '')
+            || chr(10) || string_split(coalesce(text, ''), chr(10))[1]
+            || chr(10) || string_split(coalesce(text, ''), chr(10))[1]
+          ELSE coalesce(text, '') END AS text
+        FROM documents),
+      lines AS (SELECT doc_id, trim(l) AS line FROM
+          (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM t)
+        WHERE trim(l) <> ''),
+      per AS (SELECT doc_id, line, count(*) AS c FROM lines
+              GROUP BY doc_id, line)
+      SELECT doc_id,
+        CAST(sum(c) AS BIGINT) AS n_lines,
+        CAST(sum(c - 1) AS BIGINT) AS n_dup_lines,
+        CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_chars,
+        CAST(sum(c * length(line)) AS BIGINT) AS total_chars
+      FROM per GROUP BY doc_id ORDER BY doc_id"""),
+
+    "text_topngram" -> ("""
+      WITH toks AS (SELECT doc_id,
+          unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS w,
+          generate_subscripts(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\s+'), 1) AS pos
+        FROM documents),
+      tok AS (SELECT doc_id, w, pos FROM toks WHERE w <> ''),
+      grams AS (SELECT doc_id,
+          w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g,
+          lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AS filled
+        FROM tok),
+      c1 AS (SELECT doc_id, g, count(*) AS n FROM grams WHERE filled
+             GROUP BY doc_id, g)
+      SELECT doc_id, g AS top_ngram, n AS top_cnt FROM c1
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) = 1
+      ORDER BY doc_id"""),
 
     "a9_label_prf" -> ("""
       WITH pairs AS (

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection / redaction for training corpora: emails, IPv4
+  * addresses, and international-format phone numbers, found by regex
+  * and replaced with typed placeholder tags — the standard scrub pass
+  * before any web/transcript text enters a training mix.
+  *
+  * All three detectors are pure codegen'd expressions (`regexp_count` /
+  * `regexp_replace`), so they push into the scan and cost one pass over
+  * the text — no UDFs, no shuffle. The patterns deliberately stay
+  * inside the regex subset shared by Java's engine and RE2 (character
+  * classes, bounded repetition, ASCII word boundaries; no lookaround,
+  * no backreferences) so the driver's DuckDB oracle replays them
+  * byte-for-byte.
+  *
+  * Redaction order matters and is fixed: emails first (an email's
+  * domain can contain digit runs a later pattern might nibble), then
+  * IPs, then phones. `redact` applies all three in that order.
+  */
+object Pii {
+
+  /** RFC-lite email: local part @ dotted domain with an alpha TLD. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4, digit-bounded (no lookaround: a bare \b keeps
+    * version strings like "1.2.3.4000" from half-matching in one engine
+    * and not the other). Octet range is NOT validated (999.0.0.1
+    * matches) — range checks belong to a verification stage, not the
+    * scrub regex; the scrub must over-redact, never under-redact. */
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** +country phone: '+' then 7-14 digits with optional single space,
+    * dot or dash separators. Anchored on the leading '+' to keep the
+    * pattern unambiguous across engines (bare national formats collide
+    * with ids/quantities and are a policy choice, not a scrub
+    * default). */
+  val PhoneRe = "\\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}"
+
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
+  def ipv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Re))
+  def phoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe))
+
+  /** Replace every match of all three detectors with its typed tag. */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Per-document scrub report: match counts per category plus the
+    * redacted text — the audit view a curation pipeline materializes
+    * next to the cleaned corpus. */
+  def scrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      emailCount(col(textCol)).as("n_emails"),
+      ipv4Count(col(textCol)).as("n_ips"),
+      phoneCount(col(textCol)).as("n_phones"),
+      redact(col(textCol)).as("redacted"))
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization and label-transition analytics over ordered
+  * event / transcript streams — the conversation-analytics layer a
+  * transcript corpus needs (the input shape is exactly BASELINE.json's
+  * `(conv_id, turn_idx, role, text, tool, ts)`): burst detection,
+  * per-session batching for windowed extraction, and tool/role
+  * transition graphs over agent traces.
+  *
+  * Scale shape: both operators are ONE shuffle on the partition key
+  * (conv/user id) — the same key the KG pipeline already shuffles on,
+  * so under a shared partitioning the window is exchange-free. Gap
+  * arithmetic runs on integer microseconds (`unix_micros`), never on
+  * float seconds: the cutoff comparison is then bit-exact across
+  * engines and replayable by any SQL engine with an epoch-micros
+  * accessor (the driver oracle uses DuckDB's `epoch_us`).
+  *
+  * Sessions are keyed `(key, session_idx)` where session_idx counts
+  * gap-exceeding boundaries via a running sum over the ordered window —
+  * the classic lag+cumsum formulation. Spark's native `session_window`
+  * aggregate produces the same grouping for batch inputs (cross-checked
+  * in OpsSpec); this formulation is preferred because it yields stable
+  * per-ROW session ids (joinable back to the rows) and deterministic
+  * indices independent of absolute time.
+  */
+object Sessions {
+
+  /** Integer epoch micros of a timestamp column; TIMESTAMP_NTZ (the
+    * type parquet timestamps read back as) is cast through TIMESTAMP,
+    * which under the engine's fixed UTC session zone means
+    * wall-clock-as-UTC — exactly DuckDB's `epoch_us` on the same NTZ
+    * value, so the twins agree bit-for-bit. */
+  private def epochUs(c: org.apache.spark.sql.Column) =
+    unix_micros(c.cast("timestamp"))
+
+  /** Per-row session assignment: adds `session_idx` (0-based, per key,
+    * in `ordCols` order) to `df`. A new session starts when the gap to
+    * the previous row exceeds `gapSeconds`. Rows with a NULL timestamp
+    * sort first within their key (Spark/DuckDB default NULLS FIRST for
+    * ASC) and never trigger a boundary themselves (NULL gap → flag 0):
+    * they fold into the key's first session. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      ordCols: Seq[String], gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy((tsCol +: ordCols).map(col): _*)
+    val us = epochUs(col(tsCol))
+    val gapUs = gapSeconds * 1000000L
+    val newSess = when(us - lag(us, 1).over(w) > gapUs, 1L).otherwise(0L)
+    df.withColumn("session_idx",
+      sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Session roll-up: one row per (key, session_idx) with event count
+    * and the integer-microsecond span. `firstOrd`/`lastOrd` are the min
+    * and max of the first ordering column — deterministic session
+    * anchors (e.g. first/last event id). */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+      ordCols: Seq[String], gapSeconds: Long): DataFrame =
+    sessionize(df, keyCol, tsCol, ordCols, gapSeconds)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(ordCols.head)).as("first_ord"),
+        max(col(ordCols.head)).as("last_ord"),
+        (max(epochUs(col(tsCol))) - min(epochUs(col(tsCol))))
+          .as("span_us"))
+
+  /** Label-transition edge list: for each key's rows in `ordCols`
+    * order, count (prev_label → label) adjacencies across the whole
+    * table — the tool-call / role / event-type transition graph of an
+    * agent-trace corpus. NULL labels participate as vertices (they
+    * surface as NULL endpoints); the first row of each key has no
+    * predecessor and contributes no edge. One window shuffle on the
+    * key + one partial-aggregable count. */
+  def transitions(df: DataFrame, keyCol: String, labelCol: String,
+      ordCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(ordCols.map(col): _*)
+    df.select(col(keyCol), col(labelCol).as("dst_label"),
+        lag(col(labelCol), 1).over(w).as("src_label"),
+        row_number().over(w).as("__rn"))
+      .filter(col("__rn") > 1)
+      .groupBy("src_label", "dst_label")
+      .agg(count(lit(1)).as("cnt"))
+  }
+}

@@ -64,6 +64,58 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))
 
+  /** Gopher-style line-repetition signals, integer-exact: per document,
+    * the duplicate-line and duplicate-character tallies over trimmed
+    * non-empty lines. `n_dup_lines` counts every occurrence beyond a
+    * line's first; `dup_chars`/`total_chars` are the corresponding
+    * character sums, so `dup_chars/total_chars` is the "fraction of
+    * characters in duplicate lines" quality gate. Counters stay
+    * integers (no float division inside the engine), so results are
+    * bit-replayable by any SQL engine.
+    *
+    * Shape: explode → two partial-aggregable hash aggregates keyed
+    * (id, line) then (id) — no windows, no skew cliff (a document's
+    * lines all hash to its own keys). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+        explode(split(coalesce(col(textCol), lit("")), "\n")).as("__l"))
+      .select(col(idCol), trim(col("__l")).as("line"))
+      .filter(col("line") =!= "")
+    lines.groupBy(idCol, "line").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        sum(col("c")).as("n_lines"),
+        sum(col("c") - 1).as("n_dup_lines"),
+        sum((col("c") - 1) * length(col("line"))).as("dup_chars"),
+        sum(col("c") * length(col("line"))).as("total_chars"))
+  }
+
+  /** Most frequent word n-gram per document (the "top n-gram char
+    * share" repetition gate): returns (id, top_ngram, top_cnt), ties
+    * broken by n-gram string — deterministic. Adjacency is built with a
+    * lead() window over token positions (not array slicing), which any
+    * SQL engine reproduces verbatim; documents with fewer than n tokens
+    * produce no row. The window partitions by document id, so no
+    * cross-document skew; the heavy lifting is two hash aggregates. */
+  def topNgram(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"))
+        .as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val grams = toks.select(col(idCol), concat_ws(" ",
+        (0 until n).map(i => if (i == 0) col("w") else lead(col("w"), i).over(w)): _*)
+        .as("g"),
+        lead(col("w"), n - 1).over(w).isNotNull.as("__full"))
+      .filter(col("__full"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("cnt").desc, col("g").asc)
+    grams.groupBy(idCol, "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("__rn", row_number().over(rk))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("g").as("top_ngram"), col("cnt").as("top_cnt"))
+  }
+
   /** All-in-one enrichment. */
   def enrich(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_id", langId(col(textCol)))

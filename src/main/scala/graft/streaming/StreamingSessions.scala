@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of [[graft.operators.Sessions]]: session roll-ups over
+  * an unbounded event stream via the engine's native `session_window`
+  * aggregate + an event-time watermark. Sessions are emitted in Append
+  * mode exactly once, when the watermark passes a session's close
+  * horizon (last event + gap) — late events inside the watermark delay
+  * still extend their session before it seals.
+  *
+  * This is the continuous-ingest shape of the batch sessionizer: the
+  * state store holds one open session range per (key, window) — merged
+  * as ranges overlap — so state is O(open sessions), not O(events), and
+  * partitioning follows the group key exactly like the batch window.
+  * The batch operator keeps the lag+cumsum formulation for stable
+  * per-row session ids; this one trades ids for native incremental
+  * merge. Equivalence of the two groupings is asserted in
+  * StreamingSpec (per-session event counts and span on the same
+  * input).
+  */
+object StreamingSessions {
+
+  /** One row per closed session: (key, session_start, session_end,
+    * n_events, first_ord, last_ord). `session_end` is the native
+    * window end = last event + gap (exclusive horizon), so
+    * `span = end − gap − start`. */
+  def sessionStatsStream(events: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, gap: String, watermarkDelay: String = "0 seconds"): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(ordCol)).as("first_ord"),
+        max(col(ordCol)).as("last_ord"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("first_ord"), col("last_ord"))
+}

@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Pii, Sessions, TextAnalysis}
+
+/** Sessions (gap sessionization, transitions), Pii, and the
+  * repetition-signal operators. */
+class SessionsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+
+  private lazy val events = {
+    import spark.implicits._
+    // u1: gaps 10s, 100s, 10s with a 30s cutoff → sessions {0,1},{2,3}
+    // u2: single event → one session
+    // u3: NULL ts first (folds into session 0), then a 10s gap pair
+    Seq(
+      ("u1", 1L, Option(ts(0)), "a"),
+      ("u1", 2L, Option(ts(10)), "b"),
+      ("u1", 3L, Option(ts(110)), "a"),
+      ("u1", 4L, Option(ts(120)), "c"),
+      ("u2", 5L, Option(ts(0)), "a"),
+      ("u3", 6L, None: Option[Timestamp], "b"),
+      ("u3", 7L, Option(ts(200)), "b"),
+      ("u3", 8L, Option(ts(210)), "a")
+    ).toDF("k", "eid", "t", "lab")
+  }
+
+  test("sessionize splits on gap, folds null ts into the first session") {
+    val out = Sessions.sessionize(events, "k", "t", Seq("eid"), 30L)
+      .select("k", "eid", "session_idx").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("u1", 1L)) == 0 && out(("u1", 2L)) == 0)
+    assert(out(("u1", 3L)) == 1 && out(("u1", 4L)) == 1)
+    assert(out(("u2", 5L)) == 0)
+    assert(out(("u3", 6L)) == 0 && out(("u3", 7L)) == 0 && out(("u3", 8L)) == 0)
+  }
+
+  test("sessionStats matches Spark's native session_window grouping") {
+    // same gap, non-null rows only (session_window drops null ts): the
+    // lag+cumsum sessions must partition events exactly like the
+    // engine's own session_window aggregate
+    val nn = events.filter(col("t").isNotNull)
+    val ours = Sessions.sessionStats(nn, "k", "t", Seq("eid"), 30L)
+      .select("k", "n_events", "first_ord", "last_ord")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val native = nn.groupBy(col("k"), session_window(col("t"), "30 seconds"))
+      .agg(count(lit(1)).as("n"), min("eid").as("f"), max("eid").as("l"))
+      .select("k", "n", "f", "l")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ours == native)
+  }
+
+  test("sessionStats spans are integer microseconds") {
+    val row = Sessions.sessionStats(events, "k", "t", Seq("eid"), 30L)
+      .filter(col("k") === "u1" && col("session_idx") === 0).head()
+    assert(row.getAs[Long]("span_us") == 10000000L)
+  }
+
+  test("transitions counts lag adjacencies, first row emits no edge") {
+    val out = Sessions.transitions(events, "k", "lab", Seq("t", "eid"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // u1: a→b, b→a, a→c; u3: b→b, b→a (null-ts row sorts first)
+    assert(out(("a", "b")) == 1L)
+    assert(out(("b", "a")) == 2L)
+    assert(out(("a", "c")) == 1L)
+    assert(out(("b", "b")) == 1L)
+    assert(out.values.sum == 5L) // 8 rows − 3 keys
+  }
+
+  test("pii scrub counts and redacts all three categories in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to bob.smith+x@mail.example.org or root@10.0.0.1 now"),
+      (2L, "server 192.168.001.255 and 999.1.2.3 but not 1.2.3"),
+      (3L, "call +86-138-0013-8000 or +1 555 0100"),
+      (4L, "clean text, no pii at all")
+    ).toDF("id", "text")
+    val out = Pii.scrub(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // root@10.0.0.1 is NOT an email (TLD must be alphabetic); its
+    // address part falls through to the IP pass
+    assert(out(1L).getAs[Int]("n_emails") == 1)
+    assert(out(1L).getAs[Int]("n_ips") == 1)
+    assert(out(1L).getAs[String]("redacted") == "write to [EMAIL] or root@[IP] now")
+    assert(out(2L).getAs[Int]("n_ips") == 2)
+    assert(out(2L).getAs[String]("redacted") == "server [IP] and [IP] but not 1.2.3")
+    assert(out(3L).getAs[Int]("n_phones") == 2)
+    assert(out(3L).getAs[String]("redacted") == "call [PHONE] or [PHONE]")
+    assert(out(4L).getAs[Int]("n_emails") == 0 && out(4L).getAs[Int]("n_ips") == 0
+      && out(4L).getAs[Int]("n_phones") == 0)
+  }
+
+  test("repetitionSignals tallies duplicate lines and chars, integer-exact") {
+    import spark.implicits._
+    val text = Seq("alpha", "beta", "alpha", "  alpha  ", "", "gamma").mkString("\n")
+    val out = TextAnalysis.repetitionSignals(
+      Seq((1L, text), (2L, "one\ntwo"), (3L, ""), (4L, null: String))
+        .toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: lines alpha×3 (trim), beta, gamma → 5 lines, 2 dups,
+    // dup_chars 2·5, total 3·5+4+5
+    assert(out(1L) == ((5L, 2L, 10L, 24L)))
+    assert(out(2L) == ((2L, 0L, 0L, 6L)))
+    assert(!out.contains(3L) && !out.contains(4L)) // no non-empty lines
+  }
+
+  test("topNgram picks the most frequent bigram with string tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),   // "a b"×2 beats "b a"×2 on the tie → "a b"
+      (2L, "x y z"),       // "x y", "y z" ×1 each → "x y"
+      (3L, "solo"),        // <2 tokens → no row
+      (4L, "W W w w")      // lowercased: "w w"×3
+    ).toDF("id", "text")
+    val out = TextAnalysis.topNgram(df, "id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b", 2L)))
+    assert(out(2L) == (("x y", 1L)))
+    assert(!out.contains(3L))
+    assert(out(4L) == (("w w", 3L)))
+  }
+}

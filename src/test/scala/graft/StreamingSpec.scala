@@ -72,4 +72,42 @@ class StreamingSpec extends SparkSpec {
     assert(nodes.exists(n => n.getAs[String]("name") == "概念甲" &&
       n.getAs[Map[String, String]]("props").get("weight").contains("5")))
   }
+
+  test("streaming session_window roll-up matches the batch sessionizer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // u1: {0s,10s} then {110s,120s} under a 30s gap; u2: one event.
+    // The "wm" sentinel at 300s advances the watermark past every real
+    // session's close horizon (last event + gap) — Append mode only
+    // emits a session once the watermark passes it, so without a later
+    // event the final sessions would stay open when the query drains.
+    val rows = Seq(
+      ("u1", 1L, t(0)), ("u1", 2L, t(10)), ("u1", 3L, t(110)),
+      ("u1", 4L, t(120)), ("u2", 5L, t(0)), ("wm", 99L, t(300)))
+    val source = MemoryStream[(String, Long, java.sql.Timestamp)]
+    source.addData(rows)
+    val q = graft.streaming.StreamingSessions.sessionStatsStream(
+        source.toDF().toDF("k", "eid", "ts"), "k", "ts", "eid", "30 seconds")
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    q.exception.foreach(throw _)
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM sess_stream").collect()
+      .filter(_.getAs[String]("k") != "wm")
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("first_ord"), r.getAs[Long]("last_ord"))).toSet
+    val batch = graft.operators.Sessions.sessionStats(
+        rows.toDF("k", "eid", "ts"), "k", "ts", Seq("eid"), 30L)
+      .collect().filter(_.getAs[String]("k") != "wm")
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("first_ord"), r.getAs[Long]("last_ord"))).toSet
+    assert(streamed == batch)
+    // native window end is last event + gap (exclusive close horizon)
+    val s0 = spark.sql("SELECT * FROM sess_stream").collect()
+      .find(r => r.getAs[String]("k") == "u1" && r.getAs[Long]("first_ord") == 1L).get
+    assert(s0.getAs[java.sql.Timestamp]("session_end").getTime ==
+      t(10).getTime + 30000L)
+  }
 }
