@@ -1446,6 +1446,25 @@ object SparkEntry {
       TextAnalysis.topNgram(tbl(s, dir, "documents"), "doc_id", "text", n = 2)
         .orderBy("doc_id")),
 
+    // CCNet-style boilerplate removal: a footer injected into every
+    // 2nd doc crosses the 50-distinct-doc threshold and is dropped
+    // corpus-wide; the mod-17 footer (~30 docs at sf0.01) stays below
+    // it and survives — both regimes provably fire
+    "text_boilerplate" -> ((s, dir) => {
+      val base = coalesce(col("text"), lit(""))
+      val injected = concat(base,
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nSHARED NAV boilerplate - subscribe now")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          lit("\nrare footer line")).otherwise(lit("")))
+      Dedup.dropBoilerplateLines(
+          tbl(s, dir, "documents").withColumn("text", injected),
+          "doc_id", "text", maxDocs = 50L)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       val words = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -2318,6 +2337,26 @@ object SparkEntry {
       SELECT doc_id, g AS top_ngram, n AS top_cnt FROM c1
       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) = 1
       ORDER BY doc_id"""),
+
+    "text_boilerplate" -> ("""
+      WITH t AS (SELECT doc_id, coalesce(text, '')
+          || CASE WHEN doc_id % 2 = 0
+               THEN chr(10) || 'SHARED NAV boilerplate - subscribe now'
+               ELSE '' END
+          || CASE WHEN doc_id % 17 = 0
+               THEN chr(10) || 'rare footer line' ELSE '' END AS text
+        FROM documents),
+      lines AS (SELECT doc_id,
+          unnest(string_split(text, chr(10))) AS l,
+          generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM t),
+      hot AS (SELECT md5(trim(l)) AS h FROM lines WHERE trim(l) <> ''
+              GROUP BY md5(trim(l)) HAVING count(DISTINCT doc_id) > 50),
+      kept AS (SELECT doc_id, l, pos FROM lines
+               WHERE trim(l) = '' OR md5(trim(l)) NOT IN (SELECT h FROM hot))
+      SELECT doc_id, md5(string_agg(l, chr(10) ORDER BY pos)) AS clean_md5,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id ORDER BY doc_id"""),
 
     "a9_label_prf" -> ("""
       WITH pairs AS (

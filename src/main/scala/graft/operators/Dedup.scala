@@ -293,6 +293,44 @@ object Dedup {
     df.join(survivors, col(idCol).cast("string") === col("_sid"), "left_semi")
   }
 
+  /** CCNet-style boilerplate removal — dedup at LINE granularity: drop
+    * every line whose trimmed form occurs in more than `maxDocs`
+    * distinct documents corpus-wide (navigation chrome, cookie
+    * banners, shared footers), then reassemble each document from its
+    * surviving lines in original order. Empty/whitespace-only lines
+    * are structural, not boilerplate — they are always kept.
+    *
+    * Returns (id, clean_text, n_kept).
+    *
+    * Scale shape: the hot-line census is `(hash, id).distinct()` →
+    * `groupBy(hash).count()` — BOTH stages partial-aggregable (a
+    * boilerplate line occurring on every page of a 1e9-doc corpus
+    * arrives at the shuffle once per input partition, never as 1e9
+    * rows at one reducer; count_distinct's internal expand would not
+    * give that guarantee). The hot list is tiny by construction
+    * (lines above a distinct-doc threshold), the drop is a left-anti
+    * join on 16-byte hashes, and reassembly is a per-document
+    * collect_list — bounded by document size, no window. The line
+    * explode is scanned twice (census + drop); at corpus scale
+    * persist the exploded projection or let the parquet scan re-read —
+    * both scans push the same pruned (id, text) columns. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocs: Long = 50L): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "l")))
+      .withColumn("h", when(trim(col("l")) =!= "", md5(trim(col("l")))))
+    val hot = lines.filter(col("h").isNotNull)
+      .select(col("h"), col(idCol)).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select(col("h").as("_hoth"))
+    val kept = lines.join(hot, col("h") === col("_hoth"), "left_anti")
+    kept.groupBy(idCol).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("l")))),
+        s => s.getField("l")), "\n").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+  }
+
   /** SimHash: fingerprint where bit b = sign of the weighted sum of
     * token-hash bits. Near-dups have small Hamming distance. The
     * majority-vote fold runs as ONE codegen'd Catalyst expression

@@ -475,6 +475,25 @@ class DedupSpec extends SparkSpec {
     assert(est(0) === ("The quick brown fox jumps over the lazy dog and runs away".length / 2).toLong)
   }
 
+  test("boilerplate removal drops corpus-hot lines, keeps structure and order") {
+    import spark.implicits._
+    // "footer" appears (trim-normalized) in 3 docs > maxDocs=2 → dropped
+    // everywhere; "body N" lines are unique; the pair-shared "duo" line
+    // (2 docs = maxDocs) survives; blank lines always survive
+    val docs = Seq(
+      (1L, "body 1\n  footer \n\nduo"),
+      (2L, "footer\nbody 2\nduo"),
+      (3L, "body 3\nfooter\nbody 3b"),
+      (4L, "only unique text")
+    ).toDF("id", "text")
+    val out = graft.operators.Dedup.dropBoilerplateLines(docs, "id", "text", maxDocs = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("body 1\n\nduo", 3L)))       // footer gone, blank+order kept
+    assert(out(2L) == (("body 2\nduo", 2L)))
+    assert(out(3L) == (("body 3\nbody 3b", 2L)))
+    assert(out(4L) == (("only unique text", 1L)))
+  }
+
   test("multimodal plumbing: features deterministic, frame sampling, thumbnails") {
     val media = Multimodal.syntheticMedia(spark, 30).cache()
     assert(media.schema.fieldNames.toSeq ===
