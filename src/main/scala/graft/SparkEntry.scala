@@ -1344,6 +1344,22 @@ object SparkEntry {
       Sampling.quotaSample(tbl(s, dir, "documents"), "lang", "doc_id", 40)
         .select("lang", "doc_id").orderBy("lang", "doc_id")),
 
+    // mixture reweighting: per-lang rate table over the hash sampler
+    // (en 0.8 / zh 0.25 / default 0.5) — nested, deterministic,
+    // engine-replayable
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(tbl(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.8, "zh" -> 0.25), defaultRate = 0.5)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // token-budget shard packing: 8 hash-bucket lanes, ~2000-token
+    // contiguous shards by prefix-sum cutting in stable hash order
+    "pack_shards" -> ((s, dir) =>
+      Sampling.packShards(tbl(s, dir, "documents"), "doc_id", "text",
+          budgetTokens = 2000L, buckets = 8)
+        .select("doc_id", "bucket", "n_tokens", "shard")
+        .orderBy("doc_id")),
+
     // benchmark decontamination: probes = the first-5-token phrases of
     // every 97th document; flag every document sharing that 5-gram.
     // Spark matches by broadcast 5-gram HASH membership (one codegen'd
@@ -1462,6 +1478,35 @@ object SparkEntry {
           "doc_id", "text", maxDocs = 50L)
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // END-TO-END curation pipeline (gates → PII redact → boilerplate
+    // drop → exact dedup), every stage integer/string-exact so the
+    // whole chain has a single DuckDB twin. Injections make EVERY
+    // stage provably fire on the fixture: mod-97 docs become
+    // 20001-char walls (length gate drops them regardless of later
+    // appends), mod-83 docs share one verbatim payload (exact dedup
+    // collapses the group — except the mod-5 member whose email
+    // injection keeps it distinct), mod-5 emails redact, mod-2
+    // footers cross the hot-line threshold (email appended to the
+    // last base line FIRST so the footer line stays byte-uniform)
+    "curate_pipeline" -> ((s, dir) => {
+      val base = when(pmod(col("doc_id"), lit(97)) === 0,
+          repeat(lit("x"), 20001))
+        .when(pmod(col("doc_id"), lit(83)) === 0,
+          lit("duplicate corpus payload text here verbatim"))
+        .otherwise(coalesce(col("text"), lit("")))
+      val injected = concat(base,
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nSHARED NAV boilerplate - subscribe now")).otherwise(lit("")))
+      Curation.curate(tbl(s, dir, "documents").withColumn("text", injected),
+          "doc_id", "text", minTokens = 5, maxChars = 20000,
+          boilerplateMaxDocs = 50L)
+        .select(col("doc_id"), md5(col("text")).as("final_md5"))
         .orderBy("doc_id")
     }),
 
@@ -2215,6 +2260,40 @@ object SparkEntry {
         ORDER BY md5(doc_id::VARCHAR), doc_id) <= 40
       ORDER BY lang, doc_id"""),
 
+    // thresholds are the PRE-TRUNCATED longs (floor(rate·2^32)):
+    // Spark's double→long cast truncates while DuckDB's rounds, so the
+    // boundary must be a literal, same idiom as sample_hash
+    "sample_stratified" -> ("""
+      WITH h AS (SELECT doc_id, lang,
+        CAST(list_sum(list_transform(range(1, 9),
+          i -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i, 1)) - 1) *
+               ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+          AS BIGINT) AS hv
+        FROM documents)
+      SELECT doc_id, lang FROM h
+      WHERE hv < CASE WHEN lang = 'en' THEN 3435973836
+                      WHEN lang = 'zh' THEN 1073741824
+                      ELSE 2147483648 END
+      ORDER BY doc_id"""),
+
+    "pack_shards" -> ("""
+      WITH h AS (SELECT doc_id, text, md5(doc_id::VARCHAR) AS hs,
+        CAST(list_sum(list_transform(range(1, 9),
+          i -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i, 1)) - 1) *
+               ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+          AS BIGINT) AS hv
+        FROM documents),
+      t AS (SELECT doc_id, hs, hv % 8 AS bucket,
+        CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM h)
+      SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(floor(coalesce(CAST(sum(n_tokens) OVER (PARTITION BY bucket
+            ORDER BY hs, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+          / 2000.0) AS BIGINT) AS shard
+      FROM t ORDER BY doc_id"""),
+
     "decontaminate" -> ("""
       WITH t AS (SELECT doc_id,
                    string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -2357,6 +2436,46 @@ object SparkEntry {
       SELECT doc_id, md5(string_agg(l, chr(10) ORDER BY pos)) AS clean_md5,
              count(*) AS n_kept
       FROM kept GROUP BY doc_id ORDER BY doc_id"""),
+
+    // the full curation chain replayed stage-for-stage; token gate:
+    // split of TRIMMED text on \s+ yields no empty tokens, and the
+    // empty-text corner (list ['']) counts 1 < 5, matching Spark's
+    // explicit 0
+    "curate_pipeline" -> ("""
+      WITH inj AS (SELECT doc_id,
+          CASE WHEN doc_id % 97 = 0 THEN repeat('x', 20001)
+               WHEN doc_id % 83 = 0
+                 THEN 'duplicate corpus payload text here verbatim'
+               ELSE coalesce(text, '') END
+          || CASE WHEN doc_id % 5 = 0
+               THEN ' contact u' || doc_id::VARCHAR || '@example.com'
+               ELSE '' END
+          || CASE WHEN doc_id % 2 = 0
+               THEN chr(10) || 'SHARED NAV boilerplate - subscribe now'
+               ELSE '' END AS text
+        FROM documents),
+      gated AS (SELECT doc_id, text FROM inj
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+          AND length(text) <= 20000),
+      red AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+            '\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}', '[PHONE]', 'g') AS text
+        FROM gated),
+      lines AS (SELECT doc_id,
+          unnest(string_split(text, chr(10))) AS l,
+          generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM red),
+      hot AS (SELECT md5(trim(l)) AS h FROM lines WHERE trim(l) <> ''
+              GROUP BY md5(trim(l)) HAVING count(DISTINCT doc_id) > 50),
+      kept AS (SELECT doc_id, l, pos FROM lines
+               WHERE trim(l) = '' OR md5(trim(l)) NOT IN (SELECT h FROM hot)),
+      clean AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id)
+      SELECT doc_id, md5(text) AS final_md5 FROM clean
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      ORDER BY doc_id"""),
 
     "a9_label_prf" -> ("""
       WITH pairs AS (

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composed pipeline a training-data
+  * curator actually runs, assembled from the individually-oracled
+  * stages —
+  *
+  *   1. hard quality gates (min token count, max char length) —
+  *      integer-exact, pushed into the scan;
+  *   2. PII redaction ([[Pii.redact]]: email → IPv4 → phone, fixed
+  *      order);
+  *   3. corpus-level boilerplate-line removal
+  *      ([[Dedup.dropBoilerplateLines]]);
+  *   4. exact dedup on the cleaned text ([[Dedup.exact]]: min-id
+  *      survivor per content hash, partial-aggregable);
+  *   5. optionally, MinHash near-dup drop
+  *      ([[Dedup.dropNearDuplicatesExactFirst]] — the dup-dominated-
+  *      corpus scale path).
+  *
+  * Stage order matters and is fixed: gates first (everything
+  * downstream pays per surviving row), redaction before boilerplate
+  * (a shared footer containing a unique email would otherwise evade
+  * the hot-line census), boilerplate before dedup (two docs differing
+  * only in chrome become byte-identical and collapse).
+  *
+  * Output is the curated corpus as (id, text): the line-level
+  * reassembly in stage 3 rebuilds the text column, so side columns do
+  * not survive — join metadata back on the id downstream. Each stage
+  * is one or two partial-aggregable shuffles (see the per-operator
+  * scaladocs); nothing here collects, windows over a global key, or
+  * joins unbounded sides.
+  */
+object Curation {
+
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 5, maxChars: Int = 20000,
+      boilerplateMaxDocs: Long = 50L,
+      nearDup: Boolean = false, nearDupThreshold: Double = 0.7): DataFrame = {
+    val gated = df.filter(
+      TextAnalysis.tokenCount(col(textCol)) >= minTokens &&
+      length(coalesce(col(textCol), lit(""))) <= maxChars)
+    val redacted = gated.withColumn(textCol, Pii.redact(col(textCol)))
+    val clean = Dedup.dropBoilerplateLines(redacted, idCol, textCol,
+        boilerplateMaxDocs)
+      .withColumnRenamed("clean_text", textCol)
+      .drop("n_kept")
+    val exact = Dedup.exact(clean, idCol, textCol)
+    if (nearDup)
+      Dedup.dropNearDuplicatesExactFirst(exact, idCol, textCol, nearDupThreshold)
+    else exact
+  }
+}

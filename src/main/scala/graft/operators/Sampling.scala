@@ -36,6 +36,51 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(hashSampleCol(col(keyCol), rate))
 
+  /** Mixture reweighting: [[hashSample]] with a per-stratum rate table
+    * (e.g. lang → sampling rate) — the standard corpus-mixture
+    * balancing step. Strata absent from the table use `defaultRate`.
+    * Selection stays keyed on the row hash, so the per-stratum samples
+    * are NESTED under rate changes exactly like the global sampler
+    * (raising one stratum's rate only adds that stratum's rows), and a
+    * row keeps or loses its slot independent of executor layout. The
+    * rate table is a literal CASE chain — broadcast-free, codegen'd,
+    * pushed into the scan. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val hv = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.filter(hv < (rateCol * 4294967296.0).cast("long"))
+  }
+
+  /** Token-budget shard packing: assign each document to a contiguous
+    * shard of ~`budgetTokens` whitespace tokens — the training-shard
+    * manifest step. Rows are first spread over `buckets` independent
+    * packing lanes by key hash (each lane packs in parallel; ONE
+    * window per lane, so no global-ordering bottleneck — the 100-TB
+    * shape), then packed in stable hash order by prefix-sum cutting:
+    * shard = floor(tokens-before-this-row / budget). A document never
+    * splits; a shard exceeds the budget by at most its last document.
+    * Returns (original columns, bucket, n_tokens, shard). */
+  def packShards(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, buckets: Int = 64): DataFrame = {
+    val hv = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val toks = when(length(trim(coalesce(col(textCol), lit("")))) === 0, 0)
+      .otherwise(size(split(trim(col(textCol)), "\\s+")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("bucket", pmod(hv, lit(buckets.toLong)))
+      .withColumn("n_tokens", toks.cast("long"))
+      .withColumn("shard",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens)
+          .cast("long"))
+  }
+
   /** Per-stratum quota: keep at most `k` rows per value of
     * `stratumCol`, picking deterministically by hash order (md5 of the
     * key — an unbiased "random k" that is stable across runs), ties

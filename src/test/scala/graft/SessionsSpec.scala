@@ -108,6 +108,68 @@ class SessionsSpec extends SparkSpec {
     assert(!out.contains(3L) && !out.contains(4L)) // no non-empty lines
   }
 
+  test("stratified hash sample: per-stratum rates, nested under rate raises") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val lo = Sampling.stratifiedHashSample(docs, "id", "lang",
+        Map("en" -> 0.4, "zh" -> 0.1), defaultRate = 0.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.stratifiedHashSample(docs, "id", "lang",
+        Map("en" -> 0.8, "zh" -> 0.3), defaultRate = 0.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi)) // nested: raising rates only adds rows
+    // rates land near their targets per stratum (loose: ±50% relative)
+    val enHi = hi.count(_ % 2 == 0)
+    assert(enHi > 200 * 0.8 * 0.5 && enHi < 200)
+    val zhHi = hi.count(_ % 2 == 1)
+    assert(zhHi > 200 * 0.3 * 0.5 && zhHi < 200 * 0.3 * 1.5)
+    // unknown stratum → defaultRate 0.0 → dropped
+    val other = Sampling.stratifiedHashSample(
+      Seq((1L, "ru")).toDF("id", "lang"), "id", "lang", Map("en" -> 1.0))
+    assert(other.count() == 0)
+  }
+
+  test("packShards cuts contiguous budget shards per bucket lane, no doc split") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (0L until 200L).map(i => (i, Seq.fill(10)("tok").mkString(" ")))
+      .toDF("id", "text") // 10 tokens each
+    val out = Sampling.packShards(docs, "id", "text", budgetTokens = 35L,
+        buckets = 4).collect()
+    assert(out.forall(_.getAs[Long]("n_tokens") == 10L))
+    // within each bucket, shards ordered by hash carry 4 docs each
+    // (cut at tokens-before >= 35: 0,10,20,30 → shard 0; 40.. → shard 1)
+    val byBucketShard = out.groupBy(r =>
+      (r.getAs[Long]("bucket"), r.getAs[Long]("shard"))).view.mapValues(_.length)
+    assert(byBucketShard.values.forall(_ <= 4))
+    // every bucket's shard ids are a dense 0..k prefix
+    out.groupBy(_.getAs[Long]("bucket")).foreach { case (_, rows) =>
+      val shards = rows.map(_.getAs[Long]("shard")).toSet
+      assert(shards == (0L until shards.size.toLong).toSet)
+    }
+  }
+
+  test("curation pipeline composes gate, redaction, boilerplate drop, dedup") {
+    import spark.implicits._
+    // footer shared by 3 docs > maxDocs=2 → dropped everywhere; docs 1
+    // and 2 then become byte-identical → exact dedup keeps the min id;
+    // doc 3's email redacts; doc 4 fails the 5-token gate
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high\nfooter line"),
+      (2L, "the quick brown fox jumps high\nfooter line"),
+      (3L, "email me at a.b@c.org please now ok\nfooter line"),
+      (4L, "too short")
+    ).toDF("id", "text")
+    val out = graft.operators.Curation.curate(docs, "id", "text",
+        minTokens = 5, maxChars = 20000, boilerplateMaxDocs = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == "the quick brown fox jumps high")
+    assert(out(3L) == "email me at [EMAIL] please now ok")
+  }
+
   test("topNgram picks the most frequent bigram with string tie-break") {
     import spark.implicits._
     val df = Seq(
