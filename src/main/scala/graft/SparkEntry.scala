@@ -1344,6 +1344,32 @@ object SparkEntry {
       Sampling.quotaSample(tbl(s, dir, "documents"), "lang", "doc_id", 40)
         .select("lang", "doc_id").orderBy("lang", "doc_id")),
 
+    // KG → training data: deterministic filtered negative sampling for
+    // link prediction. Edge table derived from events (src=user,
+    // rel=event_type, dst=props.k via regex — no JSON extension needed
+    // in the twin); picks are hash-keyed, vocabulary indexed by the
+    // skew-free two-level ranking, accidental positives anti-joined out
+    "kg_negatives" -> ((s, dir) => {
+      val edges = tbl(s, dir, "events").select(
+          concat(lit("u"), col("user_id").cast("string")).as("src"),
+          col("event_type").as("rel"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).as("dst"))
+        .filter(col("dst") =!= "").distinct()
+      KgTraining.negativeSamples(edges, k = 2)
+        .orderBy("src", "rel", "dst_neg", "slot")
+    }),
+
+    // KG → training data: per-subject verbalization ("src rel dst."
+    // clauses in deterministic fact order) — KG-to-text corpus rows
+    "kg_verbalize" -> ((s, dir) => {
+      val edges = tbl(s, dir, "events").select(
+          concat(lit("u"), col("user_id").cast("string")).as("src"),
+          col("event_type").as("rel"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).as("dst"))
+        .filter(col("dst") =!= "").distinct()
+      KgTraining.verbalize(edges).orderBy("src")
+    }),
+
     // mixture reweighting: per-lang rate table over the hash sampler
     // (en 0.8 / zh 0.25 / default 0.5) — nested, deterministic,
     // engine-replayable
@@ -2259,6 +2285,47 @@ object SparkEntry {
       QUALIFY row_number() OVER (PARTITION BY lang
         ORDER BY md5(doc_id::VARCHAR), doc_id) <= 40
       ORDER BY lang, doc_id"""),
+
+    // vocabulary index replayed as ONE global row_number over
+    // (md5-bucket, dst) — provably equal to the engine's sharded
+    // two-level ranking; picks use the shared md5-prefix hash idiom
+    "kg_negatives" -> ("""
+      WITH e AS (SELECT DISTINCT 'u' || user_id::VARCHAR AS src,
+          event_type AS rel,
+          regexp_extract(props, '"k": ([0-9]+)', 1) AS dst
+        FROM events WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''),
+      v AS (SELECT dst AS dst_neg,
+          row_number() OVER (ORDER BY
+            CAST(list_sum(list_transform(range(1, 9),
+              i -> (strpos('0123456789abcdef', substr(md5(dst), i, 1)) - 1) *
+                   ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+              AS BIGINT) % 64, dst) - 1 AS idx
+        FROM (SELECT DISTINCT dst FROM e)),
+      c AS (SELECT src, rel, dst, slot,
+          CAST(list_sum(list_transform(range(1, 9),
+            i -> (strpos('0123456789abcdef',
+                    substr(md5(src || '|' || rel || '|' || dst || '|' ||
+                      slot::VARCHAR), i, 1)) - 1) *
+                 ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+            AS BIGINT) % (SELECT count(*) FROM v) AS idx
+        FROM e, (SELECT unnest([0, 1]) AS slot) s)
+      SELECT c.src, c.rel, v.dst_neg, c.slot
+      FROM c JOIN v USING (idx)
+      WHERE v.dst_neg <> c.dst
+        AND NOT EXISTS (SELECT 1 FROM e t
+          WHERE t.src = c.src AND t.rel = c.rel AND t.dst = v.dst_neg)
+      ORDER BY src, rel, dst_neg, slot"""),
+
+    "kg_verbalize" -> ("""
+      WITH e AS (SELECT DISTINCT 'u' || user_id::VARCHAR AS src,
+          event_type AS rel,
+          regexp_extract(props, '"k": ([0-9]+)', 1) AS dst
+        FROM events WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> '')
+      SELECT src,
+        string_agg(src || ' ' || rel || ' ' || dst || '.', ' '
+          ORDER BY rel, dst) AS text,
+        count(*) AS n_facts
+      FROM e GROUP BY src ORDER BY src"""),
 
     // thresholds are the PRE-TRUNCATED longs (floor(rate·2^32)):
     // Spark's double→long cast truncates while DuckDB's rounds, so the

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KG → training-data operators: the step after graph construction
+  * where the materialized (src, rel, dst) edges become model inputs —
+  * deterministic negative sampling for link-prediction training and
+  * per-entity verbalization for KG-to-text corpora.
+  *
+  * Both are engine-replayable by construction: negative picks are
+  * keyed on a content hash of (edge, slot index), never RNG state, so
+  * a retry, a speculative task, or a different engine regenerates the
+  * identical corrupt set (the same discipline as
+  * [[Sampling.hashSample]]).
+  */
+object KgTraining {
+
+  /** First-8-hex-digits-of-md5 as a non-negative int64 — the shared
+    * deterministic-hash idiom of the sampling family. */
+  private def hv(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val RankBuckets = 64
+
+  /** Dense 0..n-1 index over the distinct `dst` vocabulary, ordered by
+    * (hash-bucket, dst) — equivalent to one global ranking but computed
+    * SKEW-FREE: per-bucket row_number windows run in parallel, and the
+    * only global window is the bucket-offset cumsum over ≤ 64 rows.
+    * A single `Window.orderBy(dst)` would funnel the whole entity
+    * vocabulary through one task — the classic global-window cliff at
+    * web-scale vocabularies. */
+  private[graft] def rankedVocab(edges: DataFrame): DataFrame = {
+    val bucketed = edges.select("dst").distinct()
+      .withColumn("__b", pmod(hv(col("dst")), lit(RankBuckets.toLong)))
+    val wIn = Window.partitionBy("__b").orderBy("dst")
+    val ranked = bucketed
+      .withColumn("__r", row_number().over(wIn).cast("long") - 1)
+    val wOff = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(wOff), lit(0L)))
+      .select("__b", "__off")
+    ranked.join(broadcast(offsets), Seq("__b"))
+      .select((col("__r") + col("__off")).as("__idx"), col("dst"))
+  }
+
+  /** Deterministic filtered negative sampling: for every true edge
+    * (src, rel, dst) emit up to `k` corrupted edges (src, rel, dst')
+    * where dst' is picked from the distinct-dst vocabulary by
+    * hash((src, rel, dst, slot)) mod |vocab|, then FILTERED — corrupt
+    * candidates that collide with any true edge are dropped (standard
+    * filtered sampling, so negatives are guaranteed false), as are
+    * no-op picks (dst' = dst).
+    *
+    * Scale shape: the vocabulary index is built by [[rankedVocab]]
+    * (skew-free) and BROADCAST into the pick join — entity
+    * vocabularies are small relative to edge sets; the
+    * accidental-positive filter is one anti-join on the edge key.
+    * No RNG, no collect, no cross join; exactly k candidate rows per
+    * edge via an exploded slot sequence. The vocabulary size is read
+    * with one eager count at construction (same pattern as the LSH
+    * hot-list gate).
+    *
+    * Returns (src, rel, dst_neg, slot). */
+  def negativeSamples(edges: DataFrame, k: Int = 2): DataFrame = {
+    val vocab = rankedVocab(edges)
+    val nVocab = lit(vocab.count())
+    val cands = edges.select(col("src"), col("rel"), col("dst"))
+      .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__idx", pmod(
+        hv(concat_ws("|", col("src"), col("rel"), col("dst"),
+          col("slot").cast("string"))), nVocab))
+      .join(broadcast(vocab.withColumnRenamed("dst", "dst_neg")), Seq("__idx"))
+      .drop("__idx")
+      .filter(col("dst_neg") =!= col("dst"))
+    cands.join(edges.select(col("src").as("__ts"), col("rel").as("__tr"),
+        col("dst").as("__td")).distinct(),
+        col("src") === col("__ts") && col("rel") === col("__tr") &&
+          col("dst_neg") === col("__td"), "left_anti")
+      .select("src", "rel", "dst_neg", "slot")
+  }
+
+  /** KG-to-text verbalization: one training sentence block per
+    * subject — its facts as "src rel dst." clauses in deterministic
+    * (rel, dst) order. One partial-aggregable shuffle on src; the
+    * sort is per-subject (array_sort over the collected facts),
+    * bounded by a subject's degree. Returns (src, text, n_facts). */
+  def verbalize(edges: DataFrame): DataFrame =
+    edges.groupBy("src")
+      .agg(collect_list(struct(col("rel"), col("dst"))).as("__f"))
+      .select(col("src"),
+        array_join(transform(array_sort(col("__f")),
+          f => concat(col("src"), lit(" "), f.getField("rel"), lit(" "),
+            f.getField("dst"), lit("."))), " ").as("text"),
+        size(col("__f")).as("n_facts"))
+}

@@ -151,6 +151,52 @@ class SessionsSpec extends SparkSpec {
     }
   }
 
+  test("negative sampling: filtered, deterministic, sharded rank = global rank") {
+    import spark.implicits._
+    import graft.operators.KgTraining
+    val edges = Seq(
+      ("a", "likes", "x"), ("a", "likes", "y"), ("b", "likes", "x"),
+      ("b", "hates", "z"), ("c", "likes", "w"), ("c", "likes", "v")
+    ).toDF("src", "rel", "dst")
+    // sharded two-level vocabulary ranking == one global ranking by
+    // (hash-bucket, dst)
+    val hv = conv(substring(md5(col("dst")), 1, 8), 16, 10).cast("long")
+    val direct = edges.select("dst").distinct()
+      .withColumn("__idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(pmod(hv, lit(64L)), col("dst"))).cast("long") - 1)
+      .select("__idx", "dst")
+    val sharded = KgTraining.rankedVocab(edges)
+    assert(sharded.exceptAll(direct).isEmpty && direct.exceptAll(sharded).isEmpty)
+
+    val neg = KgTraining.negativeSamples(edges, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    val truth = Set(("a", "likes", "x"), ("a", "likes", "y"), ("b", "likes", "x"),
+      ("b", "hates", "z"), ("c", "likes", "w"), ("c", "likes", "v"))
+    val vocab = Set("x", "y", "z", "w", "v")
+    assert(neg.nonEmpty)
+    assert(neg.forall { case (s, r, d, _) => !truth((s, r, d)) && vocab(d) })
+    // at most k candidates can survive per true edge
+    assert(neg.groupBy(t => (t._1, t._2)).values.forall(_.length <= 3 * 2))
+    // deterministic: a second evaluation is identical
+    val neg2 = KgTraining.negativeSamples(edges, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(neg.sorted.sameElements(neg2.sorted))
+  }
+
+  test("verbalize emits per-subject fact sentences in stable order") {
+    import spark.implicits._
+    import graft.operators.KgTraining
+    val edges = Seq(
+      ("a", "likes", "y"), ("a", "likes", "x"), ("a", "hates", "z"),
+      ("b", "likes", "x")
+    ).toDF("src", "rel", "dst")
+    val out = KgTraining.verbalize(edges).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out("a") == (("a hates z. a likes x. a likes y.", 3)))
+    assert(out("b") == (("b likes x.", 1)))
+  }
+
   test("curation pipeline composes gate, redaction, boilerplate drop, dedup") {
     import spark.implicits._
     // footer shared by 3 docs > maxDocs=2 → dropped everywhere; docs 1
