@@ -65,9 +65,16 @@ object KgTraining {
     *
     * Returns (src, rel, dst_neg, slot). */
   def negativeSamples(edges: DataFrame, k: Int = 2): DataFrame = {
-    val vocab = rankedVocab(edges)
+    // the edge projection feeds FOUR subtrees (vocab ranking, offset
+    // census, candidate gen, anti-join truth side) plus the eager
+    // vocabulary count — persist it once or the upstream (scan +
+    // parse + distinct at the call sites) replays per subtree. The
+    // count below materializes the cache immediately; blocks release
+    // via the ContextCleaner when the result's lineage is dropped.
+    val e = edges.select(col("src"), col("rel"), col("dst")).persist()
+    val vocab = rankedVocab(e)
     val nVocab = lit(vocab.count())
-    val cands = edges.select(col("src"), col("rel"), col("dst"))
+    val cands = e
       .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("__idx", pmod(
         hv(concat_ws("|", col("src"), col("rel"), col("dst"),
@@ -75,7 +82,7 @@ object KgTraining {
       .join(broadcast(vocab.withColumnRenamed("dst", "dst_neg")), Seq("__idx"))
       .drop("__idx")
       .filter(col("dst_neg") =!= col("dst"))
-    cands.join(edges.select(col("src").as("__ts"), col("rel").as("__tr"),
+    cands.join(e.select(col("src").as("__ts"), col("rel").as("__tr"),
         col("dst").as("__td")).distinct(),
         col("src") === col("__ts") && col("rel") === col("__tr") &&
           col("dst_neg") === col("__td"), "left_anti")
