@@ -73,6 +73,35 @@ class StreamingSpec extends SparkSpec {
       n.getAs[Map[String, String]]("props").get("weight").contains("5")))
   }
 
+  test("streaming exact dedup: one emission per content hash across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingDedup.firstArrivals(
+        source.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    source.addData(("1", "aaa"), ("2", "aaa"), ("3", "bbb"))
+    q.processAllAvailable()
+    source.addData(("4", "aaa"), ("5", "ccc"), ("6", "bbb"), ("0", "ddd"))
+    q.processAllAvailable()
+    q.exception.foreach(throw _)
+    q.stop()
+    val got = spark.sql("SELECT * FROM dedup_stream").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // min id within the first batch containing each text; later
+    // duplicates (4:"aaa", 6:"bbb") suppressed by state
+    assert(got == Set(("1", "aaa"), ("3", "bbb"), ("5", "ccc"), ("0", "ddd")))
+    // invariants vs the batch operator on the union: same distinct
+    // text set, one row per hash
+    val batch = graft.operators.Dedup.exact(
+        Seq(("1", "aaa"), ("2", "aaa"), ("3", "bbb"), ("4", "aaa"),
+          ("5", "ccc"), ("6", "bbb"), ("0", "ddd")).toDF("id", "text"),
+        "id", "text")
+      .collect().map(_.getString(1)).toSet
+    assert(got.map(_._2) == batch)
+  }
+
   test("streaming session_window roll-up matches the batch sessionizer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
