@@ -419,6 +419,92 @@ object SparkEntry {
       out
     }),
 
+    // Streaming exact dedup, ORACLED: with the whole (bounded, dup-
+    // injected) corpus in one AvailableNow batch, first-arrival
+    // semantics reduce to min-STRING-id-per-content-hash — exactly the
+    // SQL twin's QUALIFY. Cross-batch suppression is covered in
+    // StreamingSpec; this query makes the surface driver-verifiable.
+    "stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id").cast("string").as("id"),
+          when(pmod(col("doc_id"), lit(4)).isin(2, 3),
+            concat(lit("shared dup text for group "),
+              floor(col("doc_id") / 4).cast("string")))
+            .otherwise(coalesce(col("text"), lit(""))).as("text"))
+        .as[graft.streaming.StreamingDedup.Doc].collect().toSeq
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.StreamingDedup.Doc]
+      source.addData(docs)
+      val sink = s"stream_dedup_sink_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingDedup
+        .firstArrivals(source.toDF(), "id", "text")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(300000L)
+      q.exception.foreach(e => throw e)
+      q.stop()
+      require(finished, "stream_dedup: streaming query did not finish within 300s")
+      val outRows = s.table(sink)
+        .select(col("id").cast("long").as("doc_id"),
+          md5(col("text")).as("t_md5"))
+        .orderBy("doc_id").collect()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(outRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("t_md5",
+            org.apache.spark.sql.types.StringType))))
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
+    // Streaming session_window roll-up, ORACLED: native session_window
+    // + watermark over a bounded event stream; a far-future sentinel
+    // (excluded from output) advances the watermark past every real
+    // session's close horizon so Append mode seals them all. The twin
+    // replays the gap-merge with lag arithmetic (boundary at diff >=
+    // gap — the native window end is EXCLUSIVE).
+    "stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+      val sentinel = (-1L, -1L,
+        new java.sql.Timestamp(1893456000000L)) // 2030-01-01, seals all
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      source.addData(rows :+ sentinel)
+      val sink = s"stream_sessions_sink_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingSessions.sessionStatsStream(
+          source.toDF().toDF("user_id", "event_id", "ts"),
+          "user_id", "ts", "event_id", "6 hours")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(300000L)
+      q.exception.foreach(e => throw e)
+      q.stop()
+      require(finished, "stream_sessions: streaming query did not finish within 300s")
+      val proj = s.table(sink).filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("first_ord").as("first_event"),
+          col("last_ord").as("last_event"))
+        .orderBy("user_id", "start_us")
+      val outRows = proj.collect()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(outRows: _*), proj.schema)
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
     // multimodal decode→feature chain, projected to sortable integer
     // scalars (raw array<float> crashes the driver's pandas compare);
     // fval = round(feature*510) = byte-pair sum — exact in both engines
@@ -2285,6 +2371,40 @@ object SparkEntry {
       QUALIFY row_number() OVER (PARTITION BY lang
         ORDER BY md5(doc_id::VARCHAR), doc_id) <= 40
       ORDER BY lang, doc_id"""),
+
+    // one-batch first-arrival ≡ min-string-id per content hash
+    "stream_dedup" -> ("""
+      WITH t AS (SELECT doc_id,
+          CASE WHEN doc_id % 4 IN (2, 3)
+            THEN 'shared dup text for group ' || (doc_id // 4)::VARCHAR
+            ELSE coalesce(text, '') END AS text
+        FROM documents WHERE doc_id < 500)
+      SELECT doc_id, md5(text) AS t_md5 FROM t
+      QUALIFY row_number() OVER (PARTITION BY md5(text)
+        ORDER BY doc_id::VARCHAR) = 1
+      ORDER BY doc_id"""),
+
+    // native session_window replay: boundary at diff >= gap (window
+    // end exclusive), session end = last event + gap
+    "stream_sessions" -> ("""
+      WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us
+        FROM events WHERE event_id < 2000),
+      f AS (SELECT user_id, event_id, us, ts,
+          CASE WHEN us - lag(us) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) >= 21600000000
+            THEN 1 ELSE 0 END AS flag
+        FROM e),
+      sess AS (SELECT user_id, event_id, us,
+          CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS sid
+        FROM f)
+      SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+        CAST(max(us) + 21600000000 AS BIGINT) AS end_us,
+        count(*) AS n_events,
+        min(event_id) AS first_event, max(event_id) AS last_event
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, start_us"""),
 
     // vocabulary index replayed as ONE global row_number over
     // (md5-bucket, dst) — provably equal to the engine's sharded
