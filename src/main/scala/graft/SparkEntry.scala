@@ -1622,6 +1622,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the curation AUDIT: per-stage shrink counts over the same
+    // injected corpus as curate_pipeline — six lazy aggregates, no
+    // cross join, every count CTE-replayable
+    "curate_report" -> ((s, dir) => {
+      val base = when(pmod(col("doc_id"), lit(97)) === 0,
+          repeat(lit("x"), 20001))
+        .when(pmod(col("doc_id"), lit(83)) === 0,
+          lit("duplicate corpus payload text here verbatim"))
+        .otherwise(coalesce(col("text"), lit("")))
+      val injected = concat(base,
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nSHARED NAV boilerplate - subscribe now")).otherwise(lit("")))
+      Curation.report(tbl(s, dir, "documents").withColumn("text", injected),
+          "doc_id", "text", minTokens = 5, maxChars = 20000,
+          boilerplateMaxDocs = 50L)
+        .orderBy("metric")
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       val words = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -2446,6 +2467,53 @@ object SparkEntry {
           ORDER BY rel, dst) AS text,
         count(*) AS n_facts
       FROM e GROUP BY src ORDER BY src"""),
+
+    "curate_report" -> ("""
+      WITH inj AS (SELECT doc_id,
+          CASE WHEN doc_id % 97 = 0 THEN repeat('x', 20001)
+               WHEN doc_id % 83 = 0
+                 THEN 'duplicate corpus payload text here verbatim'
+               ELSE coalesce(text, '') END
+          || CASE WHEN doc_id % 5 = 0
+               THEN ' contact u' || doc_id::VARCHAR || '@example.com'
+               ELSE '' END
+          || CASE WHEN doc_id % 2 = 0
+               THEN chr(10) || 'SHARED NAV boilerplate - subscribe now'
+               ELSE '' END AS text
+        FROM documents),
+      gated AS (SELECT doc_id, text FROM inj
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+          AND length(text) <= 20000),
+      red AS (SELECT doc_id, text AS orig,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+            '\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}', '[PHONE]', 'g') AS text
+        FROM gated),
+      lines AS (SELECT doc_id, trim(l) AS line FROM
+          (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM red)
+        WHERE trim(l) <> ''),
+      hot AS (SELECT md5(line) AS h FROM (SELECT DISTINCT doc_id, line FROM lines)
+              GROUP BY md5(line) HAVING count(*) > 50),
+      lines2 AS (SELECT doc_id,
+          unnest(string_split(text, chr(10))) AS l,
+          generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM red),
+      kept AS (SELECT doc_id, l, pos FROM lines2
+               WHERE trim(l) = '' OR md5(trim(l)) NOT IN (SELECT h FROM hot)),
+      clean AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id)
+      SELECT metric, value FROM (
+        SELECT 'n_input' AS metric, count(*) AS value FROM inj
+        UNION ALL SELECT 'n_gate_fail', count(*) FROM inj
+          WHERE NOT (len(string_split_regex(trim(text), '\s+')) >= 5
+                     AND length(text) <= 20000)
+        UNION ALL SELECT 'n_pii_docs', count(*) FROM red WHERE text <> orig
+        UNION ALL SELECT 'n_hot_lines', count(*) FROM hot
+        UNION ALL SELECT 'n_exact_dropped',
+          count(*) - count(DISTINCT md5(text)) FROM clean
+        UNION ALL SELECT 'n_out', count(DISTINCT md5(text)) FROM clean)
+      ORDER BY metric"""),
 
     // thresholds are the PRE-TRUNCATED longs (floor(rate·2^32)):
     // Spark's double→long cast truncates while DuckDB's rounds, so the

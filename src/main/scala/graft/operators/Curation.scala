@@ -51,4 +51,51 @@ object Curation {
       Dedup.dropNearDuplicatesExactFirst(exact, idCol, textCol, nearDupThreshold)
     else exact
   }
+
+  /** Audit trail for [[curate]]: per-stage counts as (metric, value)
+    * rows — what a curation run logs next to the cleaned corpus so a
+    * reviewer can see WHERE the corpus shrank. Metrics:
+    *
+    *   - `n_input`          rows in
+    *   - `n_gate_fail`      rows dropped by the token/length gates
+    *   - `n_pii_docs`       surviving docs whose text changed under
+    *                        redaction (i.e. contained PII)
+    *   - `n_hot_lines`      distinct boilerplate lines removed
+    *                        corpus-wide
+    *   - `n_exact_dropped`  rows collapsed by exact dedup
+    *   - `n_out`            rows out
+    *
+    * Six independent aggregates unioned (no cross join); each is a
+    * count over a prefix of the same stage chain, so the whole report
+    * is engine-replayable CTE-for-CTE. */
+  def report(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 5, maxChars: Int = 20000,
+      boilerplateMaxDocs: Long = 50L): DataFrame = {
+    val gate = TextAnalysis.tokenCount(col(textCol)) >= minTokens &&
+      length(coalesce(col(textCol), lit(""))) <= maxChars
+    val gated = df.filter(gate)
+    val redacted = gated.withColumn(textCol, Pii.redact(col(textCol)))
+    val lines = redacted.select(col(idCol),
+        explode(split(coalesce(col(textCol), lit("")), "\n")).as("__l"))
+      .select(col(idCol), trim(col("__l")).as("line"))
+      .filter(col("line") =!= "")
+    val hot = lines.select(md5(col("line")).as("h"), col(idCol)).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > boilerplateMaxDocs)
+    val clean = Dedup.dropBoilerplateLines(redacted, idCol, textCol,
+      boilerplateMaxDocs)
+    def one(metric: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("value"))
+        .select(lit(metric).as("metric"), col("value"))
+    one("n_input", df)
+      .union(one("n_gate_fail", df.filter(!gate)))
+      .union(one("n_pii_docs",
+        gated.filter(Pii.redact(col(textCol)) =!= col(textCol))))
+      .union(one("n_hot_lines", hot))
+      .union(clean.agg((count(lit(1)) -
+          count_distinct(md5(col("clean_text")))).as("value"))
+        .select(lit("n_exact_dropped").as("metric"), col("value")))
+      .union(clean.agg(count_distinct(md5(col("clean_text"))).as("value"))
+        .select(lit("n_out").as("metric"), col("value")))
+  }
 }
