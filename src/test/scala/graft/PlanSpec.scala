@@ -142,6 +142,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("PII scrub is a pure map: zero exchanges, codegen'd regexes") {
+    // redaction must never cost a shuffle — it's a per-row projection
+    // that rides whatever scan/partitioning the caller already has
+    val plan = graft.operators.Pii.scrub(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    // "*(n)" is the whole-stage-codegen marker in the plan string
+    assert(plan.contains("WholeStageCodegen") || plan.startsWith("*("),
+      plan.take(1200))
+  }
+
+  test("boilerplate hot-line census aggregates partially (no count_distinct expand)") {
+    // the census must be (hash, id).distinct → count — two
+    // partial-aggregable stages — so a corpus-wide boilerplate line
+    // combines map-side instead of flooding one reducer
+    val plan = graft.operators.Dedup.dropBoilerplateLines(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(1500))
+    assert(!plan.contains("Expand"), plan.take(1500))
+  }
+
   test("architecture-oracle similarity queries: TakeOrdered re-score, broadcast query row") {
     val ann = SparkEntry.queries("ann_lsh_oracle")(spark, dir)
       .queryExecution.executedPlan.toString
