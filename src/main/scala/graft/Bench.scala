@@ -79,13 +79,28 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           (-1L, e.getClass.getSimpleName)
       }
-      (name, (System.nanoTime() - t0) / 1e9, n, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries never share cached state by design, but several persist
+      // intermediates whose lineage outlives the query result (e.g. the
+      // negative-sampling edge projection) — evict between queries so
+      // storage memory can't accumulate across a 100+-query battery and
+      // bleed executor memory away from later queries / the headline
+      spark.catalog.clearCache()
+      (name, sec, n, err)
     }
     // headline: triples/sec of the end-to-end extraction at this sf.
     // 40× the query-battery conversation count so the timed job is ≥60s
     // of real work (fixed costs amortized); one untimed warm-up run
     // covers JIT + codegen compilation.
     val nConvs = TranscriptGen.convsForSfDir(sfDir) * 40
+    // fresh-JVM-equivalent start for the headline: no battery residue in
+    // storage/old-gen, and a SECOND probe pair so the headline's window
+    // is characterized separately from the battery's (they are minutes
+    // apart and this box's steal flips on that timescale)
+    spark.catalog.clearCache()
+    System.gc()
+    val probeCpu2 = probeCpuSec()
+    val probeSpark2 = probeSparkSec(spark)
     val t = TranscriptGen.df(spark, nConvs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t.count() // materialize input outside the timed section
@@ -118,6 +133,7 @@ object Bench {
       s""""triples":$nTriples,"triples_per_sec":$triplesPerSec,""" +
       s""""pipeline_sec":$pipelineSec,"cpus":$cpus,"sf":"$sfDir",""" +
       s""""probe_cpu_sec":$probeCpu,"probe_spark_sec":$probeSpark,""" +
+      s""""probe_cpu_headline_sec":$probeCpu2,"probe_spark_headline_sec":$probeSpark2,""" +
       s""""queries":$qs,"errors":$errs,"rows":$rows}"""
     println(json)
     try {
