@@ -1654,6 +1654,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus length distribution: discrete rank-selected percentiles
+    // (integer-exact — interpolated quantiles differ across engines in
+    // the last ulp and poison the hash compare)
+    "text_lenstats" -> ((s, dir) =>
+      TextAnalysis.corpusLengthStats(tbl(s, dir, "documents"),
+          "doc_id", "n_chars")
+        .orderBy("metric")),
+
     "text_langid" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_id")).orderBy("doc_id")),
@@ -2467,6 +2475,22 @@ object SparkEntry {
           ORDER BY rel, dst) AS text,
         count(*) AS n_facts
       FROM e GROUP BY src ORDER BY src"""),
+
+    "text_lenstats" -> ("""
+      WITH d AS (SELECT doc_id, n_chars::BIGINT AS len FROM documents),
+      r AS (SELECT len,
+          row_number() OVER (ORDER BY len, doc_id) AS rn,
+          count(*) OVER () AS n
+        FROM d)
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM d
+        UNION ALL SELECT 'sum_len', sum(len)::BIGINT FROM d
+        UNION ALL SELECT 'min_len', min(len)::BIGINT FROM d
+        UNION ALL SELECT 'max_len', max(len)::BIGINT FROM d
+        UNION ALL SELECT 'p50', len FROM r WHERE rn = floor((n * 50 + 99) / 100.0)
+        UNION ALL SELECT 'p90', len FROM r WHERE rn = floor((n * 90 + 99) / 100.0)
+        UNION ALL SELECT 'p99', len FROM r WHERE rn = floor((n * 99 + 99) / 100.0))
+      ORDER BY metric"""),
 
     "curate_report" -> ("""
       WITH inj AS (SELECT doc_id,

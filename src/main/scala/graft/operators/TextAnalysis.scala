@@ -116,6 +116,35 @@ object TextAnalysis {
       .select(col(idCol), col("g").as("top_ngram"), col("cnt").as("top_cnt"))
   }
 
+  /** Corpus length distribution as (metric, value) rows: count, sum,
+    * min, max, and rank-selected percentiles (p50/p90/p99). Percentile
+    * = the value at 1-based rank ceil(n·p/100) in (length, id) order —
+    * the DISCRETE percentile, chosen over interpolation deliberately:
+    * rank selection is integer-exact and engine-replayable, while
+    * interpolated quantiles differ across engines in the last ulp and
+    * poison hash comparison. The ordered rank pass is a single global
+    * window over (length, id) — a stats REPORT, not a per-row
+    * operator; at corpus scale sample first or bucket the lengths. */
+  def corpusLengthStats(df: DataFrame, idCol: String, lenCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("len"), col(idCol))
+    val ranked = df.select(col(lenCol).cast("long").as("len"), col(idCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    def agg1(metric: String, c: org.apache.spark.sql.Column): DataFrame =
+      df.agg(c.cast("long").as("value"))
+        .select(lit(metric).as("metric"), col("value"))
+    def pct(p: Int): DataFrame =
+      ranked.filter(col("rn") === floor((col("n") * p + 99) / 100.0))
+        .select(lit(s"p$p").as("metric"), col("len").as("value"))
+    agg1("n_docs", count(lit(1)))
+      .union(agg1("sum_len", sum(col(lenCol))))
+      .union(agg1("min_len", min(col(lenCol))))
+      .union(agg1("max_len", max(col(lenCol))))
+      .union(pct(50)).union(pct(90)).union(pct(99))
+  }
+
   /** All-in-one enrichment. */
   def enrich(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_id", langId(col(textCol)))

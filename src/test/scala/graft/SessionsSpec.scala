@@ -216,6 +216,29 @@ class SessionsSpec extends SparkSpec {
     assert(out(3L) == "email me at [EMAIL] please now ok")
   }
 
+  test("curation with nearDup drops MinHash near-duplicates too") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "tokX" else s"tok$i").mkString(" ")
+    val distinctDoc = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinctDoc)).toDF("id", "text")
+    val out = graft.operators.Curation.curate(docs, "id", "text",
+        minTokens = 5, maxChars = 20000, boilerplateMaxDocs = 50L,
+        nearDup = true, nearDupThreshold = 0.7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L)) // near-dup doc 2 collapses into doc 1
+  }
+
+  test("corpusLengthStats rank-selected percentiles are exact") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i * 10)).toDF("id", "len")
+    val out = graft.operators.TextAnalysis.corpusLengthStats(df, "id", "len")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("n_docs") == 100L && out("min_len") == 10L && out("max_len") == 1000L)
+    assert(out("p50") == 500L && out("p90") == 900L && out("p99") == 990L)
+    assert(out("sum_len") == 50500L)
+  }
+
   test("topNgram picks the most frequent bigram with string tie-break") {
     import spark.implicits._
     val df = Seq(
