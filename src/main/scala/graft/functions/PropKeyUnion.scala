@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF surface (SURVEY §2.10 A1): the union of property-map
+  * keys, sorted — the reference's dynamic CSV-header aggregate
+  * (md2csv.py:109-114) as an `Aggregator`. The production exporter
+  * keeps the relational `collect_set(explode(map_keys(...)))` form
+  * (codegen'd, partial-aggregable); this Aggregator is the same
+  * computation on the typed API — useful where the caller already
+  * holds a `Dataset[Map[String, String]]` and wants a single typed
+  * column, and the demonstration that custom UDAFs slot into the
+  * engine. Cross-checked against the relational form in OpsSpec.
+  *
+  * The buffer is a Set (kryo-encoded — buffers never surface in a
+  * plan); the OUTPUT encoder is a proper expression encoder so the
+  * result column is a real array<string>, not opaque binary. */
+object PropKeyUnion extends Aggregator[Map[String, String], Set[String], Seq[String]] {
+  override def zero: Set[String] = Set.empty
+  override def reduce(b: Set[String], a: Map[String, String]): Set[String] =
+    if (a == null) b else b ++ a.keysIterator
+  override def merge(b1: Set[String], b2: Set[String]): Set[String] = b1 ++ b2
+  override def finish(r: Set[String]): Seq[String] = r.toSeq.sorted
+  override def bufferEncoder: Encoder[Set[String]] = Encoders.kryo[Set[String]]
+  override def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}

@@ -157,4 +157,20 @@ class OpsSpec extends SparkSpec {
       assert(kept === replay(items, cap), s"trial=$trial cap=$cap items=$items")
     }
   }
+
+  test("PropKeyUnion Aggregator equals the relational key-union (A1 typed surface)") {
+    import spark.implicits._
+    val maps: Seq[Map[String, String]] = Seq(
+      Map("b" -> "1", "a" -> "2"), Map("c" -> "x"), Map.empty[String, String],
+      Map("a" -> "9", "d" -> "y"))
+    val ds = maps.toDS()
+    val typedKeys = ds.select(
+      org.apache.spark.sql.functions.udaf(graft.functions.PropKeyUnion)
+        .apply(col("value")).as("ks")).head().getSeq[String](0)
+    val relational = ds.toDF("m")
+      .select(explode(map_keys(col("m"))).as("k"))
+      .distinct().orderBy("k").collect().map(_.getString(0)).toSeq
+    assert(typedKeys == relational)
+    assert(typedKeys == Seq("a", "b", "c", "d"))
+  }
 }
