@@ -1418,6 +1418,19 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // the broadcast-bloom prefilter variant MUST produce byte-identical
+    // output to dedup_incremental (bloom routes, the anti-join
+    // confirms); deliberately undersized filter so false positives
+    // actually exercise the confirm path at sf scale
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val seen = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      Dedup.incrementalExactBloom(fresh, seen, "doc_id", "text",
+          expectedItems = 50L)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // deterministic Bernoulli sample: selection keyed on md5(doc_id),
     // reproducible across retries/engines — never rand()
     "sample_hash" -> ((s, dir) =>
@@ -2538,6 +2551,17 @@ object SparkEntry {
           count(*) - count(DISTINCT md5(text)) FROM clean
         UNION ALL SELECT 'n_out', count(DISTINCT md5(text)) FROM clean)
       ORDER BY metric"""),
+
+    // identical twin to dedup_incremental: the bloom is routing only
+    "dedup_incremental_bloom" -> ("""
+      WITH seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+      batch AS (
+        SELECT doc_id, lang, md5(text) AS h FROM documents
+        WHERE doc_id % 3 <> 0
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+      SELECT doc_id, lang FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h IS NOT DISTINCT FROM b.h)
+      ORDER BY doc_id"""),
 
     // thresholds are the PRE-TRUNCATED longs (floor(rate·2^32)):
     // Spark's double→long cast truncates while DuckDB's rounds, so the

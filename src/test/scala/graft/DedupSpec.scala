@@ -223,6 +223,33 @@ class DedupSpec extends SparkSpec {
     assert(out === Set(11L, 14L))
   }
 
+  test("bloom incremental dedup equals the exact path, even undersized") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val seen = (0L until 200L).map(i =>
+      (i, if (i % 37 == 0) null else s"seen text ${rnd.nextInt(150)}"))
+      .toDF("doc_id", "text")
+    val batch = (1000L until 1300L).map(i =>
+      (i, if (i % 41 == 0) null
+          else if (i % 3 == 0) s"seen text ${i % 150}" // overlaps the corpus
+          else s"fresh text $i"))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactPath = ids(Dedup.incrementalExact(batch, seen, "doc_id", "text"))
+    // undersized filter (expectedItems=2 for 200 items) → FP-heavy:
+    // every flagged row must still be confirmed exactly
+    val bloomTiny = ids(Dedup.incrementalExactBloom(batch, seen, "doc_id", "text",
+      expectedItems = 2L))
+    val bloomSized = ids(Dedup.incrementalExactBloom(batch, seen, "doc_id", "text"))
+    assert(bloomTiny === exactPath)
+    assert(bloomSized === exactPath)
+    // empty seen corpus → the whole deduped batch is new
+    val emptySeen = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(ids(Dedup.incrementalExactBloom(batch, emptySeen, "doc_id", "text")) ===
+      ids(Dedup.exact(batch, "doc_id", "text")))
+  }
+
   test("simhash: identical text → identical fingerprint; near text → small hamming") {
     import spark.implicits._
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
