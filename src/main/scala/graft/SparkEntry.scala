@@ -1485,6 +1485,13 @@ object SparkEntry {
         .select("doc_id", "bucket", "n_tokens", "shard")
         .orderBy("doc_id")),
 
+    // deterministic 5/5/90 train-val-test assignment: hash-banded so a
+    // row's split never moves under growth/retries (leakage guarantee)
+    "sample_split" -> ((s, dir) =>
+      Sampling.assignSplit(tbl(s, dir, "documents"), "doc_id",
+          valRate = 0.05, testRate = 0.05)
+        .select("doc_id", "split").orderBy("doc_id")),
+
     // benchmark decontamination: probes = the first-5-token phrases of
     // every 97th document; flag every document sharing that 5-gram.
     // Spark matches by broadcast 5-gram HASH membership (one codegen'd
@@ -2596,6 +2603,20 @@ object SparkEntry {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
           / 2000.0) AS BIGINT) AS shard
       FROM t ORDER BY doc_id"""),
+
+    // pre-truncated band thresholds: floor(0.05*2^32), floor(0.10*2^32)
+    "sample_split" -> ("""
+      WITH h AS (SELECT doc_id,
+        CAST(list_sum(list_transform(range(1, 9),
+          i -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i, 1)) - 1) *
+               ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+          AS BIGINT) AS hv
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN hv < 214748364 THEN 'val'
+             WHEN hv < 429496729 THEN 'test'
+             ELSE 'train' END AS split
+      FROM h ORDER BY doc_id"""),
 
     "decontaminate" -> ("""
       WITH t AS (SELECT doc_id,

@@ -81,6 +81,24 @@ object Sampling {
           .cast("long"))
   }
 
+  /** Deterministic train/val/test assignment: hash-band the key space
+    * so every row gets a stable split label — reshuffling, retries, or
+    * corpus growth never move a row between splits (the leakage
+    * guarantee a train/eval split must give). Bands are
+    * [0, val) → "val", [val, val+test) → "test", rest → "train" over
+    * the same md5-prefix integer as [[hashSample]]; thresholds are
+    * truncated to integers ONCE here so any SQL replay can use the
+    * same literals. Adds a `split` column. */
+  def assignSplit(df: DataFrame, keyCol: String, valRate: Double = 0.05,
+      testRate: Double = 0.05): DataFrame = {
+    val hv = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val tVal = (valRate * 4294967296.0).toLong
+    val tTest = ((valRate + testRate) * 4294967296.0).toLong
+    df.withColumn("split",
+      when(hv < tVal, "val").when(hv < tTest, "test").otherwise("train"))
+  }
+
   /** Per-stratum quota: keep at most `k` rows per value of
     * `stratumCol`, picking deterministically by hash order (md5 of the
     * key — an unbiased "random k" that is stable across runs), ties

@@ -131,6 +131,24 @@ class SessionsSpec extends SparkSpec {
     assert(other.count() == 0)
   }
 
+  test("assignSplit bands are stable and consistent with hashSample") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (0L until 1000L).map(i => (i, s"t$i")).toDF("id", "text")
+    val split = Sampling.assignSplit(docs, "id", 0.05, 0.05)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the val band IS the 5% hash sample (same key, same threshold) —
+    // so split assignment inherits hashSample's determinism/nesting
+    val sample5 = Sampling.hashSample(docs, "id", 0.05)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(split.filter(_._2 == "val").keySet == sample5)
+    // growth never moves a row: splitting a subset agrees with the full
+    val sub = Sampling.assignSplit(docs.filter(col("id") < 300), "id", 0.05, 0.05)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (k, v) => split(k) == v })
+    assert(split.values.toSet == Set("train", "val", "test"))
+  }
+
   test("packShards cuts contiguous budget shards per bucket lane, no doc split") {
     import spark.implicits._
     import graft.operators.Sampling
