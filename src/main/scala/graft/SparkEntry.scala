@@ -1682,6 +1682,25 @@ object SparkEntry {
           "doc_id", "n_chars")
         .orderBy("metric")),
 
+    // X21 (beyond-reference): Unicode NFC normalization — decomposed
+    // "e" + combining-acute sequences injected into mod-4 docs fold to
+    // the precomposed form, so n_raw > n_norm proves the expression
+    // fired; md5 of the normalized text is the cross-engine check
+    // (DuckDB nfc_normalize vs the engine's codegen'd NfcNormalize)
+    "x21_nfc" -> ((s, dir) => {
+      val comb = new String(Character.toChars(0x0301)) // combining acute
+      val base = coalesce(col("text"), lit(""))
+      val injected = concat(base,
+        when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit(" deco e"), lit(comb), lit("nd"))).otherwise(lit("")))
+      tbl(s, dir, "documents").withColumn("text", injected)
+        .select(col("doc_id"), length(col("text")).as("n_raw"),
+          graft.plans.NfcNormalize.nfc_normalize(col("text")).as("__n"))
+        .select(col("doc_id"), col("n_raw"), length(col("__n")).as("n_norm"),
+          md5(col("__n")).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
     "text_langid" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_id")).orderBy("doc_id")),
@@ -2495,6 +2514,16 @@ object SparkEntry {
           ORDER BY rel, dst) AS text,
         count(*) AS n_facts
       FROM e GROUP BY src ORDER BY src"""),
+
+    "x21_nfc" -> ("""
+      WITH t AS (SELECT doc_id, coalesce(text, '')
+          || CASE WHEN doc_id % 4 = 1
+               THEN ' deco e' || chr(769) || 'nd' ELSE '' END AS text
+        FROM documents)
+      SELECT doc_id, length(text) AS n_raw,
+        length(nfc_normalize(text)) AS n_norm,
+        md5(nfc_normalize(text)) AS norm_md5
+      FROM t ORDER BY doc_id"""),
 
     "text_lenstats" -> ("""
       WITH d AS (SELECT doc_id, n_chars::BIGINT AS len FROM documents),

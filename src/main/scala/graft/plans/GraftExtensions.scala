@@ -69,6 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("minhash_fold", classOf[MinhashFold], es => MinhashFold(es.head, es(1)))
     reg("shingle_hashes", classOf[ShingleHashes], es => ShingleHashes(es.head, es(1)))
     reg("cosine_sim", classOf[CosineSim], es => CosineSim(es.head, es(1)))
+    reg("nfc_normalize", classOf[NfcNormalize], es => NfcNormalize(es.head))
     // SQL form takes the plane matrix as a foldable array<array<double>>
     reg("hyperplane_signs", classOf[HyperplaneSigns], { es =>
       require(es.length == 2 && es(1).foldable,

@@ -1,0 +1,69 @@
+package graft.plans
+
+import java.text.Normalizer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a codegen'd expression — the dedup
+  * prerequisite Spark lacks natively: "é" as one codepoint (U+00E9)
+  * and as "e" + combining acute (U+0065 U+0301) are byte-different but
+  * visually and semantically identical, so un-normalized corpora leak
+  * duplicates straight past every hash-based dedup stage. Canonical
+  * composition (NFC) folds such sequences to one canonical byte form;
+  * run it before fingerprinting / exact dedup on any corpus with
+  * non-ASCII content.
+  *
+  * Codegen emits a static call into [[NfcNormalize.normalize]] inside
+  * whole-stage codegen (the same wrap-a-JDK-library shape as Spark's
+  * own regexp expressions), with an ASCII fast path: NFC is the
+  * identity on pure-ASCII strings, so those skip the Normalizer
+  * entirely — on mostly-ASCII web corpora the expression is a
+  * near-free byte scan. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects string, got ${child.dataType.simpleString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NfcNormalize.normalize($c)")
+
+  override def prettyName: String = "nfc_normalize"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+
+  /** Static kernel shared by eval and codegen. ASCII fast path: NFC
+    * cannot change a pure-ASCII string, so return the input untouched
+    * (no String materialization at all). */
+  def normalize(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { // UTF8String bytes: ASCII iff high bit clear
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
+    val j = s.toString
+    if (Normalizer.isNormalized(j, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(j, Normalizer.Form.NFC))
+  }
+
+  def nfc_normalize(c: Column): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      NfcNormalize(org.apache.spark.sql.graft.shims.toExpression(c)))
+}

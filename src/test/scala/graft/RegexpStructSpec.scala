@@ -120,4 +120,28 @@ class RegexpStructSpec extends SparkSpec {
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
     }
   }
+
+  test("NfcNormalize: folds decomposed sequences, ASCII identity, null-safe") {
+    import spark.implicits._
+    import graft.plans.NfcNormalize.nfc_normalize
+    val comb = new String(Character.toChars(0x0301))
+    val composed = new String(Character.toChars(0x00e9)) // precomposed e-acute
+    val df = Seq(
+      (1L, "cafe" + comb),       // decomposed -> composed
+      (2L, "caf" + composed),    // already NFC -> identity
+      (3L, "plain ascii"),       // ASCII fast path
+      (4L, null: String)
+    ).toDF("id", "t").repartition(2)
+    val out = df.select(col("id"), nfc_normalize(col("t")).as("n")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) == Some("caf" + composed))
+    assert(out(1L) == out(2L))
+    assert(out(3L) == Some("plain ascii"))
+    assert(out(4L) == None)
+    // interpreted eval matches codegen output
+    val expr = graft.plans.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("cafe" + comb)))
+    assert(expr.eval(null).toString == "caf" + composed)
+  }
 }
