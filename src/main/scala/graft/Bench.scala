@@ -39,6 +39,34 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-work ALL-CORES xorshift burn → seconds (~1.2 s nominal on
+    * 32 idle cores). Discriminates the steal mode the other probes
+    * miss: this box sometimes crushes sustained high-thread-count
+    * compute while single-thread and short shuffle bursts stay
+    * near-nominal (observed 11:3x r4: headline fold 4.6× slow with
+    * probe_spark clean — a fresh-JVM 8-core fold beat the 32-core
+    * one). A slow value here marks every multicore number in the run
+    * as box-bound. */
+  private def probeCpuMtSec(): Double = {
+    val threads = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0L
+        while (i < 1200000000L) {
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+          x *= 0x2545F4914F6CDD1DL
+          i += 1
+        }
+        if (x == 42L) System.err.println("")
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Fixed-work parallel hash+shuffle job → seconds (whole-box probe). */
   private def probeSparkSec(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
@@ -68,6 +96,7 @@ object Bench {
 
     // window probes (see scaladoc) — AFTER warm-up, BEFORE the battery
     val probeCpu = probeCpuSec()
+    val probeCpuMt = probeCpuMtSec()
     val probeSpark = probeSparkSec(spark)
 
     // per-query timing; failures are RECORDED (name + exception class),
@@ -100,6 +129,7 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     val probeCpu2 = probeCpuSec()
+    val probeCpuMt2 = probeCpuMtSec()
     val probeSpark2 = probeSparkSec(spark)
     val t = TranscriptGen.df(spark, nConvs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -132,8 +162,10 @@ object Bench {
       s""""failed":${results.count(_._4 != null)},""" +
       s""""triples":$nTriples,"triples_per_sec":$triplesPerSec,""" +
       s""""pipeline_sec":$pipelineSec,"cpus":$cpus,"sf":"$sfDir",""" +
-      s""""probe_cpu_sec":$probeCpu,"probe_spark_sec":$probeSpark,""" +
-      s""""probe_cpu_headline_sec":$probeCpu2,"probe_spark_headline_sec":$probeSpark2,""" +
+      s""""probe_cpu_sec":$probeCpu,"probe_cpu_mt_sec":$probeCpuMt,""" +
+      s""""probe_spark_sec":$probeSpark,""" +
+      s""""probe_cpu_headline_sec":$probeCpu2,"probe_cpu_mt_headline_sec":$probeCpuMt2,""" +
+      s""""probe_spark_headline_sec":$probeSpark2,""" +
       s""""queries":$qs,"errors":$errs,"rows":$rows}"""
     println(json)
     try {
