@@ -252,7 +252,7 @@ object TripleExtract {
   // and as a second independent implementation in tests.
   // -------------------------------------------------------------------
 
-  private val Reset = " RESET"
+  private val Reset = "\u0000RESET"
 
   def extractRelational(transcripts: DataFrame): (Dataset[Node], Dataset[Edge]) = {
     val spark = transcripts.sparkSession
