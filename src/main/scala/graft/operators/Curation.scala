@@ -38,8 +38,14 @@ object Curation {
       minTokens: Int = 5, maxChars: Int = 20000,
       boilerplateMaxDocs: Long = 50L,
       nearDup: Boolean = false, nearDupThreshold: Double = 0.7): DataFrame = {
+    // NULL text must fail the gate, not vanish into three-valued-logic
+    // limbo: tokenCount(NULL) is NULL, and a NULL predicate drops the
+    // row from BOTH the pass side and a naive !gate side — so the gate
+    // runs on the coalesced text (NULL ⇒ 0 tokens ⇒ fails minTokens)
+    // and the audit in [[report]] counts n_input == n_gate_fail +
+    // survivors exactly.
     val gated = df.filter(
-      TextAnalysis.tokenCount(col(textCol)) >= minTokens &&
+      TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))) >= minTokens &&
       length(coalesce(col(textCol), lit(""))) <= maxChars)
     val redacted = gated.withColumn(textCol, Pii.redact(col(textCol)))
     val clean = Dedup.dropBoilerplateLines(redacted, idCol, textCol,
@@ -65,37 +71,64 @@ object Curation {
     *   - `n_exact_dropped`  rows collapsed by exact dedup
     *   - `n_out`            rows out
     *
-    * Six independent aggregates unioned (no cross join); each is a
-    * count over a prefix of the same stage chain, so the whole report
-    * is engine-replayable CTE-for-CTE. */
+    * SINGLE-PASS shape (was six independent aggregates until r5):
+    * the row-level metrics (`n_input`, `n_gate_fail`, `n_pii_docs`)
+    * are conditional counters in ONE aggregate over one corpus scan —
+    * the gate and the redaction diff are evaluated once per row, not
+    * once per metric. The line-level metrics share one exploded-lines
+    * subtree: the hot-line census shuffle feeds both the
+    * `n_hot_lines` count and the anti-join's build side (identical
+    * shuffle subtrees — Spark's ReusedExchange computes the census
+    * once), and `n_exact_dropped`/`n_out` come from one aggregate
+    * over the reassembled clean text. Net: ~2-3 physical corpus scans
+    * instead of ~6 (asserted in PlanSpec), with every count still
+    * engine-replayable CTE-for-CTE.
+    *
+    * NULL text: the gate runs on the coalesced text (NULL ⇒ 0 tokens
+    * ⇒ gate fail), so `n_input == n_gate_fail + survivors` holds
+    * exactly — no three-valued-logic row loss. */
   def report(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 5, maxChars: Int = 20000,
       boilerplateMaxDocs: Long = 50L): DataFrame = {
-    val gate = TextAnalysis.tokenCount(col(textCol)) >= minTokens &&
-      length(coalesce(col(textCol), lit(""))) <= maxChars
-    val gated = df.filter(gate)
-    val redacted = gated.withColumn(textCol, Pii.redact(col(textCol)))
+    val t = coalesce(col(textCol), lit(""))
+    val gate = TextAnalysis.tokenCount(t) >= minTokens &&
+      length(t) <= maxChars
+    // scan 1: all row-level counters in one partial-aggregable pass
+    val rowMetrics = df.agg(
+        count(lit(1)).as("__in"),
+        count(when(!gate, 1)).as("__gf"),
+        count(when(gate && Pii.redact(t) =!= t, 1)).as("__pii"))
+      .select(explode(map(
+        lit("n_input"), col("__in"),
+        lit("n_gate_fail"), col("__gf"),
+        lit("n_pii_docs"), col("__pii"))).as(Seq("metric", "value")))
+    // line-level chain, built ONCE and shared: census → hot list →
+    // anti-join → reassembly (mirrors Dedup.dropBoilerplateLines
+    // line-for-line so the audit counts what curate actually drops)
+    val redacted = df.filter(gate)
+      .select(col(idCol), Pii.redact(t).as(textCol))
     val lines = redacted.select(col(idCol),
-        explode(split(coalesce(col(textCol), lit("")), "\n")).as("__l"))
-      .select(col(idCol), trim(col("__l")).as("line"))
-      .filter(col("line") =!= "")
-    val hot = lines.select(md5(col("line")).as("h"), col(idCol)).distinct()
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "l")))
+      .withColumn("h", when(trim(col("l")) =!= "", md5(trim(col("l")))))
+    val hot = lines.filter(col("h").isNotNull)
+      .select(col("h"), col(idCol)).distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") > boilerplateMaxDocs)
-    val clean = Dedup.dropBoilerplateLines(redacted, idCol, textCol,
-      boilerplateMaxDocs)
-    def one(metric: String, d: DataFrame): DataFrame =
-      d.agg(count(lit(1)).as("value"))
-        .select(lit(metric).as("metric"), col("value"))
-    one("n_input", df)
-      .union(one("n_gate_fail", df.filter(!gate)))
-      .union(one("n_pii_docs",
-        gated.filter(Pii.redact(col(textCol)) =!= col(textCol))))
-      .union(one("n_hot_lines", hot))
-      .union(clean.agg((count(lit(1)) -
-          count_distinct(md5(col("clean_text")))).as("value"))
-        .select(lit("n_exact_dropped").as("metric"), col("value")))
-      .union(clean.agg(count_distinct(md5(col("clean_text"))).as("value"))
-        .select(lit("n_out").as("metric"), col("value")))
+      .select(col("h").as("_hoth"))
+    val clean = lines.join(hot, col("h") === col("_hoth"), "left_anti")
+      .groupBy(idCol).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("l")))),
+          s => s.getField("l")), "\n").as("clean_text"))
+    val hotMetric = hot.agg(count(lit(1)).as("value"))
+      .select(lit("n_hot_lines").as("metric"), col("value"))
+    val cleanMetrics = clean.agg(
+        count(lit(1)).as("__n"),
+        count_distinct(md5(col("clean_text"))).as("__d"))
+      .select(explode(map(
+        lit("n_exact_dropped"), col("__n") - col("__d"),
+        lit("n_out"), col("__d"))).as(Seq("metric", "value")))
+    rowMetrics.union(hotMetric).union(cleanMetrics)
   }
 }

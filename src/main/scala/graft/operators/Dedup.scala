@@ -337,6 +337,134 @@ object Dedup {
     df.join(survivors, col(idCol).cast("string") === col("_sid"), "left_semi")
   }
 
+  /** Production signature store for INCREMENTAL near-dup — the
+    * snapshot-append shape of corpus growth: signatures are computed
+    * once per document when its batch arrives, persisted as a table,
+    * and RE-USED (never recomputed) when later batches band against
+    * them. Schema: (id string, sig array<long>, hs array<long>) where
+    * `hs` is the distinct shingle-hash set (the verify set — exact
+    * Jaccard over 64-bit shingle hashes equals shingle-string Jaccard
+    * modulo hash collisions) and `sig` the minhash signature over it
+    * (min is invariant under distinct, so these are byte-identical to
+    * the full-corpus [[minhashLsh]] signatures). Unshingleable docs
+    * (empty/whitespace text) carry no row — they cannot near-match
+    * anything; route them through [[incrementalExact]]. */
+  def signatureStore(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).cast("string").as("id"), col(textCol).as("__t"))
+      .withColumn("hs", array_distinct(graft.plans.ShingleHashes.shingle_hashes(
+        split(lower(trim(col("__t"))), "\\s+"), shingleN)))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig",
+        graft.plans.MinhashFold.minhash_fold(col("hs"), bands * rowsPerBand))
+      .select("id", "sig", "hs")
+
+  /** Per-band banding of a signature frame: (id, bucket). */
+  private[graft] def bandedOf(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"), explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .as("bucket")).distinct()
+
+  /** Incremental near-dup core over PREPARED signature frames
+    * (id, sig, hs): band the new batch against store ∪ batch, verify
+    * candidates by exact Jaccard over the `hs` sets, connected-
+    * components the verified pairs, and keep one batch survivor per
+    * store-free component. Shared by the production operator and the
+    * architecture-oracle query (which feeds SQL-replayable md5
+    * signatures and shingle-string sets through this same logic).
+    *
+    * Scale shape: candidate pairs come from a BATCH-PROBE join — the
+    * batch's (id, bucket) rows join store ∪ batch buckets — so
+    * store×store pairs (the dominant mass at corpus ≫ batch) are
+    * never generated, and a hot store bucket costs output LINEAR in
+    * its size per batch member, never quadratic. Semantics: a batch
+    * row is dropped iff its verified-pair component contains any
+    * store id (the seen corpus always wins) or it is not the min-id
+    * batch member of its store-free component; batch rows with no
+    * verified pair are kept.
+    *
+    * Returns the kept batch ids as (id). */
+  private[graft] def incrementalNearDupCore(batchSig: DataFrame,
+      storeSig: DataFrame, banded: DataFrame => DataFrame,
+      threshold: Double): DataFrame = {
+    val bB = banded(batchSig)
+    val bS = banded(storeSig)
+    val all = bB.union(bS)
+    val rawPairs = bB.select(col("bucket"), col("id").as("x"))
+      .join(all.select(col("bucket"), col("id").as("y")), Seq("bucket"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val sets = batchSig.select(col("id"), col("hs"))
+      .union(storeSig.select(col("id"), col("hs")))
+    val verified = rawPairs
+      .join(sets.select(col("id").as("a"), col("hs").as("hsA")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("hs").as("hsB")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("hsA"), col("hsB"))))
+      .filter(col("inter") /
+        (size(col("hsA")) + size(col("hsB")) - col("inter")) >= threshold)
+      .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"))
+      .persist()
+    val cc = Canonicalize.componentsAuto(verified).persist()
+    cc.count()
+    verified.unpersist()
+    val storeComps = cc
+      .join(storeSig.select(col("id").cast("string").as("v")), Seq("v"))
+      .select(col("comp").as("__sc")).distinct()
+    val batchComp = batchSig.select(col("id").cast("string").as("v"))
+      .join(cc, Seq("v"), "left")
+      .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
+    // cc stays persisted — the returned frame reads it through BOTH
+    // the store-component anti-join and the batch-component join; it
+    // releases via the ContextCleaner / caller clearCache once the
+    // result's lineage is dropped (same discipline as
+    // dropNearDuplicates' cc handling).
+    batchComp
+      .join(storeComps, col("comp") === col("__sc"), "left_anti")
+      .groupBy("comp").agg(min(col("v")).as("id"))
+      .select("id")
+  }
+
+  /** Incremental MinHash near-dup for snapshot-append pipelines: drop
+    * every batch row that near-duplicates the seen corpus (represented
+    * ONLY by its [[signatureStore]] — corpus text is never touched,
+    * corpus signatures never recomputed) or an earlier-id batch row,
+    * then return the surviving rows plus the UPDATED store
+    * (store ∪ survivors' signatures — computed once here, reusable by
+    * the next batch verbatim).
+    *
+    * Unshingleable batch rows (no signature row) are KEPT and not
+    * added to the store — near-dup semantics cannot see them; compose
+    * with [[incrementalExactBloom]] for their exact-dup handling, the
+    * same division of labor as [[dropNearDuplicatesExactFirst]].
+    *
+    * Returns (kept batch rows, updated store). */
+  def incrementalNearDup(batch: DataFrame, store: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.7, bands: Int = 8,
+      rowsPerBand: Int = 2, shingleN: Int = 3): (DataFrame, DataFrame) = {
+    val bSig = signatureStore(batch, idCol, textCol, bands, rowsPerBand,
+      shingleN).persist()
+    val keptIds = incrementalNearDupCore(bSig, store,
+      bandedOf(_, bands, rowsPerBand), threshold).persist()
+    keptIds.count()
+    // dropped = shingleable batch ids that lost; everything else stays
+    val droppedIds = bSig.select("id")
+      .join(keptIds, Seq("id"), "left_anti")
+    val kept = batch.join(droppedIds,
+      batch(idCol).cast("string") === droppedIds("id"), "left_anti")
+    val newStore = store.unionByName(
+      bSig.join(keptIds, Seq("id"), "left_semi"))
+    // bSig/keptIds stay persisted: BOTH returned frames read them
+    // (kept via the anti-join, newStore via the union), and an eager
+    // unpersist here would force the batch signatures to recompute on
+    // first materialization — the exact thing this operator exists to
+    // avoid. Blocks release via the ContextCleaner when the caller
+    // drops the lineage (or spark.catalog.clearCache between queries).
+    (kept, newStore)
+  }
+
   /** CCNet-style boilerplate removal — dedup at LINE granularity: drop
     * every line whose trimmed form occurs in more than `maxDocs`
     * distinct documents corpus-wide (navigation chrome, cookie

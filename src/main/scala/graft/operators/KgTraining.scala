@@ -55,16 +55,24 @@ object KgTraining {
     * no-op picks (dst' = dst).
     *
     * Scale shape: the vocabulary index is built by [[rankedVocab]]
-    * (skew-free) and BROADCAST into the pick join — entity
-    * vocabularies are small relative to edge sets; the
+    * (skew-free) and fed into the pick join behind a COUNT-GATED
+    * broadcast (same discipline as the LSH hot-list gate in
+    * [[Dedup.bandedPairs]]): entity vocabularies are usually small
+    * relative to edge sets, but at a web-scale KG the distinct-dst
+    * vocabulary can run to 10⁸-10⁹ rows — unbroadcastable. The eager
+    * `vocab.count()` (needed anyway for the modulus) decides: at or
+    * below `vocabBroadcastLimit` rows the pick join broadcasts the
+    * index; above it the hint is dropped and the join shuffles on
+    * `__idx` — a uniform key by construction (a hash mod), so the
+    * shuffle path has no skew cliff. Output is identical either way
+    * (the gate changes only the physical join strategy); the
     * accidental-positive filter is one anti-join on the edge key.
     * No RNG, no collect, no cross join; exactly k candidate rows per
-    * edge via an exploded slot sequence. The vocabulary size is read
-    * with one eager count at construction (same pattern as the LSH
-    * hot-list gate).
+    * edge via an exploded slot sequence.
     *
     * Returns (src, rel, dst_neg, slot). */
-  def negativeSamples(edges: DataFrame, k: Int = 2): DataFrame = {
+  def negativeSamples(edges: DataFrame, k: Int = 2,
+      vocabBroadcastLimit: Long = 5000000L): DataFrame = {
     // the edge projection feeds FOUR subtrees (vocab ranking, offset
     // census, candidate gen, anti-join truth side) plus the eager
     // vocabulary count — persist it once or the upstream (scan +
@@ -73,13 +81,16 @@ object KgTraining {
     // via the ContextCleaner when the result's lineage is dropped.
     val e = edges.select(col("src"), col("rel"), col("dst")).persist()
     val vocab = rankedVocab(e)
-    val nVocab = lit(vocab.count())
+    val vocabCount = vocab.count()
+    val nVocab = lit(vocabCount)
+    val picks0 = vocab.withColumnRenamed("dst", "dst_neg")
+    val picks = if (vocabCount <= vocabBroadcastLimit) broadcast(picks0) else picks0
     val cands = e
       .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("__idx", pmod(
         hv(concat_ws("|", col("src"), col("rel"), col("dst"),
           col("slot").cast("string"))), nVocab))
-      .join(broadcast(vocab.withColumnRenamed("dst", "dst_neg")), Seq("__idx"))
+      .join(picks, Seq("__idx"))
       .drop("__idx")
       .filter(col("dst_neg") =!= col("dst"))
     cands.join(e.select(col("src").as("__ts"), col("rel").as("__tr"),
@@ -92,14 +103,34 @@ object KgTraining {
   /** KG-to-text verbalization: one training sentence block per
     * subject — its facts as "src rel dst." clauses in deterministic
     * (rel, dst) order. One partial-aggregable shuffle on src; the
-    * sort is per-subject (array_sort over the collected facts),
-    * bounded by a subject's degree. Returns (src, text, n_facts). */
-  def verbalize(edges: DataFrame): DataFrame =
-    edges.groupBy("src")
+    * sort is per-subject (array_sort over the collected facts).
+    *
+    * HUB BOUND: a web-scale KG has hub subjects with 10⁶⁺ facts — an
+    * uncapped collect_list makes one monster row and one monster
+    * per-row sort. `maxFacts` caps each subject at its
+    * deterministically-first `maxFacts` facts in (rel, dst) order via
+    * the row_number-then-filter pattern (Spark rewrites it to a
+    * WindowGroupLimit, so each partition retains only a top-k heap —
+    * no full per-subject sort materializes before the limit).
+    * `n_facts` reports the TRUE degree (counted pre-cap) so a
+    * truncated row is self-describing: `n_facts > maxFacts` ⇔ the
+    * text was capped. Pass `maxFacts = Int.MaxValue` for the uncapped
+    * contract. Returns (src, text, n_facts). */
+  def verbalize(edges: DataFrame, maxFacts: Int = 10000): DataFrame = {
+    val w = Window.partitionBy("src").orderBy("rel", "dst")
+    val capped = edges.select(col("src"), col("rel"), col("dst"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxFacts)
+      .drop("__rn")
+    val degrees = edges.groupBy("src")
+      .agg(count(lit(1)).cast("int").as("n_facts"))
+    capped.groupBy("src")
       .agg(collect_list(struct(col("rel"), col("dst"))).as("__f"))
+      .join(degrees, Seq("src"))
       .select(col("src"),
         array_join(transform(array_sort(col("__f")),
           f => concat(col("src"), lit(" "), f.getField("rel"), lit(" "),
             f.getField("dst"), lit("."))), " ").as("text"),
-        size(col("__f")).as("n_facts"))
+        col("n_facts"))
+  }
 }

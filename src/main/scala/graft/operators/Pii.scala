@@ -39,17 +39,96 @@ object Pii {
     * default). */
   val PhoneRe = "\\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}"
 
+  // ---- extended detector set (r5): the categories a production scrub
+  // adds once the big three are in. Same RE2-safe discipline — no
+  // lookaround, no backreferences — so the DuckDB oracle replays each
+  // pattern byte-for-byte.
+
+  /** US SSN shape: 3-2-4 dashed digit groups, digit-bounded. Shape
+    * only (the area/group validity tables are policy, not scrub):
+    * over-redact, never under-redact. */
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Payment-card shape: 4×4 digit groups with uniform dash/space
+    * separators, or a bare 13-16 digit run. Matches are CANDIDATES —
+    * check-digit verification lives in [[luhnValid]] (a separate
+    * stage, deliberately NOT in the regex: the regex must stay
+    * RE2-replayable, and redaction must over-redact while the AUDIT
+    * counts only verified cards). */
+  val CcRe = "\\b[0-9]{4}([- ][0-9]{4}){3}\\b|\\b[0-9]{13,16}\\b"
+
+  /** National (US-style) phone: (555) 123-4567 / 555-123-4567 /
+    * 555.123.4567. The parenthesized branch needs no leading \b (the
+    * '(' is a non-word char); the bare branch is digit-bounded. Worth
+    * its false-positive surface only behind the extended scrub —
+    * bare 3-3-4 digit runs collide with ids, which is why the core
+    * [[PhoneRe]] stays '+'-anchored. */
+  val NatPhoneRe = "(\\([0-9]{3}\\)|\\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** Credential shapes with vendor-fixed prefixes (AWS access key,
+    * GitHub token, sk- style API secret). Prefix-anchored on purpose:
+    * a generic "32+ base64ish chars" rule redacts every git SHA and
+    * content hash in a technical corpus. */
+  val ApiKeyRe = "\\b(AKIA[0-9A-Z]{16}|gh[pousr]_[A-Za-z0-9]{36}|sk-[A-Za-z0-9]{24,})\\b"
+
   def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
   def ipv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Re))
   def phoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe))
+  def ssnCount(c: Column): Column = regexp_count(c, lit(SsnRe))
+  def ccCount(c: Column): Column = regexp_count(c, lit(CcRe))
+  def natPhoneCount(c: Column): Column = regexp_count(c, lit(NatPhoneRe))
+  def apiKeyCount(c: Column): Column = regexp_count(c, lit(ApiKeyRe))
 
-  /** Replace every match of all three detectors with its typed tag. */
+  /** Luhn check-digit verification over a card CANDIDATE string
+    * (separators stripped): from the rightmost digit, every second
+    * digit doubles (minus 9 when > 9) and the total must be ≡ 0 mod
+    * 10. Pure higher-order-function expression — codegen-friendly, no
+    * UDF — usable inside a lambda over `regexp_extract_all` matches.
+    * This is the verification STAGE the scrub regex deliberately
+    * omits: redaction over-redacts all candidates; audits count only
+    * Luhn-verified ones (cuts false positives like timestamps). */
+  def luhnValid(c: Column): Column = {
+    val ds = reverse(regexp_replace(c, "[^0-9]", ""))
+    val total = aggregate(
+      sequence(lit(1), length(ds)),
+      lit(0),
+      (acc: Column, i: Column) => {
+        val d = ds.substr(i, lit(1)).cast("int")
+        acc + when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    length(ds) >= 13 && length(ds) <= 19 && pmod(total, lit(10)) === 0
+  }
+
+  /** Count of card candidates that SURVIVE Luhn verification. */
+  def ccLuhnCount(c: Column): Column =
+    size(filter(regexp_extract_all(c, lit(CcRe), lit(0)),
+      m => luhnValid(m)))
+
+  /** Replace every match of the three core detectors with its typed
+    * tag. Order matters and is fixed: emails first (an email's domain
+    * can contain digit runs a later pattern might nibble), then IPs,
+    * then phones. */
   def redact(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(c, EmailRe, "[EMAIL]"),
         Ipv4Re, "[IP]"),
       PhoneRe, "[PHONE]")
+
+  /** Extended redaction: core order, then credentials before number
+    * shapes (a key can embed digit runs), then cards before SSN/phone
+    * (a dashed 16-digit card must not be nibbled 3-2-4 or 3-3-4),
+    * then SSN, then national phones last (broadest false-positive
+    * surface acts only on what nothing else claimed). */
+  def redactExtended(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(redact(c), ApiKeyRe, "[KEY]"),
+          CcRe, "[CARD]"),
+        SsnRe, "[SSN]"),
+      NatPhoneRe, "[PHONE]")
 
   /** Per-document scrub report: match counts per category plus the
     * redacted text — the audit view a curation pipeline materializes
@@ -60,4 +139,18 @@ object Pii {
       ipv4Count(col(textCol)).as("n_ips"),
       phoneCount(col(textCol)).as("n_phones"),
       redact(col(textCol)).as("redacted"))
+
+  /** Extended scrub report: all seven detector counts, the
+    * Luhn-verified card count, and the fully redacted text. */
+  def scrubExtended(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      emailCount(col(textCol)).as("n_emails"),
+      ipv4Count(col(textCol)).as("n_ips"),
+      phoneCount(col(textCol)).as("n_phones"),
+      ssnCount(col(textCol)).as("n_ssns"),
+      ccCount(col(textCol)).as("n_cards"),
+      ccLuhnCount(col(textCol)).as("n_cards_luhn"),
+      natPhoneCount(col(textCol)).as("n_nat_phones"),
+      apiKeyCount(col(textCol)).as("n_keys"),
+      redactExtended(col(textCol)).as("redacted"))
 }

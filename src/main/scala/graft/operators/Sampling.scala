@@ -81,6 +81,63 @@ object Sampling {
           .cast("long"))
   }
 
+  /** Self-contained mixture balancing: the per-stratum rates come from
+    * the DATA, not a literal map — each stratum's sampling rate is
+    * `min_stratum_weight / stratum_weight` (capped at 1 by
+    * construction), so after sampling every stratum carries
+    * approximately the smallest stratum's total weight (tokens, chars,
+    * docs — whatever `weightCol` measures). This is the composed
+    * recipe [[stratifiedHashSample]] leaves to the caller: census →
+    * rate table → hash sample, in one operator.
+    *
+    * Determinism & replay: per-stratum thresholds are
+    * floor(min_w / w · 2³²) computed in IEEE double and truncated to
+    * long INSIDE the rate table, so a SQL twin replays the same
+    * literal thresholds; selection is the shared md5-prefix hash —
+    * nested under weight changes exactly like the literal-map sampler.
+    * Scale: the census is one partial-aggregable pass; the rate table
+    * is |strata| rows, broadcast into the filter join; the global min
+    * is a window over that same tiny aggregated table (never over the
+    * corpus). */
+  def mixtureBalanceSample(df: DataFrame, keyCol: String, stratumCol: String,
+      weightCol: String): DataFrame = {
+    val rates = df.groupBy(stratumCol)
+      .agg(sum(col(weightCol)).as("__w"))
+      // unpartitioned window, deliberately: it runs over the ALREADY
+      // AGGREGATED |strata|-row table, not the corpus
+      .withColumn("__mw", min(col("__w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(stratumCol),
+        floor(col("__mw").cast("double") / col("__w") * 4294967296.0)
+          .cast("long").as("__thr"))
+    val hv = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(hv < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** [[packShards]] over a PRECOMPUTED token-count column — the
+    * tokenizer-faithful variant: pair with
+    * [[Tokenize.bpeTokenCount]] to budget shards in real subword
+    * tokens instead of whitespace tokens. Same lane/prefix-sum shape;
+    * `tokenCol` must be non-null (join the counter's output, which
+    * emits 0 for empty docs). Returns (original columns, bucket,
+    * shard). */
+  def packShardsBy(df: DataFrame, idCol: String, tokenCol: String,
+      budgetTokens: Long, buckets: Int = 64): DataFrame = {
+    val hv = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("bucket", pmod(hv, lit(buckets.toLong)))
+      .withColumn("shard",
+        floor(coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L))
+          / budgetTokens).cast("long"))
+  }
+
   /** Deterministic train/val/test assignment: hash-band the key space
     * so every row gets a stable split label — reshuffling, retries, or
     * corpus growth never move a row between splits (the leakage

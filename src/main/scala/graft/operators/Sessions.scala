@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   * accessor (the driver oracle uses DuckDB's `epoch_us`).
   *
   * Sessions are keyed `(key, session_idx)` where session_idx counts
-  * gap-exceeding boundaries via a running sum over the ordered window —
+  * gap-exceeding boundaries (`gap > cutoff` — the native window's
+  * touching-ranges-merge semantics) via a running sum over the ordered
+  * window —
   * the classic lag+cumsum formulation. Spark's native `session_window`
-  * aggregate produces the same grouping for batch inputs (cross-checked
-  * in OpsSpec); this formulation is preferred because it yields stable
-  * per-ROW session ids (joinable back to the rows) and deterministic
-  * indices independent of absolute time.
+  * aggregate produces the same grouping for batch inputs, INCLUDING at
+  * the exact-gap boundary (cross-checked in SessionsSpec/StreamingSpec);
+  * this formulation is preferred because it yields stable per-ROW
+  * session ids (joinable back to the rows) and deterministic indices
+  * independent of absolute time.
   */
 object Sessions {
 
@@ -39,14 +42,26 @@ object Sessions {
 
   /** Per-row session assignment: adds `session_idx` (0-based, per key,
     * in `ordCols` order) to `df`. A new session starts when the gap to
-    * the previous row exceeds `gapSeconds`. Rows with a NULL timestamp
-    * sort first within their key (Spark/DuckDB default NULLS FIRST for
-    * ASC) and never trigger a boundary themselves (NULL gap → flag 0):
-    * they fold into the key's first session. */
+    * the previous row STRICTLY EXCEEDS `gapSeconds` (`>`) — the same
+    * boundary as Spark's native `session_window`, which MERGES
+    * adjacent per-event windows whose ranges touch: an event landing
+    * exactly `gapSeconds` after its predecessor has window
+    * `[t, t+gap)` starting exactly at the previous window's exclusive
+    * end, and the native aggregate folds touching ranges into one
+    * session (verified empirically in SessionsSpec's exact-gap
+    * boundary test). Every twin surface (this operator, the native
+    * streaming window, the DuckDB oracle replays) uses this same `>`
+    * cutoff. Rows with a NULL
+    * timestamp sort first within their key — EXPLICITLY
+    * (`asc_nulls_first`; Spark's ASC default is nulls-first but
+    * DuckDB's has been NULLS LAST since v0.8, so the twin SQL must
+    * spell `NULLS FIRST` too) — and never trigger a boundary
+    * themselves (NULL gap → flag 0): they fold into the key's first
+    * session. */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
       ordCols: Seq[String], gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(keyCol)
-      .orderBy((tsCol +: ordCols).map(col): _*)
+      .orderBy(col(tsCol).asc_nulls_first +: ordCols.map(col): _*)
     val us = epochUs(col(tsCol))
     val gapUs = gapSeconds * 1000000L
     val newSess = when(us - lag(us, 1).over(w) > gapUs, 1L).otherwise(0L)
@@ -77,7 +92,10 @@ object Sessions {
     * key + one partial-aggregable count. */
   def transitions(df: DataFrame, keyCol: String, labelCol: String,
       ordCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(ordCols.map(col): _*)
+    // explicit nulls-first (Spark's ASC default) so the DuckDB twin —
+    // whose ASC default is NULLS LAST — can mirror it verbatim
+    val w = Window.partitionBy(keyCol)
+      .orderBy(ordCols.map(c => col(c).asc_nulls_first): _*)
     df.select(col(keyCol), col(labelCol).as("dst_label"),
         lag(col(labelCol), 1).over(w).as("src_label"),
         row_number().over(w).as("__rn"))

@@ -223,6 +223,32 @@ class DedupSpec extends SparkSpec {
     assert(out === Set(11L, 14L))
   }
 
+  test("incremental near-dup: store wins, min-id batch survivor, store reused and grows") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "tokX" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"oth$i").mkString(" ")
+    val otherNear = (1 to 40).map(i => if (i == 1) "othX" else s"oth$i").mkString(" ")
+    val store0 = Dedup.signatureStore(
+      Seq((1L, base)).toDF("id", "text"), "id", "text")
+    // 10 near-dups the seen corpus → dropped; 11/12 near each other →
+    // min id 11 survives; 13 is unshingleable → kept, not stored
+    val batch = Seq((10L, near), (11L, other), (12L, otherNear), (13L, ""))
+      .toDF("id", "text")
+    val (kept, store1) =
+      Dedup.incrementalNearDup(batch, store0, "id", "text", threshold = 0.7)
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(11L, 13L))
+    val s1 = store1.persist()
+    assert(s1.select("id").collect().map(_.getString(0)).toSet == Set("1", "11"))
+    // the next batch reuses the UPDATED store (no text for 1/11 ever
+    // re-enters): a near-copy of 11's text is now dropped against it
+    val batch2 = Seq((20L, other)).toDF("id", "text")
+    val (kept2, _) =
+      Dedup.incrementalNearDup(batch2, s1, "id", "text", threshold = 0.7)
+    assert(kept2.count() == 0)
+    s1.unpersist()
+  }
+
   test("bloom incremental dedup equals the exact path, even undersized") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -166,6 +166,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Expand"), plan.take(1500))
   }
 
+  test("curation report is single-pass: at most 4 corpus scans, one row-metric aggregate") {
+    // r5 rewrite: the three row-level metrics share ONE aggregate over
+    // one scan (conditional counters), and the line chain is built once
+    // (census + anti-join + reassembly) — the plan may reference the
+    // corpus at most 4 times (row metrics; census; anti-join probe;
+    // hot-count), where the six-lazy-aggregates formulation scanned ~8
+    val plan = graft.operators.Curation.report(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 4, s"report plans $scans corpus scans:\n${plan.take(2000)}")
+    // census shuffles are identical subtrees — exchange reuse (or at
+    // minimum partial aggregation) keeps the census map-side combinable
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(1500))
+  }
+
   test("architecture-oracle similarity queries: TakeOrdered re-score, broadcast query row") {
     val ann = SparkEntry.queries("ann_lsh_oracle")(spark, dir)
       .queryExecution.executedPlan.toString
