@@ -37,6 +37,13 @@ object SparkEntry {
     "es", "or", "st", "ar", "te", "ed", "it", "is", "on", "al",
     "and", "to", "of", "he", "nd", "ou", "ti", "ll", "se", "le")
 
+  /** Fixture weight vector for the hashed-linear-classifier queries:
+    * 64 integer bucket weights in [-10, 10], Knuth-hash derived so the
+    * vector is literal-reproducible anywhere. Single-sourced here; the
+    * DuckDB twin inlines the SAME values via string interpolation. */
+  private val QcWeights: Seq[Int] =
+    (0 until 64).map(i => ((i * 2654435761L) % 21 - 10).toInt)
+
   /** Shared exact-arithmetic kit for the ARCHITECTURE-ORACLE queries
     * (ann_lsh/ivf/emb_neardup): the determinism contract with their
     * DuckDB twins lives HERE, single-sourced — int-quantized
@@ -1566,6 +1573,37 @@ object SparkEntry {
           "lang", "n_chars")
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // temperature-scaled mixture (r5): T=2 over source strata weighted
+    // by chars — rate = (min_w/w)^(1/2) computed as x/sqrt(x) so every
+    // float step is an IEEE correctly-rounded primitive and the
+    // per-stratum thresholds replay bit-for-bit in DuckDB
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureMixtureSample(tbl(s, dir, "documents"), "doc_id",
+          "source", "n_chars", log2Temperature = 1)
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    // target-domain n-gram coverage scoring (r5): seed set = every
+    // 89th doc; per-doc integer (n_grams, n_hits) over 3-gram windows.
+    // Spark counts by broadcast 64-bit window-hash membership (one
+    // codegen ShingleHashes pass); the oracle replays with exact gram
+    // STRINGS — a hash collision would surface as a count diff
+    "text_ngram_coverage" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val target = docs.filter(pmod(col("doc_id"), lit(89)) === 0)
+        .select("text")
+      DomainScore.ngramCoverage(docs, "doc_id", "text", target, "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // feature-hashed linear quality classifier (r5): fastText-shape
+    // unigram+bigram bucket-weight sum, integer weights, pure
+    // higher-order expressions (no UDF, no join, no shuffle); the
+    // oracle replays the hash, the buckets, and the sum exactly
+    "text_hash_clf" -> ((s, dir) =>
+      DomainScore.classify(tbl(s, dir, "documents"), "doc_id", "text",
+          QcWeights)
+        .orderBy("doc_id")),
+
     // deterministic 5/5/90 train-val-test assignment: hash-banded so a
     // row's split never moves under growth/retries (leakage guarantee)
     "sample_split" -> ((s, dir) =>
@@ -2732,6 +2770,78 @@ object SparkEntry {
         FROM documents)
       SELECT doc_id, lang FROM h JOIN r USING (lang)
       WHERE hv < thr ORDER BY doc_id"""),
+
+    // temperature mixture: same census, rate = x / sqrt(x) with
+    // x = min_w/w — division, sqrt, multiply, floor are each IEEE
+    // correctly rounded, so the composed threshold is bit-identical
+    "sample_temperature" -> ("""
+      WITH sh AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+        FROM documents GROUP BY source),
+      x AS (SELECT source,
+          CAST((SELECT min(w) FROM sh) AS DOUBLE) / CAST(w AS DOUBLE) AS x
+        FROM sh),
+      r AS (SELECT source,
+          CAST(floor(x / sqrt(x) * 4294967296.0) AS BIGINT) AS thr
+        FROM x),
+      h AS (SELECT doc_id, source,
+        CAST(list_sum(list_transform(range(1, 9),
+          i -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i, 1)) - 1) *
+               ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+          AS BIGINT) AS hv
+        FROM documents)
+      SELECT doc_id, source FROM h JOIN r USING (source)
+      WHERE hv < thr ORDER BY doc_id"""),
+
+    // exact-string replay of the hash-membership coverage counts:
+    // window semantics mirror ShingleHashes (empty tokens drop,
+    // 0 < m < n yields ONE window over all m, m = 0 yields none,
+    // duplicate windows kept)
+    "text_ngram_coverage" -> ("""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      g AS (SELECT doc_id,
+          CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+               WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+        FROM t),
+      tgt AS (SELECT DISTINCT unnest(grams) AS tg FROM g WHERE doc_id % 89 = 0),
+      e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+      m AS (SELECT e.doc_id, count(*) AS n_grams, count(tgt.tg) AS n_hits
+        FROM e LEFT JOIN tgt ON e.gr = tgt.tg GROUP BY e.doc_id)
+      SELECT g.doc_id, coalesce(m.n_grams, 0) AS n_grams,
+        coalesce(m.n_hits, 0) AS n_hits
+      FROM g LEFT JOIN m USING (doc_id) ORDER BY doc_id"""),
+
+    // hashed linear classifier: unigram + adjacent-bigram features,
+    // bucket = md5-prefix hash % 64, score = Σ integer bucket weights
+    // over feature OCCURRENCES; the weight literals interpolate from
+    // the same QcWeights the engine uses
+    "text_hash_clf" -> (s"""
+      WITH wt AS (SELECT unnest([${QcWeights.mkString(", ")}]) AS w,
+          generate_subscripts([${QcWeights.mkString(", ")}], 1) AS b),
+      t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      feats AS (
+        SELECT doc_id, unnest(toks) AS f FROM t
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          i -> toks[i] || ' ' || toks[i + 1])) AS f FROM t),
+      h AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, 9),
+            i -> (strpos('0123456789abcdef', substr(md5(f), i, 1)) - 1) *
+                 ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+            AS BIGINT) % 64 AS bk
+        FROM feats),
+      sc AS (SELECT h.doc_id, CAST(sum(wt.w) AS BIGINT) AS score
+        FROM h JOIN wt ON h.bk + 1 = wt.b GROUP BY h.doc_id)
+      SELECT t.doc_id, coalesce(sc.score, 0) AS score,
+        coalesce(sc.score, 0) > 0 AS keep
+      FROM t LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""),
 
     // thresholds are the PRE-TRUNCATED longs (floor(rate·2^32)):
     // Spark's double→long cast truncates while DuckDB's rounds, so the

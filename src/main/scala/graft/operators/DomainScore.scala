@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain / quality scoring for corpus curation — the model-shaped
+  * selection step that follows the hard gates: score every document
+  * against a target domain (n-gram coverage vs an in-domain seed set)
+  * or a trained linear model (feature-hashed unigram+bigram weights,
+  * the fastText-classifier plumbing), so the curator can rank, filter,
+  * or mixture-weight by relevance instead of by heuristics alone.
+  *
+  * Both scorers are integer-exact by design: coverage reports raw
+  * (n_grams, n_hits) counters and the classifier sums integer bucket
+  * weights, so every score is bit-replayable by any SQL engine — no
+  * float feature transforms inside the engine. A real deployment
+  * swaps the demo weight vector for trained weights without touching
+  * the plumbing (same hash, same buckets, same sum).
+  */
+object DomainScore {
+
+  /** Target-domain n-gram coverage: for each document, how many of
+    * its word n-gram windows appear in the target seed set — the
+    * integer-exact analogue of an in-domain importance score (rank or
+    * gate on `n_hits / n_grams` downstream; the ratio stays out of
+    * the engine so the output hashes exactly).
+    *
+    * Scale shape: the target side (an in-domain SEED corpus — small
+    * by definition) collapses to a distinct 64-bit n-gram hash set,
+    * broadcast once; the corpus side is one codegen'd
+    * [[graft.plans.ShingleHashes]] pass + an explode carrying only
+    * (id, hash) into the broadcast left join, then one
+    * partial-aggregable count pair keyed on the doc id. No corpus
+    * shuffle beyond that group-by, no gram strings shipped. Hash
+    * equality stands in for string equality exactly as in
+    * [[Decontaminate]] (the driver oracle replays with exact string
+    * windows, so a collision would surface as a diff).
+    *
+    * Window semantics are [[graft.plans.ShingleHashes]]'s: empty
+    * tokens drop, m < n tokens yield the one window over all m,
+    * m = 0 yields none (the doc still reports a (0, 0) row via the
+    * outer explode). Returns (idCol, n_grams, n_hits). */
+  def ngramCoverage(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetCol: String, n: Int = 3): DataFrame = {
+    val th = target
+      .select(explode(Decontaminate.ngramHashes(col(targetCol), n)).as("_th"))
+      .distinct()
+    docs.select(col(idCol),
+        explode_outer(Decontaminate.ngramHashes(col(textCol), n)).as("_h"))
+      .join(broadcast(th), col("_h") === col("_th"), "left")
+      .groupBy(idCol)
+      .agg(count(col("_h")).as("n_grams"), count(col("_th")).as("n_hits"))
+  }
+
+  /** Feature-hashed linear classifier score — the fastText-shape
+    * scoring pass: lowercase whitespace unigrams plus adjacent
+    * bigrams, each hashed into `weights.size` buckets by the house
+    * md5-prefix hash, score = Σ weight(bucket) over all feature
+    * OCCURRENCES (multiset, like the reference models' bag-of-
+    * features sum). Integer weights, integer score.
+    *
+    * Pure Catalyst higher-order expressions end to end — the weight
+    * vector rides as an array literal (real hashed models are 2¹⁸-2²¹
+    * buckets ≈ a few MB: still literal/broadcast territory), the
+    * bigram array is a zip_with against the shifted token array, and
+    * both sums are `aggregate` folds. No UDF, no shuffle, no join:
+    * the score is scan-side and pushes into whatever pipeline stage
+    * needs it. */
+  def hashedLinearScore(textCol: Column, weights: Seq[Int]): Column = {
+    val d = weights.size.toLong
+    val wArr = typedLit(weights.map(_.toLong))
+    val toks = filter(
+      split(lower(trim(coalesce(textCol, lit("")))), "\\s+"),
+      t => t =!= "")
+    def bucketW(c: Column): Column = element_at(wArr,
+      (pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(d)) + 1)
+        .cast("int"))
+    val uniSum = aggregate(toks, lit(0L), (acc, t) => acc + bucketW(t))
+    // zip_with pads the shorter (shifted) side with null; concat
+    // propagates the null, and the filter drops the phantom last pair
+    val bigrams = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      g => g.isNotNull)
+    val biSum = aggregate(bigrams, lit(0L), (acc, g) => acc + bucketW(g))
+    uniSum + biSum
+  }
+
+  /** [[hashedLinearScore]] over a table: returns
+    * (idCol, score, keep) with `keep = score > 0` — the binary
+    * quality-classifier verdict a curation pipeline gates on. */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Int]): DataFrame =
+    docs.select(col(idCol),
+        hashedLinearScore(col(textCol), weights).as("score"))
+      .withColumn("keep", col("score") > 0)
+}

@@ -117,6 +117,51 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual-corpus
+    * compromise between natural proportions and full balance: each
+    * stratum's sampling rate is `(min_w / w)^(1 - 1/T)` for
+    * temperature `T`, so `T → 1` keeps the natural mixture (rate 1
+    * everywhere) and `T → ∞` converges to [[mixtureBalanceSample]]'s
+    * equal-weight mixture; in between, dominant strata are damped
+    * without flattening the distribution (the standard
+    * temperature-sampling recipe for multilingual pretraining mixes).
+    *
+    * DETERMINISM: `T` is restricted to powers of two
+    * (`log2Temperature` = log₂T ≥ 1) so the fractional power
+    * decomposes into IEEE-correctly-rounded primitives only:
+    * `x^(1/T)` = sqrt applied log₂T times, and the rate is computed
+    * literally as `x / sqrtᵏ(x)` — division, sqrt, multiply, floor
+    * are each correctly rounded, so ANY IEEE-754 engine replaying the
+    * same composition reproduces the per-stratum thresholds
+    * bit-for-bit (a general `pow` is NOT correctly rounded and may
+    * differ across libm implementations in the last ulp — the one
+    * float hazard this operator family otherwise avoids). Selection
+    * is the shared md5-prefix hash: nested, replayable, stable.
+    *
+    * Scale: census = one partial-aggregable pass; the rate table is
+    * |strata| rows broadcast into the filter; the min is a window
+    * over that tiny table, never the corpus. */
+  def temperatureMixtureSample(df: DataFrame, keyCol: String,
+      stratumCol: String, weightCol: String,
+      log2Temperature: Int = 1): DataFrame = {
+    require(log2Temperature >= 1,
+      "log2Temperature must be >= 1 (T = 2 or higher); T = 1 is the identity")
+    val census = df.groupBy(stratumCol)
+      .agg(sum(col(weightCol)).as("__w"))
+      // unpartitioned window over the ALREADY AGGREGATED strata table
+      .withColumn("__mw", min(col("__w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val x = col("__mw").cast("double") / col("__w").cast("double")
+    val root = (1 to log2Temperature).foldLeft(x)((acc, _) => sqrt(acc))
+    val rates = census.select(col(stratumCol),
+      floor(x / root * 4294967296.0).cast("long").as("__thr"))
+    val hv = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(hv < col("__thr"))
+      .drop("__thr")
+  }
+
   /** [[packShards]] over a PRECOMPUTED token-count column — the
     * tokenizer-faithful variant: pair with
     * [[Tokenize.bpeTokenCount]] to budget shards in real subword

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DomainScore, Sampling}
+
+/** [[graft.operators.DomainScore]] (n-gram coverage + hashed linear
+  * classifier) and [[graft.operators.Sampling.temperatureMixtureSample]].
+  * Scorers are cross-checked against independent brute-force Scala
+  * replays (string windows, boxed md5 hashing) — the same discipline as
+  * the codegen-vs-interpreted expression twins.
+  */
+class DomainScoreSpec extends SparkSpec {
+
+  /** The house md5-prefix hash, replayed independently. */
+  private def hv(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  private def words(t: String): Seq[String] =
+    t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** Brute-force window strings under ShingleHashes semantics. */
+  private def grams(t: String, n: Int): Seq[String] = {
+    val w = words(t)
+    if (w.isEmpty) Seq.empty
+    else if (w.size < n) Seq(w.mkString(" "))
+    else w.sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  test("ngramCoverage matches a brute-force string-window replay") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),     // windows: abc bcd (n=3 notation)
+      (2L, "alpha beta gamma epsilon"),   // shares 'alpha beta gamma'
+      (3L, "xx yy"),                      // short doc: one 2-token window
+      (4L, ""),                           // no tokens → (0, 0)
+      (5L, null.asInstanceOf[String]),    // null text → (0, 0)
+      (6L, "alpha beta gamma alpha beta gamma x") // duplicate windows kept
+    ).toDF("id", "text")
+    val target = Seq("alpha beta gamma delta", "xx yy").toDF("t")
+    val out = DomainScore.ngramCoverage(docs, "id", "text", target, "t", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val tgt = Seq("alpha beta gamma delta", "xx yy")
+      .flatMap(grams(_, 3)).toSet
+    val exp = Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma epsilon",
+      3L -> "xx yy", 4L -> "", 5L -> "",
+      6L -> "alpha beta gamma alpha beta gamma x"
+    ).map { case (id, t) =>
+      val g = grams(t, 3)
+      id -> (g.size.toLong, g.count(tgt.contains).toLong)
+    }.toMap
+    assert(out == exp)
+    assert(out(4L) == (0L, 0L) && out(5L) == (0L, 0L))
+    assert(out(6L)._2 >= 2L) // duplicate hit windows each count
+  }
+
+  test("hashedLinearScore matches a brute-force hash-and-sum replay") {
+    import spark.implicits._
+    val weights = (0 until 64).map(i => ((i * 2654435761L) % 21 - 10).toInt)
+    val docs = Seq(
+      (1L, "The quick brown fox"),
+      (2L, "the the the"),          // repeated features count per occurrence
+      (3L, "single"),               // no bigrams
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "  padded   whitespace\trun  ")
+    ).toDF("id", "text")
+    val out = DomainScore.classify(docs, "id", "text", weights)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+
+    def score(t: String): Long = {
+      val w = words(Option(t).getOrElse(""))
+      val feats = w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      feats.map(f => weights((hv(f) % 64).toInt).toLong).sum
+    }
+    out.foreach { case (id, s, keep) =>
+      val t = Seq("", "The quick brown fox", "the the the", "single", "",
+        null, "  padded   whitespace\trun  ")(id.toInt)
+      assert(s == score(t), s"doc $id")
+      assert(keep == (s > 0))
+    }
+  }
+
+  test("temperature mixture: rate interpolates between natural and balanced") {
+    import spark.implicits._
+    // en weight 4000, zh weight 1000 → x_en = 0.25:
+    //   balanced rate 0.25, T=4 rate 0.25^(3/4) ≈ 0.354, T=2 rate 0.5
+    val docs = (0L until 500L).map { i =>
+      if (i < 400) (i, "en", 10L) else (i, "zh", 10L)
+    }.toDF("id", "lang", "wt")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val t2 = ids(Sampling.temperatureMixtureSample(docs, "id", "lang", "wt", 1))
+    val t4 = ids(Sampling.temperatureMixtureSample(docs, "id", "lang", "wt", 2))
+    val bal = ids(Sampling.mixtureBalanceSample(docs, "id", "lang", "wt"))
+    // min stratum always keeps everything (rate exactly 1)
+    assert((400L until 500L).forall(t2.contains))
+    assert((400L until 500L).forall(t4.contains))
+    // monotone nesting: stronger damping selects a subset
+    assert(bal.subsetOf(t4) && t4.subsetOf(t2))
+    // en kept-counts land near 400·rate (loose ±40%)
+    val en2 = t2.count(_ < 400); val en4 = t4.count(_ < 400)
+    assert(en2 > 120 && en2 < 280, s"T=2 kept $en2")
+    assert(en4 > 85 && en4 < 200, s"T=4 kept $en4")
+    // deterministic under re-evaluation and repartition
+    val t2b = ids(Sampling.temperatureMixtureSample(
+      docs.repartition(7), "id", "lang", "wt", 1))
+    assert(t2b == t2)
+  }
+}
