@@ -1595,6 +1595,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // integer-exact unigram surprisal (r5): CCNet's LM-selection
+    // criterion with add-one smoothing, floor-log2 as bin() bit
+    // length, true integer division — no float log anywhere, so the
+    // per-doc bit sums replay exactly in DuckDB
+    "text_surprisal" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val seed = docs.filter(pmod(col("doc_id"), lit(89)) === 0)
+        .select("text")
+      DomainScore.surprisalScore(docs, "doc_id", "text", seed, "text")
+        .orderBy("doc_id")
+    }),
+
     // feature-hashed linear quality classifier (r5): fastText-shape
     // unigram+bigram bucket-weight sum, integer weights, pure
     // higher-order expressions (no UDF, no join, no shuffle); the
@@ -2814,6 +2826,29 @@ object SparkEntry {
       SELECT g.doc_id, coalesce(m.n_grams, 0) AS n_grams,
         coalesce(m.n_hits, 0) AS n_hits
       FROM g LEFT JOIN m USING (doc_id) ORDER BY doc_id"""),
+
+    // unigram surprisal replay: same census, same add-one integer
+    // division (// in DuckDB ≡ the engine's exact (N - N mod d)/d),
+    // same bin() bit-length floor-log2
+    "text_surprisal" -> ("""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      st AS (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 89 = 0),
+      c AS (SELECT tok, count(*) AS cnt FROM st GROUP BY tok),
+      n AS (SELECT count(*) AS total FROM st),
+      e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      j AS (SELECT e.doc_id,
+          length(bin((SELECT total FROM n) // (coalesce(c.cnt, 0) + 1))) - 1
+            AS s
+        FROM e LEFT JOIN c ON e.tok = c.tok),
+      m AS (SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(s) AS BIGINT) AS surprisal
+        FROM j GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(m.n_tokens, 0) AS n_tokens,
+        coalesce(m.surprisal, 0) AS surprisal
+      FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id"""),
 
     // hashed linear classifier: unigram + adjacent-bigram features,
     // bucket = md5-prefix hash % 64, score = Σ integer bucket weights

@@ -94,4 +94,56 @@ object DomainScore {
     docs.select(col(idCol),
         hashedLinearScore(col(textCol), weights).as("score"))
       .withColumn("keep", col("score") > 0)
+
+  private def toksOf(c: Column): Column =
+    filter(split(lower(trim(coalesce(c, lit("")))), "\\s+"), t => t =!= "")
+
+  /** Integer-exact unigram surprisal scoring — the CCNet-selection
+    * criterion (language-model perplexity against an in-domain
+    * corpus) reduced to engine-replayable integer arithmetic: a
+    * token's surprisal is `floor(log₂(N / (count + 1)))` bits under
+    * the seed corpus's add-one-smoothed unigram counts (total N seed
+    * tokens; OOV ⇒ count 0 ⇒ maximal surprisal), and a document's
+    * score is the sum over its token occurrences. Rank or gate on
+    * `surprisal / n_tokens` (mean bits per token ≈ log-perplexity)
+    * downstream — low = in-domain-fluent, high = off-domain or noise.
+    *
+    * Every step is integer: the quotient is true integer division
+    * (computed as `(N - N mod d) / d` — the numerator is exactly
+    * divisible, so the double division is EXACT below 2⁵³ and any SQL
+    * engine's `//` reproduces it), and floor-log₂ is the bit length
+    * of that quotient (`length(bin(q)) - 1`, identical in Spark and
+    * DuckDB) — no float log anywhere, so scores hash-match
+    * cross-engine bit for bit.
+    *
+    * Scale shape: the seed census is one partial-aggregable pass over
+    * the (small, in-domain) seed set; the count table joins the
+    * exploded corpus behind a COUNT-GATED broadcast (the
+    * [[KgTraining.negativeSamples]] discipline — seed vocabularies
+    * above `vocabBroadcastLimit` fall back to a shuffle join on the
+    * token, output-identical); the per-doc sum is one
+    * partial-aggregable aggregate. N rides as a literal (one eager
+    * 1-row aggregate over the already-persisted census — driver
+    * scalars, not corpus collects). Returns
+    * (idCol, n_tokens, surprisal). */
+  def surprisalScore(docs: DataFrame, idCol: String, textCol: String,
+      seed: DataFrame, seedCol: String,
+      vocabBroadcastLimit: Long = 5000000L): DataFrame = {
+    val counts = seed.select(explode(toksOf(col(seedCol))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+      .persist()
+    val nVocab = counts.count()
+    val total: Long = if (nVocab == 0) 0L
+      else counts.agg(sum(col("__c"))).head().getLong(0)
+    val cj = if (nVocab <= vocabBroadcastLimit) broadcast(counts) else counts
+    val d = coalesce(col("__c"), lit(0L)) + lit(1L)
+    val q = ((lit(total) - pmod(lit(total), d)) / d).cast("long")
+    docs.select(col(idCol), explode_outer(toksOf(col(textCol))).as("__t"))
+      .join(cj, Seq("__t"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__t")).as("n_tokens"),
+        coalesce(sum(when(col("__t").isNotNull,
+            (length(bin(q)) - 1).cast("long"))),
+          lit(0L)).as("surprisal"))
+  }
 }

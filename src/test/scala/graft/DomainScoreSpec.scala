@@ -85,6 +85,41 @@ class DomainScoreSpec extends SparkSpec {
     }
   }
 
+  test("surprisalScore matches a brute-force integer-log2 replay; " +
+      "gate fallback identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the"),
+      (3L, "zebra quux"),               // all OOV vs the seed
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val seed = Seq("the cat sat", "the dog sat on a log").toDF("t")
+    val out = DomainScore.surprisalScore(docs, "id", "text", seed, "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val seedToks = Seq("the cat sat", "the dog sat on a log").flatMap(words)
+    val cnt = seedToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = seedToks.size.toLong
+    def bits(q: Long): Long = if (q == 0) 0L else 63L - java.lang.Long.numberOfLeadingZeros(q)
+    def exp(t: String): (Long, Long) = {
+      val w = words(Option(t).getOrElse(""))
+      (w.size.toLong,
+        w.map(tok => bits(total / (cnt.getOrElse(tok, 0L) + 1L))).sum)
+    }
+    assert(out(1L) == exp("the cat sat on the mat"))
+    assert(out(2L) == exp("the the the"))
+    assert(out(3L) == exp("zebra quux"))
+    assert(out(4L) == (0L, 0L) && out(5L) == (0L, 0L))
+    // OOV tokens carry the maximal per-token surprisal
+    assert(out(3L)._2 == 2 * bits(total))
+    // count-gate fallback (forced shuffle join) is output-identical
+    val out2 = DomainScore.surprisalScore(docs, "id", "text", seed, "t",
+        vocabBroadcastLimit = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out2 == out)
+  }
+
   test("temperature mixture: rate interpolates between natural and balanced") {
     import spark.implicits._
     // en weight 4000, zh weight 1000 → x_en = 0.25:
