@@ -1616,6 +1616,33 @@ object SparkEntry {
           QcWeights)
         .orderBy("doc_id")),
 
+    // data-driven skew census (r5): every key with >= 10 rows, count +
+    // integer parts-per-million share — the pass that DECIDES salting
+    // instead of salting uniformly on faith; `div` replays as DuckDB //
+    "skew_hotkeys" -> ((s, dir) =>
+      Skew.hotKeyCensus(tbl(s, dir, "documents"), "lang", minCount = 10L)),
+
+    // census-driven SELECTIVE salted linking (r5): even docs mention
+    // their lang (hot keys — salted over 8 lanes), odd docs a unique
+    // name (cold — single lane; u1/u3/u5 match aliases, the rest join
+    // null). The whole salting machinery must reproduce a plain left
+    // join bit-for-bit — that IS the oracle
+    "j8_salted_auto" -> ((s, dir) => {
+      import s.implicits._
+      val d = tbl(s, dir, "documents")
+      val mentions = d.select(col("doc_id"),
+        col("doc_id").cast("string").as("conv_id"), lit(0).as("turn_idx"),
+        when(pmod(col("doc_id"), lit(2)) === 0, col("lang"))
+          .otherwise(concat(lit("u"), col("doc_id"))).as("name"))
+      val aliases = d.select(col("lang").as("alias")).distinct()
+        .union(Seq("u1", "u3", "u5").toDF("alias"))
+        .withColumn("canonical_id", substring(md5(col("alias")), 1, 8))
+      EntityLinking.linkSaltedAuto(mentions, aliases, salt = 8,
+          hotMinCount = 5L)
+        .select(col("doc_id"), col("name"), col("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic 5/5/90 train-val-test assignment: hash-banded so a
     // row's split never moves under growth/retries (leakage guarantee)
     "sample_split" -> ((s, dir) =>
@@ -2877,6 +2904,28 @@ object SparkEntry {
       SELECT t.doc_id, coalesce(sc.score, 0) AS score,
         coalesce(sc.score, 0) > 0 AS keep
       FROM t LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""),
+
+    // skew census replay: GROUP BY + HAVING, integer ppm share via //
+    "skew_hotkeys" -> ("""
+      SELECT lang, count(*) AS n,
+        (count(*) * 1000000) // (SELECT count(*) FROM documents) AS share_ppm
+      FROM documents GROUP BY lang HAVING count(*) >= 10
+      ORDER BY n DESC, lang"""),
+
+    // the selective-salting machinery must reproduce a PLAIN left join:
+    // the twin is that join, written directly
+    "j8_salted_auto" -> ("""
+      WITH m AS (SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN lang
+               ELSE 'u' || CAST(doc_id AS VARCHAR) END AS name
+        FROM documents),
+      a AS (SELECT DISTINCT lang AS alias FROM documents
+            UNION SELECT unnest(['u1', 'u3', 'u5']))
+      SELECT m.doc_id, m.name,
+        CASE WHEN a.alias IS NULL THEN NULL
+             ELSE substr(md5(m.name), 1, 8) END AS canonical_id
+      FROM m LEFT JOIN a ON m.name = a.alias
+      ORDER BY doc_id"""),
 
     // thresholds are the PRE-TRUNCATED longs (floor(rate·2^32)):
     // Spark's double→long cast truncates while DuckDB's rounds, so the

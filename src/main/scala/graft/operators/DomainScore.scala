@@ -39,15 +39,24 @@ object DomainScore {
     * Window semantics are [[graft.plans.ShingleHashes]]'s: empty
     * tokens drop, m < n tokens yield the one window over all m,
     * m = 0 yields none (the doc still reports a (0, 0) row via the
-    * outer explode). Returns (idCol, n_grams, n_hits). */
+    * outer explode). Returns (idCol, n_grams, n_hits).
+    *
+    * The broadcast is COUNT-GATED (the [[KgTraining.negativeSamples]]
+    * discipline): a seed set whose distinct-gram count exceeds
+    * `seedBroadcastLimit` falls back to a shuffle join on the hash,
+    * output-identical — "small by definition" is an expectation, not
+    * a safety property. */
   def ngramCoverage(docs: DataFrame, idCol: String, textCol: String,
-      target: DataFrame, targetCol: String, n: Int = 3): DataFrame = {
+      target: DataFrame, targetCol: String, n: Int = 3,
+      seedBroadcastLimit: Long = 5000000L): DataFrame = {
     val th = target
       .select(explode(Decontaminate.ngramHashes(col(targetCol), n)).as("_th"))
       .distinct()
+      .persist()
+    val tj = if (th.count() <= seedBroadcastLimit) broadcast(th) else th
     docs.select(col(idCol),
         explode_outer(Decontaminate.ngramHashes(col(textCol), n)).as("_h"))
-      .join(broadcast(th), col("_h") === col("_th"), "left")
+      .join(tj, col("_h") === col("_th"), "left")
       .groupBy(idCol)
       .agg(count(col("_h")).as("n_grams"), count(col("_th")).as("n_hits"))
   }

@@ -41,6 +41,46 @@ object EntityLinking {
       .drop("alias", "_salt")
   }
 
+  /** CENSUS-DRIVEN selective salting: [[linkSalted]] replicates every
+    * alias `salt` ways, multiplying the build side blindly; this
+    * variant salts ONLY the keys a [[Skew.hotKeyCensus]] pass over the
+    * mentions proves hot, in a single probe scan — no split, no
+    * double read of the 100-TB side. Cold rows get exactly one salt
+    * lane (`_salt = 0`); hot rows spread over `salt` lanes; the build
+    * side replicates hot aliases `salt` ways and cold aliases once.
+    * Join keys, multiplicities, and left-join null semantics are
+    * IDENTICAL to the plain left join (property-tested in SkewSpec and
+    * driver-oracled against the plain-join SQL twin).
+    *
+    * The hot list (≤ |mentions| / hotMinCount keys by construction) is
+    * COUNT-GATED before broadcasting — above `hotBroadcastLimit`
+    * entries the hot-flag joins shuffle instead, output-identical. */
+  def linkSaltedAuto(mentions: DataFrame, aliases: DataFrame, salt: Int = 8,
+      hotMinCount: Long = 100000L,
+      hotBroadcastLimit: Long = 5000000L): DataFrame = {
+    val hot = Skew.hotKeyCensus(mentions, "name", hotMinCount)
+      .select(col("name").as("__hot"))
+      .persist()
+    val hj = if (hot.count() <= hotBroadcastLimit) broadcast(hot) else hot
+    val salted = mentions
+      .join(hj, mentions("name") === col("__hot"), "left")
+      .withColumn("_salt",
+        when(col("__hot").isNotNull,
+          pmod(xxhash64(col("name"), col("conv_id"), col("turn_idx")), lit(salt)))
+          .otherwise(lit(0L)))
+      .drop("__hot")
+    val replicated = aliases
+      .join(hj, aliases("alias") === col("__hot"), "left")
+      .withColumn("_salt", explode(sequence(lit(0),
+        when(col("__hot").isNotNull, lit(salt - 1)).otherwise(lit(0)))))
+      .withColumn("_salt", col("_salt").cast("long"))
+      .drop("__hot")
+    salted.join(replicated,
+        salted("name") === replicated("alias") && salted("_salt") === replicated("_salt"),
+        "left")
+      .drop("alias", "_salt")
+  }
+
   // ---- MinHash-banded fuzzy candidate generation ----------------------
 
   /** Character n-gram shingles of a (lowercased, space-normalized)

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-driven skew detection — the census that DECIDES the salting
+  * the north rule demands ("explicit skew salting on hot entities"),
+  * instead of salting uniformly on faith. One partial-aggregable pass
+  * over the key column yields every key whose row count reaches
+  * `minCount`, with its count and per-million share; the result is
+  * small by construction (at most totalRows / minCount keys — 10¹²
+  * rows with minCount 10⁵ bounds the census at 10⁷ rows), so it can
+  * drive a broadcast hot-list, a selective salted join
+  * ([[EntityLinking.linkSaltedAuto]]), or an ops dashboard.
+  *
+  * Integer-exact on purpose: the share is reported in parts-per-
+  * million via integer division (`n * 1000000 div total`) so any SQL
+  * engine replays it bit-for-bit — no float ratios in the engine.
+  */
+object Skew {
+
+  /** Hot-key census: (key, n, share_ppm) for every key with at least
+    * `minCount` rows, descending by count (ties: key asc). `total`
+    * rides as a literal from one eager 1-row aggregate — a driver
+    * scalar, not a corpus collect. NULL keys count like any other
+    * key (a null-heavy column is a REAL skew hazard — the census must
+    * surface it, not mask it). */
+  def hotKeyCensus(df: DataFrame, keyCol: String,
+      minCount: Long): DataFrame = {
+    val total = math.max(df.count(), 1L)
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      // long `div` (not float /): n*10⁶ stays under Long.Max up to
+      // 9·10¹² rows per key, and DuckDB's `//` replays it exactly
+      .withColumn("share_ppm", expr(s"(n * 1000000L) div ${total}L"))
+      .orderBy(col("n").desc, col(keyCol).asc_nulls_first)
+  }
+}

@@ -57,6 +57,11 @@ class DomainScoreSpec extends SparkSpec {
     assert(out == exp)
     assert(out(4L) == (0L, 0L) && out(5L) == (0L, 0L))
     assert(out(6L)._2 >= 2L) // duplicate hit windows each count
+    // count-gate fallback (forced shuffle join) is output-identical
+    val out2 = DomainScore.ngramCoverage(docs, "id", "text", target, "t",
+        n = 3, seedBroadcastLimit = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out2 == out)
   }
 
   test("hashedLinearScore matches a brute-force hash-and-sum replay") {

@@ -53,4 +53,59 @@ class SkewSpec extends SparkSpec {
       assert(salted.filter(col("canonical_id") === ("id_" + hot)).count() === 18000L)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("hotKeyCensus: threshold filter, exact ppm shares, null keys surfaced") {
+    import spark.implicits._
+    val df = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(9)("c") ++
+      Seq.fill(1)(null: String)).toDF("k")
+    val out = graft.operators.Skew.hotKeyCensus(df, "k", minCount = 10L)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (Some("a"), 60L, 600000L), (Some("b"), 30L, 300000L)))
+    // null keys are counted, not masked: drop the threshold and the
+    // null row appears with its exact share
+    val withNull = graft.operators.Skew.hotKeyCensus(df, "k", minCount = 1L)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    assert(withNull.contains((None, 1L, 10000L)))
+  }
+
+  test("linkSaltedAuto: census-selective salting — hot spread, cold single-lane, " +
+      "output identical to the plain join (broadcast and shuffle hot-list paths)") {
+    import spark.implicits._
+    val hot = "神经网络"
+    val mentions = spark.range(20000).select(
+      concat(lit("c"), (col("id") % 50)).as("conv_id"),
+      (col("id") % 100).cast("int").as("turn_idx"),
+      when(col("id") % 10 < 9, lit(hot))
+        .otherwise(concat(lit("e"), col("id"))).as("name"))
+    val aliases = (Seq(hot) ++ (0 until 50).map("alias" + _) ++
+      Seq("e19", "e29"))                     // two COLD keys that match
+      .map(a => (a, "id_" + a)).toDF("alias", "canonical_id")
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("conv_id", "turn_idx", "name", "canonical_id")
+          .collect().map(_.toSeq).toSet
+      val plain = rows(mentions.join(aliases,
+        mentions("name") === aliases("alias"), "left").drop("alias"))
+      val auto = EntityLinking.linkSaltedAuto(mentions,
+        aliases.hint("shuffle_hash"), salt = 8, hotMinCount = 1000L)
+      assert(rows(auto) == plain)
+      // cold matched keys fire the single-lane path (they are matched,
+      // so the census-selective join really did carry them through)
+      assert(auto.filter(col("canonical_id") === "id_e19").count() === 1L)
+      def spread(df: org.apache.spark.sql.DataFrame, id: String): Int =
+        df.filter(col("canonical_id") === id)
+          .select(spark_partition_id().as("p")).distinct().count().toInt
+      // hot key spreads over reducers; a cold key stays on exactly one
+      assert(spread(auto, "id_" + hot) >= 3)
+      assert(spread(auto, "id_e19") === 1)
+      // forced hot-list SHUFFLE path (broadcast gate tripped): identical
+      val shuffled = EntityLinking.linkSaltedAuto(mentions,
+        aliases.hint("shuffle_hash"), salt = 8, hotMinCount = 1000L,
+        hotBroadcastLimit = 0L)
+      assert(rows(shuffled) == plain)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
