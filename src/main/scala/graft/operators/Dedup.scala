@@ -173,7 +173,11 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: shingle → minhash signature → band →
     * bucket join → verified Jaccard (the standard web-dedup pipeline).
-    * Returns candidate pairs (a, b, jaccard ≥ threshold).
+    * Returns candidate pairs (a, b, jaccard ≥ threshold). The verified
+    * Jaccard is computed over each doc's DISTINCT shingle-hash set
+    * (xxhash64 — equal to shingle-string Jaccard modulo hash
+    * collisions, the same verify sets [[signatureStore]] persists for
+    * the incremental path).
     *
     * TUNING CONTRACT (bands × rowsPerBand = signature length):
     * when the signature has ≥ 16 hashes, a probabilistic
@@ -201,21 +205,32 @@ object Dedup {
       shingleN: Int = 3, bucketCap: Int = 1000,
       estFilter: Boolean = true): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
-    // FULL-CORPUS pass: tokens → per-window shingle HASHES → signature,
-    // two codegen'd expressions, zero shingle strings materialized
-    // (ShingleHashes + MinhashFold; the former
+    // FULL-CORPUS pass: tokens → per-window shingle HASHES → distinct
+    // hash set + signature, two codegen'd expressions, zero shingle
+    // strings materialized (ShingleHashes + MinhashFold; the former
     // array_distinct/transform/concat_ws pipeline allocated every
     // shingle string for every document and then walked them through
     // numHashes interpreted array_min passes). The persisted signature
-    // table carries (id, text, sig) — shingle SETS are reconstructed
-    // later for CANDIDATE PAIRS ONLY, which at web scale is orders of
-    // magnitude fewer rows than the corpus.
+    // table carries (id, hs, sig) — `hs`, the distinct shingle-hash
+    // set, IS the verify set (same schema and rationale as
+    // [[signatureStore]]): exact Jaccard over 64-bit shingle hashes
+    // equals shingle-string Jaccard modulo hash collisions, and
+    // verifying on the persisted longs keeps the per-pair step inside
+    // codegen'd set intersection. The former verify re-built shingle
+    // STRINGS per pair through interpreted HOFs (split + transform +
+    // concat_ws), and CollapseProject inlined that construction into
+    // each of its ~5 downstream uses — measured 93% of the 300k-doc
+    // curation chain's wall time before this change (BENCH.md round 5).
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .withColumn("__hs", graft.plans.ShingleHashes.shingle_hashes(
         split(lower(trim(col("__t"))), "\\s+"), shingleN))
       .filter(size(col("__hs")) > 0)
-      .withColumn("sig", graft.plans.MinhashFold.minhash_fold(col("__hs"), numHashes))
-      .drop("__hs")
+      .withColumn("hs", array_distinct(col("__hs")))
+      // fold over the distinct set: min is invariant under distinct, so
+      // signatures are byte-identical to a fold over the raw windows
+      // (the signatureStore guarantee)
+      .withColumn("sig", graft.plans.MinhashFold.minhash_fold(col("hs"), numHashes))
+      .select("id", "hs", "sig")
     val sigs = withSig.persist()
     // banding carries ONLY (id, bucket) — text/signature arrays never
     // enter the self-join or the pair distinct
@@ -238,11 +253,11 @@ object Dedup {
     //      same choice as EntityLinking.fuzzyCandidates at 8 hashes).
     //  (2) size ratio — LOSSLESS: J(A,B) ≤ min|·|/max|·|, so J ≥ t
     //      implies the ratio ≥ t.
-    // Shingle sets are computed AFTER the join (withColumn on joined
-    // rows), so only surviving candidates pay for them.
+    // The exact Jaccard runs over the PERSISTED hs sets (no per-pair
+    // shingle reconstruction — see the withSig comment above).
     val joined = idPairs
-      .join(sigs.select(col("id").as("a"), col("__t").as("_tA"), col("sig").as("sigA")), Seq("a"))
-      .join(sigs.select(col("id").as("b"), col("__t").as("_tB"), col("sig").as("sigB")), Seq("b"))
+      .join(sigs.select(col("id").as("a"), col("hs").as("hsA"), col("sig").as("sigA")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("hs").as("hsB"), col("sig").as("sigB")), Seq("b"))
     val estFiltered =
       if (estFilter && numHashes >= MinHashesForEstFilter)
         joined.withColumn("est", size(filter(zip_with(col("sigA"), col("sigB"),
@@ -250,13 +265,11 @@ object Dedup {
           .filter(col("est") >= threshold - EstMargin)
       else joined
     val out = estFiltered
-      .withColumn("shA", wordShingles(col("_tA"), shingleN))
-      .withColumn("shB", wordShingles(col("_tB"), shingleN))
-      .filter(least(size(col("shA")), size(col("shB"))).cast("double") /
-        greatest(size(col("shA")), size(col("shB"))) >= threshold)
-      .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
+      .filter(least(size(col("hsA")), size(col("hsB"))).cast("double") /
+        greatest(size(col("hsA")), size(col("hsB"))) >= threshold)
+      .withColumn("inter", size(array_intersect(col("hsA"), col("hsB"))))
       .withColumn("jaccard", col("inter") /
-        (size(col("shA")) + size(col("shB")) - col("inter")))
+        (size(col("hsA")) + size(col("hsB")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
     (out, sigs)

@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Canonicalize, Curation, Dedup}
+
+/** Stage-level profiler for the curation chain — the measurement pass
+  * behind the CurateScale identity proof: the SAME Zipf corpus, but
+  * each stage materialized and timed separately so the 8→32-core
+  * scaling limit (BENCH.md round 5: 0.49) is attributed to a stage
+  * instead of guessed at. Persisting per stage changes total cost
+  * slightly (extra materializations), so these numbers calibrate WHERE
+  * time goes; the identity/throughput claim stays with CurateScale.
+  *
+  * Usage: SPARK_GRAFT_CPUS=8|32 runMain graft.tools.CurateProfile [nDocs]
+  */
+object CurateProfile {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 300000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-curate-profile")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // identical corpus construction to CurateScale
+    val k = math.max(nDocs / 20L, 10L)
+    val u = (pmod(xxhash64(lit("cl"), col("id")), lit(1000000L))
+      .cast("double") + 0.5) / 1000000.0
+    val cluster = floor(pow(lit(k.toDouble), u)).cast("long")
+    val tok = (j: org.apache.spark.sql.Column) =>
+      concat(lit("w"), pmod(xxhash64(col("cluster"), j), lit(20000L)))
+    val baseLine = (l: org.apache.spark.sql.Column) =>
+      array_join(transform(sequence(lit(0), lit(9)),
+        t => tok(l * 10 + t)), " ")
+    val perturbAt = pmod(xxhash64(lit("p"), col("id")), lit(10L))
+    val docs = spark.range(nDocs)
+      .withColumn("cluster", cluster)
+      .withColumn("text", array_join(
+        transform(sequence(lit(0), lit(9)), l =>
+          when(pmod(col("id"), lit(3L)) =!= 0L && l === perturbAt,
+            concat(lit("u"), col("id"))).otherwise(baseLine(l))), "\n"))
+      .select(col("id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stage] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    def mat(name: String, df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed(name) { val n = p.count(); println(s"        rows=$n") }
+      p
+    }
+
+    import graft.operators.{Pii, TextAnalysis}
+    val gated = docs.filter(
+      TextAnalysis.tokenCount(coalesce(col("text"), lit(""))) >= 5 &&
+      length(coalesce(col("text"), lit(""))) <= 20000)
+      .withColumn("text", Pii.redact(col("text")))
+    val redacted = mat("gate+redact", gated)
+
+    val clean = mat("boilerplate",
+      Dedup.dropBoilerplateLines(redacted, "id", "text", 50L)
+        .withColumnRenamed("clean_text", "text").drop("n_kept"))
+
+    val exact = mat("exact-dedup", Dedup.exact(clean, "id", "text"))
+
+    // dropNearDuplicatesExactFirst unbundled
+    val withH = mat("hash-groups",
+      exact.select(col("id"), md5(col("text")).as("_h")))
+    val groups = mat("group-reps",
+      withH.groupBy("_h").agg(min(col("id")).as("_rep")))
+    val reps = exact.join(groups.select(col("_rep").as("id")), Seq("id"), "left_semi")
+
+    val (rawPairs, sigs) = Dedup.minhashLshWithHandle(reps, "id", "text",
+      threshold = 0.7)
+    timed("sigs (persist)") { sigs.count() }
+    val pairs = mat("lsh-pairs+verify",
+      rawPairs.select(col("a").cast("string").as("a"),
+        col("b").cast("string").as("b")))
+    val cc = mat("connected-comp", Canonicalize.componentsAuto(pairs))
+    val memberComp = withH.as("m")
+      .join(groups.as("g"), col("m._h") <=> col("g._h"))
+      .join(cc.withColumnRenamed("v", "_repS"),
+        col("g._rep").cast("string") === col("_repS"), "left")
+      .select(col("m.id"),
+        coalesce(col("comp"), col("g._rep").cast("string")).as("_comp"))
+    val survivors = mat("survivor-pick",
+      memberComp.groupBy("_comp").agg(min(col("id").cast("string")).as("_sid"))
+        .select("_sid"))
+    timed("final-join+agg") {
+      val row = exact.join(survivors,
+          col("id").cast("string") === col("_sid"), "left_semi")
+        .agg(count(lit(1)), sum(length(col("text")))).collect()(0)
+      println(s"        out=${row.getLong(0)} len=${row.getLong(1)}")
+    }
+    spark.stop()
+  }
+}
