@@ -153,13 +153,23 @@ object EntityLinking {
     val pairs = Dedup.bandedPairs(banded, bucketCap = bucketCap)
     // the pair columns ARE the surface forms, so the verification
     // shingle sets are recomputed directly from them — candidate rows
-    // only, no join back to sigs at all. The size-ratio prefilter is
-    // LOSSLESS (J(A,B) ≤ min|·|/max|·|, so J ≥ t implies the ratio
-    // ≥ t) — unlike minhashLsh's signature-estimate filter, which is
-    // probabilistic and would change output at 8 hashes
+    // only, no join back to sigs at all. The sets are DISTINCT
+    // SHINGLE-HASH sets from the same codegen'd ShingleHashes
+    // expression the signatures fold over (exact Jaccard over them
+    // equals char-shingle-string Jaccard modulo xxhash64 collisions —
+    // the Dedup.minhashLsh / signatureStore verify discipline; the
+    // former string-set verify re-ran interpreted transform+substr
+    // lambdas per pair, ~5× each via CollapseProject inlining). The
+    // size-ratio prefilter is LOSSLESS (J(A,B) ≤ min|·|/max|·|, so
+    // J ≥ t implies the ratio ≥ t) — unlike minhashLsh's signature-
+    // estimate filter, which is probabilistic and would change output
+    // at 8 hashes
+    def hsOf(c: Column): Column = array_distinct(
+      graft.plans.ShingleHashes.shingle_hashes(
+        split(lower(regexp_replace(c, "\\s+", "")), ""), shingleN))
     val out = pairs
-      .withColumn("shA", shingles(col("a"), shingleN))
-      .withColumn("shB", shingles(col("b"), shingleN))
+      .withColumn("shA", hsOf(col("a")))
+      .withColumn("shB", hsOf(col("b")))
       .filter(least(size(col("shA")), size(col("shB"))).cast("double") /
         greatest(size(col("shA")), size(col("shB"))) >= threshold)
       .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
