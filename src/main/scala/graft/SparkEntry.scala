@@ -758,6 +758,25 @@ object SparkEntry {
       Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
         bits = 32, bandBits = 8, maxDist = 3)),
 
+    // exact duplicated-SPAN detection (r5, beyond-reference): k-token
+    // rolling window hashes → cross-doc census → maximal span merge.
+    // Shared runs are INJECTED deterministically (a 6-token sentence on
+    // mod-5 docs, a 12-token run on mod-7 docs — mod-35 docs carry
+    // both, whose boundary windows are themselves corpus-hot and
+    // bridge the two spans); the DuckDB twin replays window STRINGS,
+    // so an xxhash64 window collision would surface as a diff
+    "dedup_spans" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").withColumn("text",
+        concat(coalesce(col("text"), lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" the quick brown fox jumps over")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+            .otherwise(lit(""))))
+      Dedup.duplicatedSpans(d, "doc_id", "text", k = 6)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // The near-dup-DROP architecture, DRIVER-ORACLED end to end: band →
     // candidate pairs (the production bandedPairs, hot-bucket guard in
     // the plan) → exact-Jaccard verify → connected components (the
@@ -3336,6 +3355,43 @@ object SparkEntry {
       SELECT doc_id, min(md5('0|' || w)) AS h0, min(md5('1|' || w)) AS h1,
              min(md5('2|' || w)) AS h2, min(md5('3|' || w)) AS h3
       FROM w GROUP BY doc_id ORDER BY doc_id"""),
+
+    // duplicated-span replay on window STRINGS: same injection, same
+    // 1-based positions over empty-filtered lowercased tokens, same
+    // short-doc one-window rule, same <=k island merge; zipped unnests
+    // align pos with its window by construction
+    "dedup_spans" -> ("""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(
+            coalesce(text, '') ||
+            CASE WHEN doc_id % 5 = 0
+                 THEN ' the quick brown fox jumps over' ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0
+                 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
+                 ELSE '' END)), '\s+'), x -> x <> '') AS ws
+        FROM documents),
+      tt AS (SELECT doc_id, ws, len(ws) AS m FROM t),
+      w2 AS (SELECT doc_id, m,
+          unnest(range(1, CASE WHEN m = 0 THEN 1 WHEN m < 6 THEN 2
+                             ELSE m - 4 END)) AS pos,
+          unnest([array_to_string(ws[i:i+5], ' ')
+                  FOR i IN range(1, CASE WHEN m = 0 THEN 1 WHEN m < 6 THEN 2
+                                      ELSE m - 4 END)]) AS g
+        FROM tt),
+      hot AS (SELECT g FROM w2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      d AS (SELECT doc_id, m, pos FROM w2 WHERE g IN (SELECT g FROM hot)),
+      brk AS (SELECT doc_id, m, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 6
+               THEN 0 ELSE 1 END AS b
+        FROM d),
+      isl AS (SELECT doc_id, m, pos,
+          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk)
+      SELECT doc_id, min(pos) AS span_start,
+        least(max(pos) + 5, min(m)) AS span_end,
+        count(*) AS n_windows
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start"""),
 
     // the incremental architecture: batch-probe band join (store×store
     // pairs never generated) -> Jaccard verify -> components -> the

@@ -478,6 +478,75 @@ object Dedup {
     (kept, newStore)
   }
 
+  /** Exact duplicated-SPAN detection — substring-level dedup, the
+    * granularity between [[dropBoilerplateLines]] (lines) and
+    * [[minhashLsh]] (whole documents): find every maximal token span
+    * whose k-token windows all occur in at least `minDocs` distinct
+    * documents (the "deduplicating training data" pass that catches
+    * licence blocks, boilerplate paragraphs, and quoted chunks pasted
+    * across otherwise-distinct pages).
+    *
+    * Algorithm (hash-based, no suffix array — the distributed-friendly
+    * equivalent): one codegen'd [[graft.plans.ShingleHashes]] pass
+    * emits each doc's k-token rolling window hashes IN POSITION ORDER;
+    * a cross-doc census keeps windows seen in ≥ `minDocs` docs; each
+    * doc's surviving window start positions are merged into maximal
+    * spans (consecutive duplicated starts ≤ k apart overlap or touch).
+    * Window equality is 64-bit hash equality — equal to string
+    * equality modulo xxhash64 collisions, the suite-wide verify
+    * discipline (a collision would surface as an oracle diff).
+    *
+    * Returns (idCol, span_start, span_end, n_windows): 1-based token
+    * positions over the doc's lowercased non-empty whitespace tokens,
+    * span_end inclusive and clamped to the doc's token count (a doc
+    * with m < k tokens contributes its single all-m window, matching
+    * the ShingleHashes short-doc rule). Within-doc repeats of a
+    * cross-doc-hot window are reported at every position (masking
+    * must see them all); a window repeated only inside ONE doc is not
+    * duplicated under the ≥ `minDocs`-distinct-docs rule.
+    *
+    * Scale shape: the window explode is linear in corpus tokens and
+    * narrow (id, pos, 8-byte hash); the census is the boilerplate
+    * discipline — (hash, id) distinct then count, BOTH stages
+    * partial-aggregable, so a window shared by 10⁹ docs reaches the
+    * shuffle once per input partition; the probe is a semi-join on the
+    * hash (no broadcast assumption — the hot-window list of a 100-TB
+    * corpus is itself large); the island merge windows over ONE doc's
+    * positions (bounded by doc length, never corpus-wide). The
+    * exploded windows are scanned twice (census + probe) — at corpus
+    * scale persist the projection or let the scan re-read, same note
+    * as [[dropBoilerplateLines]]. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Long = 2L): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val wh = df.select(col(idCol),
+        // non-empty token count rides along to clamp the short-doc
+        // span end (n = 1 hashes = one per valid token, codegen'd)
+        size(graft.plans.ShingleHashes.shingle_hashes(toks, 1)).as("_m"),
+        posexplode(graft.plans.ShingleHashes.shingle_hashes(toks, k))
+          .as(Seq("_p", "_h")))
+      // long positions: DuckDB's window/len arithmetic is BIGINT, and
+      // the driver compare hashes typed values
+      .select(col(idCol), col("_m").cast("long").as("_m"),
+        (col("_p") + 1).cast("long").as("pos"), col("_h"))
+    val hot = wh.select(col("_h"), col(idCol)).distinct()
+      .groupBy("_h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("_h").as("_hoth"))
+    val dup = wh.join(hot, col("_h") === col("_hoth"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    dup
+      .withColumn("_brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("_isl", sum("_brk").over(w))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min("pos").as("span_start"),
+        least(max("pos") + lit(k - 1), min("_m")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("_isl")
+  }
+
   /** CCNet-style boilerplate removal — dedup at LINE granularity: drop
     * every line whose trimmed form occurs in more than `maxDocs`
     * distinct documents corpus-wide (navigation chrome, cookie

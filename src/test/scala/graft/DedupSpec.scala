@@ -547,6 +547,42 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == (("only unique text", 1L)))
   }
 
+  test("duplicatedSpans: cross-doc spans, overlap merge, short-doc clamp, islands split") {
+    import spark.implicits._
+    val k = 4
+    val d = Seq(
+      (1L, "p q r s t u v w"),        // shares r s t u v with 2 (pos 3-7)
+      (2L, "z1 z2 r s t u v z3"),     // same span at pos 3-7
+      (3L, "totally unrelated words here nothing shared at all"),
+      (4L, "r s t u"),                // exactly k tokens: one window, pos 1-4
+      (5L, "r s t"),                  // m < k: single all-m window
+      (6L, "r s t"),                  // pairs with 5: span clamped to [1, 3]
+      // 7/8: two shared 4-windows at distance > k → TWO islands each
+      (7L, "a1 b1 c1 d1 x1 x2 x3 x4 x5 a1 b1 c1 d1"),
+      (8L, "a1 b1 c1 d1 y1 y2 y3 y4 y5 a1 b1 c1 d1")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, "doc_id", "text", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc1/doc2: windows "r s t u" (pos 3) and "s t u v" (pos 4) merge
+    // into one maximal span [3, 4+k-1=7]
+    assert(out.contains((1L, 3L, 7L, 2L)))
+    assert(out.contains((2L, 3L, 7L, 2L)))
+    // doc4's single window matches doc1/doc2's pos-3 window
+    assert(out.contains((4L, 1L, 4L, 1L)))
+    // short docs 5/6 pair through the all-m window; end clamps to m=3
+    assert(out.contains((5L, 1L, 3L, 1L)) && out.contains((6L, 1L, 3L, 1L)))
+    // docs 7/8: repeated shared window at pos 1 and pos 10 — gap 9 > k,
+    // so two SEPARATE spans each
+    assert(out.contains((7L, 1L, 4L, 1L)) && out.contains((7L, 10L, 13L, 1L)))
+    assert(out.contains((8L, 1L, 4L, 1L)) && out.contains((8L, 10L, 13L, 1L)))
+    // doc3 reports nothing
+    assert(!out.exists(_._1 == 3L))
+    // nothing else leaks in: 2 (docs 1,2) + 1 (doc 4) + 2 (docs 5,6)
+    // + 4 (docs 7,8 × two islands)
+    assert(out.size === 9, s"got: ${out.toSeq.sortBy(x => (x._1, x._2))}")
+  }
+
   test("multimodal plumbing: features deterministic, frame sampling, thumbnails") {
     val media = Multimodal.syntheticMedia(spark, 30).cache()
     assert(media.schema.fieldNames.toSeq ===
