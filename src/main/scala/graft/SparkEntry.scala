@@ -777,6 +777,21 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // the actionable form: same injection, duplicated spans REMOVED
+    // from every doc (original case kept, single-space rejoin); the
+    // twin replays detection AND removal string-for-string
+    "dedup_spans_remove" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").withColumn("text",
+        concat(coalesce(col("text"), lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" the quick brown fox jumps over")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+            .otherwise(lit(""))))
+      Dedup.removeDuplicatedSpans(d, "doc_id", "text", k = 6)
+        .orderBy("doc_id")
+    }),
+
     // The near-dup-DROP architecture, DRIVER-ORACLED end to end: band →
     // candidate pairs (the production bandedPairs, hot-bucket guard in
     // the plan) → exact-Jaccard verify → connected components (the
@@ -3392,6 +3407,53 @@ object SparkEntry {
         count(*) AS n_windows
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start"""),
+
+    // span removal replay: detection CTEs as above, then original-case
+    // tokens (same positions — case-folding never changes emptiness)
+    // anti-range-joined against the spans and rejoined single-spaced
+    "dedup_spans_remove" -> ("""
+      WITH inj AS (SELECT doc_id,
+          trim(coalesce(text, '') ||
+            CASE WHEN doc_id % 5 = 0
+                 THEN ' the quick brown fox jumps over' ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0
+                 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
+                 ELSE '' END) AS text
+        FROM documents),
+      t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        FROM inj),
+      tt AS (SELECT doc_id, ws, len(ws) AS m FROM t),
+      w2 AS (SELECT doc_id, m,
+          unnest(range(1, CASE WHEN m = 0 THEN 1 WHEN m < 6 THEN 2
+                             ELSE m - 4 END)) AS pos,
+          unnest([array_to_string(ws[i:i+5], ' ')
+                  FOR i IN range(1, CASE WHEN m = 0 THEN 1 WHEN m < 6 THEN 2
+                                      ELSE m - 4 END)]) AS g
+        FROM tt),
+      hot AS (SELECT g FROM w2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      d AS (SELECT doc_id, m, pos FROM w2 WHERE g IN (SELECT g FROM hot)),
+      brk AS (SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 6
+               THEN 0 ELSE 1 END AS b
+        FROM d),
+      isl AS (SELECT doc_id, pos,
+          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk),
+      spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
+                FROM isl GROUP BY doc_id, island),
+      ot AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ows
+        FROM inj),
+      tok AS (SELECT doc_id,
+          unnest(range(1, len(ows) + 1)) AS pos, unnest(ows) AS tk
+        FROM ot),
+      kept AS (SELECT k.doc_id, k.pos, k.tk FROM tok k
+               WHERE NOT EXISTS (SELECT 1 FROM spans s
+                 WHERE s.doc_id = k.doc_id AND k.pos BETWEEN s.s AND s.e))
+      SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+        count(*) AS n_kept
+      FROM kept GROUP BY doc_id ORDER BY doc_id"""),
 
     // the incremental architecture: batch-probe band join (store×store
     // pairs never generated) -> Jaccard verify -> components -> the

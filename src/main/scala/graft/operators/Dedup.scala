@@ -547,6 +547,49 @@ object Dedup {
       .drop("_isl")
   }
 
+  /** Rebuild each document with its [[duplicatedSpans]] removed — the
+    * actionable form of span-level dedup (composable after the
+    * curation gates the way [[dropBoilerplateLines]] is). Policy:
+    * EVERY occurrence of a duplicated span is dropped, in every doc —
+    * the CCNet boilerplate rule lifted from lines to spans (a span hot
+    * across `minDocs` docs is chrome/licence/paste mass, not content;
+    * a keep-one-copy policy would need a global survivor election per
+    * span, a different operator). Documents whose tokens are all
+    * duplicated vanish from the output, mirroring
+    * [[dropBoilerplateLines]]' all-hot-lines behavior.
+    *
+    * Output (idCol, clean_text, n_kept): surviving tokens in original
+    * order and ORIGINAL CASE, single-space joined (the token walk is
+    * whitespace-normalizing by construction; span positions index the
+    * non-empty token sequence, which case-folding never changes).
+    *
+    * Scale shape: [[duplicatedSpans]]' two census stages plus one
+    * per-doc row_number window (position assignment), an anti range
+    * join keyed on the doc id (per-doc span lists are small — spans
+    * are maximal, so ≤ m/k of them), and the bounded per-doc
+    * reassembly aggregate. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Long = 2L): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k, minDocs)
+      .select(col(idCol).as("_sid"), col("span_start"), col("span_end"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("_op")
+    val toks = df.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\\s+"))
+          .as(Seq("_op", "_tok")))
+      .filter(col("_tok") =!= "")
+      .withColumn("pos", row_number().over(w).cast("long"))
+    val kept = toks.join(spans,
+      col(idCol) === col("_sid") &&
+        col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+      "left_anti")
+    kept.groupBy(idCol).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("_tok")))),
+        s => s.getField("_tok"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+  }
+
   /** CCNet-style boilerplate removal — dedup at LINE granularity: drop
     * every line whose trimmed form occurs in more than `maxDocs`
     * distinct documents corpus-wide (navigation chrome, cookie

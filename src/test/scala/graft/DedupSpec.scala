@@ -583,6 +583,22 @@ class DedupSpec extends SparkSpec {
     assert(out.size === 9, s"got: ${out.toSeq.sortBy(x => (x._1, x._2))}")
   }
 
+  test("removeDuplicatedSpans: spans stripped everywhere, case kept, all-dup docs vanish") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "p Q r s t u v W"),         // span [3,7] out → "p Q W"
+      (2L, "z1 z2 R s t u v z3"),      // case-insensitive match, case kept
+      (3L, "totally unrelated words here nothing shared at all"),
+      (4L, "r s t u")                  // fully duplicated → vanishes
+    ).toDF("doc_id", "text")
+    val m = Dedup.removeDuplicatedSpans(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(m(1L) == (("p Q W", 3L)))
+    assert(m(2L) == (("z1 z2 z3", 3L)))
+    assert(m(3L)._2 == 8L) // untouched (whitespace-normalized)
+    assert(!m.contains(4L))
+  }
+
   test("multimodal plumbing: features deterministic, frame sampling, thumbnails") {
     val media = Multimodal.syntheticMedia(spark, 30).cache()
     assert(media.schema.fieldNames.toSeq ===
