@@ -166,6 +166,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Expand"), plan.take(1500))
   }
 
+  test("duplicated-span census aggregates partially; island window partitions per doc") {
+    // same census discipline as the boilerplate lines: (hash, id)
+    // distinct → count, both partial-aggregable (a window shared by the
+    // whole corpus reaches the shuffle once per input partition); the
+    // only Window in the plan is the per-doc island merge — it must be
+    // PARTITIONED (no empty-partition global window), and the probe
+    // must be a semi join, never a broadcast of the unbounded hot list
+    val plan = graft.operators.Dedup.duplicatedSpans(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(1500))
+    assert(!plan.contains("Expand"), plan.take(1500))
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    assert("windowspecdefinition\\(doc_id".r.findAllIn(plan).nonEmpty,
+      plan.take(2000))
+  }
+
   test("curation report is single-pass: at most 4 corpus scans, one row-metric aggregate") {
     // r5 rewrite: the three row-level metrics share ONE aggregate over
     // one scan (conditional counters), and the line chain is built once
