@@ -27,24 +27,7 @@ object CurateProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // identical corpus construction to CurateScale
-    val k = math.max(nDocs / 20L, 10L)
-    val u = (pmod(xxhash64(lit("cl"), col("id")), lit(1000000L))
-      .cast("double") + 0.5) / 1000000.0
-    val cluster = floor(pow(lit(k.toDouble), u)).cast("long")
-    val tok = (j: org.apache.spark.sql.Column) =>
-      concat(lit("w"), pmod(xxhash64(col("cluster"), j), lit(20000L)))
-    val baseLine = (l: org.apache.spark.sql.Column) =>
-      array_join(transform(sequence(lit(0), lit(9)),
-        t => tok(l * 10 + t)), " ")
-    val perturbAt = pmod(xxhash64(lit("p"), col("id")), lit(10L))
-    val docs = spark.range(nDocs)
-      .withColumn("cluster", cluster)
-      .withColumn("text", array_join(
-        transform(sequence(lit(0), lit(9)), l =>
-          when(pmod(col("id"), lit(3L)) =!= 0L && l === perturbAt,
-            concat(lit("u"), col("id"))).otherwise(baseLine(l))), "\n"))
-      .select(col("id"), col("text"))
+    val docs = ZipfDocs.corpus(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count()
 

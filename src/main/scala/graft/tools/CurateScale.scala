@@ -50,25 +50,7 @@ object CurateScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val k = math.max(nDocs / 20L, 10L)
-    // log-uniform cluster draw: u in [0,1) from a 64-bit hash,
-    // cluster = floor(K^u) in [1, K] with density ∝ 1/c (Zipf head)
-    val u = (pmod(xxhash64(lit("cl"), col("id")), lit(1000000L))
-      .cast("double") + 0.5) / 1000000.0
-    val cluster = floor(pow(lit(k.toDouble), u)).cast("long")
-    val tok = (j: org.apache.spark.sql.Column) =>
-      concat(lit("w"), pmod(xxhash64(col("cluster"), j), lit(20000L)))
-    val baseLine = (l: org.apache.spark.sql.Column) =>
-      array_join(transform(sequence(lit(0), lit(9)),
-        t => tok(l * 10 + t)), " ")
-    val perturbAt = pmod(xxhash64(lit("p"), col("id")), lit(10L))
-    val docs = spark.range(nDocs)
-      .withColumn("cluster", cluster)
-      .withColumn("text", array_join(
-        transform(sequence(lit(0), lit(9)), l =>
-          when(pmod(col("id"), lit(3L)) =!= 0L && l === perturbAt,
-            concat(lit("u"), col("id"))).otherwise(baseLine(l))), "\n"))
-      .select(col("id"), col("text"))
+    val docs = ZipfDocs.corpus(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nIn = docs.count() // materialize outside the timed section
 

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Scale proof for the duplicated-span family over the shared
+  * [[ZipfDocs]] corpus — big clusters share all ten base lines across
+  * hundreds of documents, so the k-token window census, maximal-span
+  * merge, and removal all fire at mass. Reports deterministic
+  * order-independent fingerprints of BOTH outputs so the same input
+  * replays at two parallelism levels and compares checksum-for-
+  * checksum (the CurateScale discipline).
+  *
+  * Usage: SPARK_GRAFT_CPUS=8|32 runMain graft.tools.SpanScale [nDocs]
+  */
+object SpanScale {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-span-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = ZipfDocs.corpus(spark, nDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nIn = docs.count() // materialize outside the timed section
+
+    val t0 = System.nanoTime()
+    val spanRow = Dedup.duplicatedSpans(docs, "id", "text", k = 8)
+      .agg(count(lit(1)).as("n"),
+        sum(crc32(concat_ws("|", col("id"), col("span_start"),
+          col("span_end"), col("n_windows")))).as("chk"))
+      .collect()(0)
+    val secSpans = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val rmRow = Dedup.removeDuplicatedSpans(docs, "id", "text", k = 8)
+      .agg(count(lit(1)).as("n"),
+        sum(crc32(concat_ws("|", col("id"), md5(col("clean_text"))))).as("chk"),
+        sum(col("n_kept")).as("kept"))
+      .collect()(0)
+    val secRm = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"docs":$nIn,"spans":${spanRow.getLong(0)},""" +
+      s""""span_chk":${spanRow.getLong(1)},""" +
+      s""""sec_spans":${math.round(secSpans * 10) / 10.0},""" +
+      s""""rm_out":${rmRow.getLong(0)},"rm_chk":${rmRow.getLong(1)},""" +
+      s""""tokens_kept":${rmRow.getLong(2)},""" +
+      s""""sec_remove":${math.round(secRm * 10) / 10.0},""" +
+      s""""docs_per_sec":${math.round(nIn / (secSpans + secRm))},"cpus":$cpus}""")
+    require(spanRow.getLong(0) > 0L, "no duplicated spans found")
+    spark.stop()
+  }
+}

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared scale-proof corpus: ~nDocs synthetic documents with a
+  * Zipf(1) log-uniform duplicate-cluster distribution (heavy head —
+  * cluster 1 collects ~6% of the corpus — and a long tail of small
+  * clusters; every third member carries its cluster's base text
+  * verbatim, the rest perturb ONE line to a doc-unique token, whole-doc
+  * 3-shingle Jaccard ≈ 0.85). All pure expressions — no RNG, no UDF —
+  * so the SAME input replays at any parallelism level and any engine.
+  * Used by CurateScale (identity + throughput), CurateProfile (stage
+  * attribution), and SpanScale (duplicated-span family).
+  */
+object ZipfDocs {
+  def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
+    val k = math.max(nDocs / 20L, 10L)
+    // log-uniform cluster draw: u in [0,1) from a 64-bit hash,
+    // cluster = floor(K^u) in [1, K] with density ∝ 1/c (Zipf head)
+    val u = (pmod(xxhash64(lit("cl"), col("id")), lit(1000000L))
+      .cast("double") + 0.5) / 1000000.0
+    val cluster = floor(pow(lit(k.toDouble), u)).cast("long")
+    val tok = (j: org.apache.spark.sql.Column) =>
+      concat(lit("w"), pmod(xxhash64(col("cluster"), j), lit(20000L)))
+    val baseLine = (l: org.apache.spark.sql.Column) =>
+      array_join(transform(sequence(lit(0), lit(9)),
+        t => tok(l * 10 + t)), " ")
+    val perturbAt = pmod(xxhash64(lit("p"), col("id")), lit(10L))
+    spark.range(nDocs)
+      .withColumn("cluster", cluster)
+      .withColumn("text", array_join(
+        transform(sequence(lit(0), lit(9)), l =>
+          when(pmod(col("id"), lit(3L)) =!= 0L && l === perturbAt,
+            concat(lit("u"), col("id"))).otherwise(baseLine(l))), "\n"))
+      .select(col("id"), col("text"))
+  }
+}
