@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   *      order);
   *   3. corpus-level boilerplate-line removal
   *      ([[Dedup.dropBoilerplateLines]]);
-  *   4. exact dedup on the cleaned text ([[Dedup.exact]]: min-id
+  *   4. optionally, duplicated-SPAN removal
+  *      ([[Dedup.removeDuplicatedSpans]] — substring-granularity,
+  *      whitespace-normalizing; off by default);
+  *   5. exact dedup on the cleaned text ([[Dedup.exact]]: min-id
   *      survivor per content hash, partial-aggregable);
-  *   5. optionally, MinHash near-dup drop
+  *   6. optionally, MinHash near-dup drop
   *      ([[Dedup.dropNearDuplicatesExactFirst]] — the dup-dominated-
   *      corpus scale path).
   *
@@ -37,7 +40,9 @@ object Curation {
   def curate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 5, maxChars: Int = 20000,
       boilerplateMaxDocs: Long = 50L,
-      nearDup: Boolean = false, nearDupThreshold: Double = 0.7): DataFrame = {
+      nearDup: Boolean = false, nearDupThreshold: Double = 0.7,
+      spanDedup: Boolean = false, spanK: Int = 8,
+      spanMinDocs: Long = 2L): DataFrame = {
     // NULL text must fail the gate, not vanish into three-valued-logic
     // limbo: tokenCount(NULL) is NULL, and a NULL predicate drops the
     // row from BOTH the pass side and a naive !gate side — so the gate
@@ -52,7 +57,22 @@ object Curation {
         boilerplateMaxDocs)
       .withColumnRenamed("clean_text", textCol)
       .drop("n_kept")
-    val exact = Dedup.exact(clean, idCol, textCol)
+    val exact0 = Dedup.exact(clean, idCol, textCol)
+    // optional span-level stage AFTER exact dedup — byte-identical
+    // copies are span-duplicates of EACH OTHER, so running the span
+    // census before collapsing them would erase the content from every
+    // copy (minDocs counts docs, not distinct texts); on survivors it
+    // strips only genuinely cross-document runs. Stripping can in turn
+    // make two survivors byte-identical, so exact dedup re-runs after
+    // (one cheap hash aggregate). Span removal rejoins tokens
+    // single-spaced — it is the last text-rewriting stage
+    val exact = if (spanDedup)
+      Dedup.exact(
+        Dedup.removeDuplicatedSpans(exact0, idCol, textCol, spanK, spanMinDocs)
+          .withColumnRenamed("clean_text", textCol)
+          .drop("n_kept"),
+        idCol, textCol)
+    else exact0
     if (nearDup)
       Dedup.dropNearDuplicatesExactFirst(exact, idCol, textCol, nearDupThreshold)
     else exact

@@ -569,8 +569,20 @@ object Dedup {
     * are maximal, so ≤ m/k of them), and the bounded per-doc
     * reassembly aggregate. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minDocs: Long = 2L): DataFrame = {
-    val spans = duplicatedSpans(df, idCol, textCol, k, minDocs)
+      k: Int = 8, minDocs: Long = 2L): DataFrame =
+    removeSpans(df, idCol, textCol, duplicatedSpans(df, idCol, textCol, k, minDocs))
+
+  /** [[removeDuplicatedSpans]] against a PRECOMPUTED (idCol,
+    * span_start, span_end) frame — callers that materialize the span
+    * report anyway (audit + removal, the SpanScale shape) reuse it here
+    * instead of paying the census twice; also the hook for custom span
+    * sources (a curated blocklist of known licence spans, a
+    * decontamination hit list). Positions must index the doc's
+    * non-empty whitespace tokens, 1-based — [[duplicatedSpans]]'
+    * contract. */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+      spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
       .select(col(idCol).as("_sid"), col("span_start"), col("span_end"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("_op")

@@ -597,6 +597,18 @@ class DedupSpec extends SparkSpec {
     assert(m(2L) == (("z1 z2 z3", 3L)))
     assert(m(3L)._2 == 8L) // untouched (whitespace-normalized)
     assert(!m.contains(4L))
+    // precomputed-span form is the same operator: feeding the span
+    // report back in reproduces the one-shot output exactly
+    val viaSpans = Dedup.removeSpans(d, "doc_id", "text",
+        Dedup.duplicatedSpans(d, "doc_id", "text", k = 4))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(viaSpans == m)
+    // custom span source: mask an arbitrary range of doc 3
+    import org.apache.spark.sql.functions.{col => c}
+    val custom = Seq((3L, 2L, 4L)).toDF("doc_id", "span_start", "span_end")
+    val masked = Dedup.removeSpans(d.filter(c("doc_id") === 3L), "doc_id", "text", custom)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(masked(3L) == (("totally nothing shared at all", 5L)))
   }
 
   test("multimodal plumbing: features deterministic, frame sampling, thumbnails") {

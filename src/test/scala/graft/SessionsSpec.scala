@@ -373,6 +373,33 @@ class SessionsSpec extends SparkSpec {
     assert(out(3L) == "email me at [EMAIL] please now ok")
   }
 
+  test("curation with spanDedup strips shared spans before exact dedup collapses") {
+    import spark.implicits._
+    // docs 1/2 share a 4-token licence run with DIFFERENT unique tails;
+    // stripping the span leaves distinct texts, so both survive — but
+    // docs 3/4 differ ONLY in the shared span position, so after
+    // stripping they are byte-identical and exact dedup keeps the min
+    val lic = "copyright holder reserves rights"
+    val docs = Seq(
+      (1L, s"$lic unique one tail here"),
+      (2L, s"$lic different two tail there"),
+      (3L, s"alpha beta $lic gamma delta epsilon"),
+      (4L, s"alpha beta $lic gamma delta epsilon")
+    ).toDF("id", "text")
+    val out = graft.operators.Curation.curate(docs, "id", "text",
+        minTokens = 3, maxChars = 20000, boilerplateMaxDocs = 50L,
+        spanDedup = true, spanK = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == "unique one tail here")
+    assert(out(3L) == "alpha beta gamma delta epsilon")
+    // default-off: the span stage must not fire unless asked
+    val off = graft.operators.Curation.curate(docs, "id", "text",
+        minTokens = 3, maxChars = 20000, boilerplateMaxDocs = 50L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(off.keySet == Set(1L, 2L, 3L) && off(1L).startsWith(lic))
+  }
+
   test("curation with nearDup drops MinHash near-duplicates too") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
