@@ -2017,6 +2017,46 @@ object SparkEntry {
         .select(col("r_name").as("src"), col("n_name").as("dst"))
       val roots = tbl(s, dir, "region").select(col("r_name").as("id"))
       Bfs.expand(edges, roots, maxDepth = 2).orderBy("id")
+    }),
+
+    // G7 (engine extension): integer-scaled PageRank over the layered
+    // customer→supplier→nation→region graph (distinct buyer→seller
+    // edges from orders⋈lineitem — real skew: hot suppliers collect
+    // rank mass from many customers). Fixed 3 iterations; every update
+    // is long arithmetic (contrib = rank div outdeg, MULT-then-div
+    // damping), so the DuckDB twin's chained CTEs replay it bit-exactly
+    // — see GraphAnalytics.pageRank for the determinism contract.
+    "g7_pagerank" -> ((s, dir) => {
+      val cs = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val sn = tbl(s, dir, "supplier").select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      val nr = tbl(s, dir, "nation").select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"))
+      GraphAnalytics.pageRank(cs.union(sn).union(nr), iterations = 3)
+        .orderBy("id")
+    }),
+
+    // G8 (engine extension): synchronous label-propagation communities
+    // over the undirected customer—nation—region graph, 3 fixed rounds
+    // with most-frequent-label / min-label tie-break — pure function of
+    // the previous round, so the twin replays it with QUALIFY top-1
+    // CTEs. See GraphAnalytics.labelPropagation.
+    "g8_communities" -> ((s, dir) => {
+      val cn = tbl(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("n"), col("c_nationkey")).as("dst"))
+      val nr = tbl(s, dir, "nation").select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"))
+      GraphAnalytics.labelPropagation(cn.union(nr), rounds = 3)
+        .orderBy("id")
     })
   )
 
@@ -3799,6 +3839,71 @@ object SparkEntry {
         SELECT r_name, 0 FROM region
         UNION
         SELECT e.dst, bfs.depth + 1 FROM bfs JOIN e ON e.src = bfs.id WHERE bfs.depth < 2)
-      SELECT id, min(depth) AS depth FROM bfs GROUP BY id ORDER BY id""")
+      SELECT id, min(depth) AS depth FROM bfs GROUP BY id ORDER BY id"""),
+
+    // integer-scaled PageRank, 3 fixed iterations replayed as chained
+    // CTEs: init = scale//N, base = (15*init)//100, per round
+    // rank' = base + (85 * Σ rank//outdeg)//100 — all `//` truncating
+    // like Spark `div`, so every rank is bit-identical
+    "g7_pagerank" -> ("""
+      WITH e AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        UNION
+        SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+        UNION
+        SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+      deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      k AS (SELECT 1000000000000 // count(*) AS init,
+                   (15 * (1000000000000 // count(*))) // 100 AS base FROM v),
+      r0 AS (SELECT id, k.init AS "rank" FROM v, k),
+      s1 AS (SELECT e.dst AS id, sum(r."rank" // deg.od) AS m
+             FROM e JOIN r0 r ON r.id = e.src JOIN deg ON deg.src = e.src
+             GROUP BY e.dst),
+      r1 AS (SELECT v.id, CAST(k.base + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS "rank"
+             FROM v CROSS JOIN k LEFT JOIN s1 s ON s.id = v.id),
+      s2 AS (SELECT e.dst AS id, sum(r."rank" // deg.od) AS m
+             FROM e JOIN r1 r ON r.id = e.src JOIN deg ON deg.src = e.src
+             GROUP BY e.dst),
+      r2 AS (SELECT v.id, CAST(k.base + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS "rank"
+             FROM v CROSS JOIN k LEFT JOIN s2 s ON s.id = v.id),
+      s3 AS (SELECT e.dst AS id, sum(r."rank" // deg.od) AS m
+             FROM e JOIN r2 r ON r.id = e.src JOIN deg ON deg.src = e.src
+             GROUP BY e.dst),
+      r3 AS (SELECT v.id, CAST(k.base + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS "rank"
+             FROM v CROSS JOIN k LEFT JOIN s3 s ON s.id = v.id)
+      SELECT id, "rank" FROM r3 ORDER BY id"""),
+
+    // synchronous LPA, 3 fixed rounds: neighbor-label census → QUALIFY
+    // top-1 (count desc, label asc) → coalesce keep-own — the exact
+    // update function of GraphAnalytics.labelPropagation
+    "g8_communities" -> ("""
+      WITH e AS (
+        SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer
+        UNION
+        SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+      sym AS (SELECT src AS v, dst AS nbr FROM e UNION SELECT dst, src FROM e),
+      verts AS (SELECT DISTINCT v AS id FROM sym),
+      l0 AS (SELECT id, id AS label FROM verts),
+      p1 AS (SELECT s.v, l.label FROM sym s JOIN l0 l ON l.id = s.nbr),
+      c1 AS (SELECT v, label, count(*) AS cnt FROM p1 GROUP BY v, label),
+      t1 AS (SELECT v, label FROM c1 QUALIFY row_number() OVER
+               (PARTITION BY v ORDER BY cnt DESC, label ASC) = 1),
+      l1 AS (SELECT l.id, coalesce(t.label, l.label) AS label
+             FROM l0 l LEFT JOIN t1 t ON t.v = l.id),
+      p2 AS (SELECT s.v, l.label FROM sym s JOIN l1 l ON l.id = s.nbr),
+      c2 AS (SELECT v, label, count(*) AS cnt FROM p2 GROUP BY v, label),
+      t2 AS (SELECT v, label FROM c2 QUALIFY row_number() OVER
+               (PARTITION BY v ORDER BY cnt DESC, label ASC) = 1),
+      l2 AS (SELECT l.id, coalesce(t.label, l.label) AS label
+             FROM l1 l LEFT JOIN t2 t ON t.v = l.id),
+      p3 AS (SELECT s.v, l.label FROM sym s JOIN l2 l ON l.id = s.nbr),
+      c3 AS (SELECT v, label, count(*) AS cnt FROM p3 GROUP BY v, label),
+      t3 AS (SELECT v, label FROM c3 QUALIFY row_number() OVER
+               (PARTITION BY v ORDER BY cnt DESC, label ASC) = 1),
+      l3 AS (SELECT l.id, coalesce(t.label, l.label) AS label
+             FROM l2 l LEFT JOIN t3 t ON t.v = l.id)
+      SELECT id, label FROM l3 ORDER BY id""")
   )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics over the constructed KG's edge lists — the
+  * ranking/community layer a knowledge-graph engine needs once the
+  * graph exists (the reference stops at degrees + BFS,
+  * web_crawler2/constructor.py:135-302; these are the standard next
+  * two queries run over such a graph). Both operators are ENGINE
+  * extensions designed for the driver oracle from the start:
+  * every update is integer arithmetic (scaled-long ranks, string
+  * labels, truncating `div` — DuckDB `//` truncates toward zero
+  * exactly like Spark `div`, verified on negatives), so a fixed
+  * iteration count yields bit-identical output on any engine
+  * regardless of partitioning, join order, or summation order.
+  *
+  * Scale shape: each iteration is ONE keyed shuffle join
+  * (edges ⋈ state on src) plus ONE partial-aggregable shuffle
+  * (sum/count by dst) — the Pregel/GraphX message-passing pattern
+  * without per-vertex closures. Edges carry only (src, dst[, deg]);
+  * state carries (id, 8-byte rank | label). Pre-partitioning both by
+  * the vertex key makes every round exchange-free on the edge side;
+  * lineage is truncated per round with localCheckpoint (the Bfs.expand
+  * discipline) so T rounds never replay round 1.
+  */
+object GraphAnalytics {
+
+  /** Integer-scaled PageRank with a fixed iteration count.
+    *
+    * Ranks live in units of `scale⁻¹` (default 1e-12): the total mass
+    * `scale` is split evenly (`scale div N`), then each round
+    *
+    * {{{ rank'(v) = base + (dampingPct * Σ_{u→v} (rank(u) div outdeg(u))) div 100 }}}
+    *
+    * with `base = ((100-dampingPct) * (scale div N)) div 100`. All
+    * products stay far below 2⁶³ (`dampingPct * scale ≤ 8.5e13`).
+    * Truncating division leaks a little mass per round (dangling
+    * vertices leak theirs entirely — the standard simplification);
+    * both leaks are deterministic and replayed exactly by the twin, so
+    * ranks are comparable WITHIN a run, which is what ranking needs.
+    * Edges are deduplicated first: this is unweighted PageRank over
+    * the distinct-edge graph (parallel edges don't double-vote).
+    *
+    * One eager `count()` (N) before the loop; per round, one join on
+    * `src` + one aggregate on `dst`, nothing driver-side. */
+  def pageRank(edges: DataFrame, iterations: Int = 3, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val ed = e.join(deg, "src").persist()
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val n = verts.count()
+    val init = scale / n
+    val base = ((100L - dampingPct) * init) / 100L
+    var ranks = verts.withColumn("rank", lit(init))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iterations) {
+      val sums = ed.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank div od").as("contrib"))
+        .groupBy("id").agg(sum("contrib").as("m"))
+      ranks = verts.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"${base}L + (${dampingPct}L * coalesce(m, 0L)) div 100L")
+            .as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    e.unpersist(); ed.unpersist(); verts.unpersist()
+    ranks
+  }
+
+  /** Synchronous label propagation (community detection) with a fixed
+    * round count over the UNDIRECTED closure of `edges`.
+    *
+    * Every vertex starts labeled with its own id; each round, every
+    * vertex simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label (so the update is a
+    * pure function of the previous round — no sequential/random order,
+    * unlike classic async LPA, which is irreproducible by design).
+    * Isolated vertices (none here after symmetrization, but the
+    * coalesce keeps the contract total) keep their label. Fixed-round
+    * synchronous LPA can oscillate on bipartite structures instead of
+    * converging — callers pick `rounds` odd/even deliberately; the
+    * output for a given `rounds` is exact and replayable either way.
+    *
+    * Per round: one join on the neighbor key + one count aggregate +
+    * one per-vertex top-1 window (WindowGroupLimit-friendly). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 0)
+    val e = edges.select(col("src"), col("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().toDF("v", "nbr").persist()
+    val verts = sym.select(col("v").as("id")).distinct()
+    var labels = verts.withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
+    val top1 = Window.partitionBy("v").orderBy(desc("cnt"), asc("label"))
+    for (_ <- 0 until rounds) {
+      val pick = sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+        .groupBy("v", "label").agg(count(lit(1)).as("cnt"))
+        .withColumn("__rn", row_number().over(top1))
+        .filter(col("__rn") === 1)
+        .select(col("v").as("id"), col("label").as("new_label"))
+      labels = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(eager = true)
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.GraphAnalytics
+
+class GraphAnalyticsSpec extends SparkSpec {
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+    df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("pageRank matches hand-computed integer iterations exactly") {
+    import spark.implicits._
+    // a→b a→c b→c c→a; N=3, scale=1200, damping=50 → init=400, base=200
+    // round 1: contribs a→b 200, a→c 200, b→c 400, c→a 400
+    //          → a: 200+200=400, b: 200+100=300, c: 200+300=500
+    // round 2: contribs a→b 200, a→c 200, b→c 300, c→a 500
+    //          → a: 200+250=450, b: 300, c: 450
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    assert(ranksOf(GraphAnalytics.pageRank(e, iterations = 1,
+      dampingPct = 50, scale = 1200L)) ==
+      Map("a" -> 400L, "b" -> 300L, "c" -> 500L))
+    assert(ranksOf(GraphAnalytics.pageRank(e, iterations = 2,
+      dampingPct = 50, scale = 1200L)) ==
+      Map("a" -> 450L, "b" -> 300L, "c" -> 450L))
+  }
+
+  test("pageRank: parallel edges collapse, dangling mass leaks deterministically") {
+    import spark.implicits._
+    // duplicate a→b rows must not double-vote (distinct-edge graph)
+    val e = Seq(("a", "b"), ("a", "b"), ("a", "b")).toDF("src", "dst")
+    // N=2, scale=1000, damping=85: init=500, base=75
+    // round 1: b ← 500 → b = 75 + 425 = 500; a dangling-fed → 75
+    val r = ranksOf(GraphAnalytics.pageRank(e, iterations = 1))
+    assert(r == Map("a" -> 75000000000L, "b" -> 500000000000L))
+  }
+
+  test("pageRank is partitioning-invariant (bit-exact)") {
+    import spark.implicits._
+    val e = (0 until 200).map(i => (s"v${i % 50}", s"v${(i * 7 + 3) % 50}"))
+      .toDF("src", "dst")
+    val a = ranksOf(GraphAnalytics.pageRank(e, iterations = 3))
+    val b = ranksOf(GraphAnalytics.pageRank(e.repartition(7), iterations = 3))
+    assert(a == b && a.size == 50)
+    // total mass never exceeds scale (truncation only leaks downward)
+    assert(a.values.sum <= 1000000000000L)
+  }
+
+  test("labelPropagation: synchronous star update with min-label ties") {
+    import spark.implicits._
+    val e = Seq(("c", "l1"), ("c", "l2"), ("c", "l3")).toDF("src", "dst")
+    // round 1: leaves see only c → "c"; c sees {l1,l2,l3} all once → min l1
+    assert(labelsOf(GraphAnalytics.labelPropagation(e, rounds = 1)) ==
+      Map("c" -> "l1", "l1" -> "c", "l2" -> "c", "l3" -> "c"))
+    // round 2 flips back (synchronous oscillation — deterministic)
+    assert(labelsOf(GraphAnalytics.labelPropagation(e, rounds = 2)) ==
+      Map("c" -> "c", "l1" -> "l1", "l2" -> "l1", "l3" -> "l1"))
+  }
+
+  test("labelPropagation separates two bridged triangles into communities") {
+    import spark.implicits._
+    val e = Seq(("x1", "x2"), ("x2", "x3"), ("x1", "x3"),
+      ("y1", "y2"), ("y2", "y3"), ("y1", "y3"), ("x3", "y1")).toDF("src", "dst")
+    val l = labelsOf(GraphAnalytics.labelPropagation(e, rounds = 3))
+    // hand-simulated: x-side converges to x1, y-side to x3
+    assert(l == Map("x1" -> "x1", "x2" -> "x1", "x3" -> "x1",
+      "y1" -> "x3", "y2" -> "x3", "y3" -> "x3"))
+    // partitioning-invariant
+    val l2 = labelsOf(GraphAnalytics.labelPropagation(e.repartition(5), rounds = 3))
+    assert(l2 == l)
+  }
+}
