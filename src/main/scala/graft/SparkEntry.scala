@@ -45,18 +45,15 @@ object SparkEntry {
     (0 until 64).map(i => ((i * 2654435761L) % 21 - 10).toInt)
 
   /** Shared exact-arithmetic kit for the ARCHITECTURE-ORACLE queries
-    * (ann_lsh/ivf/emb_neardup): the determinism contract with their
-    * DuckDB twins lives HERE, single-sourced — int-quantized
+    * (ann_lsh/ivf/emb_neardup/kmeans/semdedup): the determinism
+    * contract with their DuckDB twins is single-sourced in
+    * [[Embeddings.intQuantize]]/intDot/intCosine — int-quantized
     * embeddings (round(x·1e6) as int64), exact long dot products, and
-    * the md5-sign bucket fold. A change to any of these must be
-    * mirrored in every twin's SQL. */
-  private def iembCol(emb: Column): Column =
-    transform(emb, x => round(x.cast("double") * 1000000).cast("long"))
-  private def idotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-  private def icosCol(a: Column, b: Column): Column =
-    idotCol(a, b).cast("double") /
-      (sqrt(idotCol(a, a).cast("double")) * sqrt(idotCol(b, b).cast("double")))
+    * the md5-sign bucket fold. A change there must be mirrored in
+    * every twin's SQL. */
+  private def iembCol(emb: Column): Column = Embeddings.intQuantize(emb)
+  private def idotCol(a: Column, b: Column): Column = Embeddings.intDot(a, b)
+  private def icosCol(a: Column, b: Column): Column = Embeddings.intCosine(a, b)
   private def signBucketCol(iemb: Column, signs: Seq[Seq[Long]]): Column =
     signs.indices.map { b =>
       val dot = idotCol(iemb, typedLit(signs(b)))
@@ -702,6 +699,33 @@ object SparkEntry {
         .select(col("a"), col("b"), icosCol(col("embA"), col("embB")).as("cos"))
         .filter(col("cos") >= 0.3)
         .orderBy("a", "b")
+    }),
+
+    // Quantized k-means TRAINING, DRIVER-ORACLED end to end: the REAL
+    // Similarity.kmeansQuantized (md5-seeded deterministic Lloyd — k=4
+    // seeds by smallest md5(vec_id), exact-long squared-L2 argmin with
+    // ties to the smaller cell, trunc-div integer centroid means, 2
+    // update rounds, final assignment). No determinism swaps needed at
+    // all: the production operator IS integer-exact, so the twin's
+    // chained CTEs replay assignments AND distances bit-for-bit.
+    "emb_kmeans" -> ((s, dir) => {
+      val (assigned, _) = Similarity.kmeansQuantized(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iterations = 2)
+      assigned.select(col("vec_id"), col("cell"), col("dist"))
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup (cluster-bounded semantic dedup), DRIVER-ORACLED: the
+    // production Dedup.semanticNearDup — kmeans cells (k=4, 1 update
+    // round) bound the candidate space, within-cell pairs run through
+    // the real bandedPairs, exact-int cosine ≥ 0.3 verifies (the
+    // emb_neardup threshold: this corpus has no planted dups), larger
+    // id of each verified pair drops. Survivors + cells, bit-exact.
+    "emb_semdedup" -> ((s, dir) => {
+      Dedup.semanticNearDup(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 4, iterations = 1, threshold = 0.3)
+        .select(col("vec_id"), col("cell")).orderBy("vec_id")
     }),
 
     // The X16 feature-hash EMBEDDING architecture, DRIVER-ORACLED:
@@ -3696,6 +3720,95 @@ object SparkEntry {
              FROM pairs p JOIN iv2 xa ON xa.vec_id = p.a
              JOIN iv2 xb ON xb.vec_id = p.b)
       SELECT a, b, cos FROM sc WHERE cos >= 0.3 ORDER BY a, b"""),
+
+    // deterministic Lloyd k-means: md5-rank seeds -> exact-L2 argmin
+    // (ties -> smaller cell) -> trunc-div integer means, 2 rounds, then
+    // a final assignment; every value BIGINT-exact
+    "emb_kmeans" -> ("""
+      WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                        unnest(range(1, len(embedding) + 1)) AS d
+                 FROM embeddings),
+      ie AS (SELECT vec_id, CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv, d
+             FROM e),
+      iv2 AS (SELECT vec_id, list(iv ORDER BY d) AS iemb FROM ie GROUP BY vec_id),
+      c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell, iemb AS cemb
+             FROM iv2 QUALIFY cell < 4),
+      a1 AS (SELECT v.vec_id, v.iemb, c.cell,
+               CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) AS dist
+             FROM iv2 v CROSS JOIN c0 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY dist ASC, cell ASC) = 1),
+      m1 AS (SELECT cell, d, CAST(sum(x) // count(*) AS BIGINT) AS m
+             FROM (SELECT cell, unnest(iemb) AS x,
+                     unnest(range(1, len(iemb) + 1)) AS d FROM a1)
+             GROUP BY cell, d),
+      n1 AS (SELECT cell, list(m ORDER BY d) AS cemb FROM m1 GROUP BY cell),
+      c1 AS (SELECT c.cell, coalesce(n.cemb, c.cemb) AS cemb
+             FROM c0 c LEFT JOIN n1 n USING (cell)),
+      a2 AS (SELECT v.vec_id, v.iemb, c.cell,
+               CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) AS dist
+             FROM iv2 v CROSS JOIN c1 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY dist ASC, cell ASC) = 1),
+      m2 AS (SELECT cell, d, CAST(sum(x) // count(*) AS BIGINT) AS m
+             FROM (SELECT cell, unnest(iemb) AS x,
+                     unnest(range(1, len(iemb) + 1)) AS d FROM a2)
+             GROUP BY cell, d),
+      n2 AS (SELECT cell, list(m ORDER BY d) AS cemb FROM m2 GROUP BY cell),
+      c2 AS (SELECT c.cell, coalesce(n.cemb, c.cemb) AS cemb
+             FROM c1 c LEFT JOIN n2 n USING (cell)),
+      af AS (SELECT v.vec_id, c.cell,
+               CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) AS dist
+             FROM iv2 v CROSS JOIN c2 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY dist ASC, cell ASC) = 1)
+      SELECT vec_id, CAST(cell AS INT) AS cell, dist FROM af ORDER BY vec_id"""),
+
+    // SemDeDup: one k-means round -> within-cell pairs -> exact-int
+    // cosine >= 0.3 -> drop the larger id of every verified pair
+    "emb_semdedup" -> ("""
+      WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                        unnest(range(1, len(embedding) + 1)) AS d
+                 FROM embeddings),
+      ie AS (SELECT vec_id, CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv, d
+             FROM e),
+      iv2 AS (SELECT vec_id, list(iv ORDER BY d) AS iemb FROM ie GROUP BY vec_id),
+      c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell, iemb AS cemb
+             FROM iv2 QUALIFY cell < 4),
+      a1 AS (SELECT v.vec_id, v.iemb, c.cell,
+               CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) AS dist
+             FROM iv2 v CROSS JOIN c0 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY dist ASC, cell ASC) = 1),
+      m1 AS (SELECT cell, d, CAST(sum(x) // count(*) AS BIGINT) AS m
+             FROM (SELECT cell, unnest(iemb) AS x,
+                     unnest(range(1, len(iemb) + 1)) AS d FROM a1)
+             GROUP BY cell, d),
+      n1 AS (SELECT cell, list(m ORDER BY d) AS cemb FROM m1 GROUP BY cell),
+      c1 AS (SELECT c.cell, coalesce(n.cemb, c.cemb) AS cemb
+             FROM c0 c LEFT JOIN n1 n USING (cell)),
+      af AS (SELECT v.vec_id, v.iemb, c.cell
+             FROM iv2 v CROSS JOIN c1 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) ASC,
+                 cell ASC) = 1),
+      dropped AS (SELECT DISTINCT y.vec_id
+                  FROM af x JOIN af y ON x.cell = y.cell AND x.vec_id < y.vec_id
+                  WHERE CAST(list_sum(list_transform(range(1, len(x.iemb) + 1),
+                          j -> x.iemb[j] * y.iemb[j])) AS DOUBLE) /
+                        (sqrt(CAST(list_sum(list_transform(x.iemb, t -> t * t)) AS DOUBLE)) *
+                         sqrt(CAST(list_sum(list_transform(y.iemb, t -> t * t)) AS DOUBLE)))
+                        >= 0.3)
+      SELECT a.vec_id, CAST(a.cell AS INT) AS cell
+      FROM af a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+      WHERE dr.vec_id IS NULL ORDER BY a.vec_id"""),
 
     // feature-hash embedding: signed votes into hash % dim, L2 norm
     "x16_embed_oracle" -> ("""

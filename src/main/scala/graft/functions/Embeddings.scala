@@ -81,6 +81,33 @@ object Embeddings {
   def cosine(a: Column, b: Column): Column =
     graft.plans.CosineSim.cosine_sim(a, b)
 
+  /** Exact-arithmetic kit shared by every architecture-oracled
+    * embedding surface (ann_lsh / ivf / emb_neardup twins, quantized
+    * k-means, SemDeDup): embeddings quantized to int64 (`round(x·scale)`
+    * — DuckDB replays `CAST(round(CAST(v AS DOUBLE) * scale) AS
+    * BIGINT)` bit-for-bit), so dot products, squared distances, and
+    * centroid means are EXACT integer arithmetic, order-independent
+    * and engine-independent; the cosine doubles derived from them are
+    * then bit-identical everywhere (one IEEE sqrt/divide of exact
+    * longs). A change here must be mirrored in every twin's SQL. */
+  def intQuantize(emb: Column, scale: Long = 1000000L): Column =
+    transform(emb, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact long dot product of two int-quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine over int-quantized vectors — exact integer dot/norms, one
+    * IEEE sqrt/divide at the end (bit-identical across engines). */
+  def intCosine(a: Column, b: Column): Column =
+    intDot(a, b).cast("double") /
+      (sqrt(intDot(a, a).cast("double")) * sqrt(intDot(b, b).cast("double")))
+
+  /** Exact squared L2 distance of two int-quantized vectors. */
+  def intDist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
   /** The original higher-order-function formulation (three interpreted
     * array walks) — kept as the cross-validation twin for [[cosine]]. */
   private[graft] def cosineHof(a: Column, b: Column): Column = {

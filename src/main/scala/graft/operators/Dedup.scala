@@ -721,4 +721,51 @@ object Dedup {
         Embeddings.cosine(col("embA"), col("embB")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with deterministic
+    * quantized k-means ([[Similarity.kmeansQuantized]]), generate
+    * candidate pairs ONLY within a cluster, verify by exact-arithmetic
+    * cosine ([[Embeddings.intCosine]]) ≥ `threshold`, and drop the
+    * LARGER id of every verified pair — keeping, per near-dup
+    * neighborhood, its smallest id (the one-pass min-id rule; unlike
+    * [[dropNearDuplicates]]' full connected components, a chain
+    * a≈b≈c where a≉c keeps {a} and drops {b,c} — SemDeDup's own
+    * keep-one-per-ε-ball behavior, stated so callers choose
+    * deliberately). Pairs whose members land in DIFFERENT cells are
+    * never considered — the clustering IS the candidate prune, which
+    * is what makes the method linear-ish at corpus scale (k grows with
+    * the corpus so cell sizes stay bounded, and the within-cell
+    * self-join runs through [[bandedPairs]]' count-gated hot-bucket
+    * star guard as a second backstop).
+    *
+    * Returns the surviving rows of `df` plus their `cell` assignment.
+    */
+  def semanticNearDup(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iterations: Int = 2, threshold: Double = 0.95,
+      scale: Long = 1000000L, bucketCap: Int = 100000): DataFrame = {
+    val (assigned, _) =
+      Similarity.kmeansQuantized(df, idCol, embCol, k, iterations, scale)
+    // persisted: bandedPairs' eager hot-bucket count materializes this
+    // once, and the pair sides + final join then reuse the cached
+    // narrow (id, iemb, cell) projection instead of re-running the
+    // k-way argmin scan per reference; stays cached for the query's
+    // lifetime (the verify/bench harnesses evict between queries)
+    val narrow = assigned.select(col(idCol).as("id"), col("iemb"), col("cell"))
+      .persist()
+    // one bucket (= cell) per id → pairs already unique; iemb re-joined
+    // per side (wide-array anti-pattern avoided, as embeddingNearDup)
+    val pairs = bandedPairs(
+      narrow.select(col("id"), col("cell").as("bucket")),
+      bucketCap, dedup = false)
+    val dropped = pairs
+      .join(narrow.select(col("id").as("a"), col("iemb").as("embA")), Seq("a"))
+      .join(narrow.select(col("id").as("b"), col("iemb").as("embB")), Seq("b"))
+      .filter(Embeddings.intCosine(col("embA"), col("embB")) >= threshold)
+      .select(col("b").as(idCol)).distinct()
+    val out = df.join(narrow.select(col("id").as(idCol), col("cell")), Seq(idCol))
+      .join(dropped, Seq(idCol), "left_anti")
+    out
+  }
 }

@@ -149,6 +149,75 @@ object Similarity {
     df.withColumn("cell", greatest(cellScores.toIndexedSeq: _*).getField("cell"))
   }
 
+  /** Deterministic Lloyd k-means over INT-QUANTIZED embeddings — the
+    * trainer that produces [[ivfAssign]]-shape centroids (and the
+    * clustering stage of SemDeDup-style semantic dedup,
+    * [[Dedup.semanticNearDup]]) without any RNG or float-order
+    * dependence:
+    *
+    *   - vectors quantized via [[Embeddings.intQuantize]] (round(x·scale)
+    *     as int64), so every distance is an exact long;
+    *   - seeds = the k rows with the smallest `md5(cast(id as string))`
+    *     (ties by id) — a deterministic pseudo-random draw any SQL
+    *     engine can replay, cell index = seed rank;
+    *   - assignment = argmin of exact squared L2 ([[Embeddings.intDist2]]),
+    *     ties to the SMALLER cell (`least` over (dist, cell) structs);
+    *   - update = component-wise `sum div count` (truncating integer
+    *     mean — exact, summation-order-free); empty cells keep their
+    *     previous centroid.
+    *
+    * A fixed `iterations` therefore yields bit-identical assignments on
+    * any engine/partitioning. Returns (assignments, final centroids):
+    * assignments = (idCol, iemb, cell, dist) AFTER the last update.
+    *
+    * Scale shape: centroids live on the driver by design (k·dim longs —
+    * the same contract as [[ivfTopK]]'s probe ranking); per iteration
+    * one scan with a k-way codegen'd argmin (no join, no shuffle on the
+    * data side) + one (cell, dim)-keyed partial-aggregable sum whose
+    * result is k·dim rows. The base projection is persisted across
+    * iterations; per-iteration driver traffic is k·dim longs, never
+    * rows. */
+  def kmeansQuantized(df: DataFrame, idCol: String, embCol: String, k: Int,
+      iterations: Int, scale: Long = 1000000L): (DataFrame, IndexedSeq[Seq[Long]]) = {
+    require(k > 0 && iterations >= 0)
+    val base = df.select(col(idCol),
+        Embeddings.intQuantize(col(embCol), scale).as("iemb"))
+      .persist()
+    val seeds = base
+      .withColumn("__m", md5(col(idCol).cast("string")))
+      .orderBy(col("__m"), col(idCol)).limit(k)
+      .select("iemb").collect().map(_.getSeq[Long](0))
+    require(seeds.nonEmpty, s"kmeansQuantized: input has no rows")
+    var cents: IndexedSeq[Seq[Long]] = seeds.toIndexedSeq
+    def assign(c: IndexedSeq[Seq[Long]]): DataFrame = {
+      val scored = c.zipWithIndex.map { case (ce, i) =>
+        struct(Embeddings.intDist2(col("iemb"), typedLit(ce)).as("dist"),
+          lit(i).as("cell"))
+      }
+      // least() demands ≥2 args — k=1 degenerates to the single struct
+      base.withColumn("__best",
+          if (scored.length == 1) scored.head else least(scored: _*))
+        .select(col(idCol), col("iemb"),
+          col("__best.cell").as("cell"), col("__best.dist").as("dist"))
+    }
+    for (_ <- 0 until iterations) {
+      val sums = assign(cents)
+        .select(col("cell"), posexplode(col("iemb")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("d"), expr("s div n").as("m"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCell.get(c).map(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+          .getOrElse(cents(c))
+      }
+    }
+    val out = assign(cents)
+    base.unpersist()
+    (out, cents)
+  }
+
   /** IVF probe: rank centroids against the query ON THE DRIVER (the
     * centroid table is tiny by construction), filter the assigned table
     * to the `nprobe` nearest cells — a partition/stats-prunable

@@ -386,6 +386,102 @@ class DedupSpec extends SparkSpec {
     assert(scanned < withEmb.count())
   }
 
+  test("quantized k-means: separates planted clusters, exact driver replay, invariant") {
+    import spark.implicits._
+    // 40 vectors around two planted centers, deterministic jitter
+    val pts = (0 until 40).map { i =>
+      val c = i % 2
+      val j1 = ((i * 37) % 11 - 5) / 100.0f
+      val j2 = ((i * 53) % 13 - 6) / 100.0f
+      (i.toLong, Seq(if (c == 0) 1.0f + j1 else j1, if (c == 0) j2 else 1.0f + j2))
+    }
+    val df = pts.toDF("id", "emb")
+    val (assigned, cents) =
+      Similarity.kmeansQuantized(df, "id", "emb", k = 2, iterations = 2)
+    val cells = assigned.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the two planted clusters land in two distinct cells, coherently
+    val c0 = pts.filter(_._1 % 2 == 0).map(p => cells(p._1)).distinct
+    val c1 = pts.filter(_._1 % 2 == 1).map(p => cells(p._1)).distinct
+    assert(c0.size == 1 && c1.size == 1 && c0 != c1)
+    // independent DRIVER replay of the whole kernel: quantize, md5-seed,
+    // exact-L2 argmin (ties -> smaller cell), trunc-div means, 2 rounds
+    val q = pts.map { case (id, e) =>
+      id -> e.map(x => math.round(x.toDouble * 1000000).toLong).toIndexedSeq
+    }.toMap
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = mdi.synchronized {
+      mdi.reset(); mdi.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    var rc = pts.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(2)
+      .map(q).toIndexedSeq
+    def argmin(v: IndexedSeq[Long]): Int =
+      rc.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.min._2
+    for (_ <- 0 until 2) {
+      val groups = q.toSeq.groupBy { case (_, v) => argmin(v) }
+      rc = rc.indices.map { c =>
+        groups.get(c).map { g =>
+          val n = g.size
+          (0 until rc(c).length).map(d => g.map(_._2(d)).sum / n).toIndexedSeq
+        }.getOrElse(rc(c))
+      }
+    }
+    val replayCells = q.map { case (id, v) => id -> argmin(v) }
+    assert(cells == replayCells)
+    assert(cents.map(_.toIndexedSeq) == rc.map(_.toIndexedSeq))
+    // partitioning-invariant, bit-exact (incl. the dist column)
+    val (a2, cents2) = Similarity.kmeansQuantized(
+      df.repartition(7), "id", "emb", k = 2, iterations = 2)
+    assert(a2.select("id", "cell", "dist").collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq ==
+      assigned.select("id", "cell", "dist").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq)
+    assert(cents2 == cents)
+  }
+
+  test("quantized k-means: k=1 degenerate and empty-cell centroid carry") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f))).toDF("id", "emb")
+    val (a1, c1) = Similarity.kmeansQuantized(df, "id", "emb", 1, 2)
+    assert(a1.select("cell").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    assert(c1.size == 1)
+    // k=3 over 2 distinct points: some cell empties out -> keeps its
+    // seed centroid, run completes deterministically
+    val (a3, c3) = Similarity.kmeansQuantized(df, "id", "emb", 3, 3)
+    assert(c3.size == 3 && a3.count() == 3)
+    val rerun = Similarity.kmeansQuantized(df, "id", "emb", 3, 3)
+    assert(rerun._2 == c3)
+  }
+
+  test("semanticNearDup drops larger-id near-dups within cells, keeps min") {
+    import spark.implicits._
+    // two tight near-dup groups + two singletons; ids chosen so the
+    // min-id survivor rule is visible
+    val rows = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)), (11L, Seq(0.999f, 0.001f, 0.0f)),
+      (12L, Seq(0.998f, 0.002f, 0.0f)),            // group A -> keep 10
+      (20L, Seq(0.0f, 1.0f, 0.0f)), (21L, Seq(0.001f, 0.999f, 0.0f)),
+      (30L, Seq(0.0f, 0.0f, 1.0f)),                // singleton
+      (31L, Seq(0.7f, 0.7f, 0.1f))                 // between clusters
+    ).toDF("id", "emb")
+    val out = Dedup.semanticNearDup(rows, "id", "emb",
+      k = 2, iterations = 2, threshold = 0.999)
+    val kept = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(10L) && !kept.contains(11L) && !kept.contains(12L))
+    assert(kept.contains(20L) && !kept.contains(21L))
+    assert(kept.contains(30L) && kept.contains(31L))
+    // survivors carry their cell assignment
+    assert(out.columns.contains("cell"))
+    // deterministic under repartitioning
+    val kept2 = Dedup.semanticNearDup(rows.repartition(5), "id", "emb",
+      k = 2, iterations = 2, threshold = 0.999)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+  }
+
   test("X18: stringified embedding round-trip (CSV compat, rag_query.py:73-76)") {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val emb = Embeddings.withEmbedding(docs, "text")
