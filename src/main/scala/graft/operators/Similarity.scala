@@ -189,17 +189,13 @@ object Similarity {
       .select("iemb").collect().map(_.getSeq[Long](0))
     require(seeds.nonEmpty, s"kmeansQuantized: input has no rows")
     var cents: IndexedSeq[Seq[Long]] = seeds.toIndexedSeq
-    def assign(c: IndexedSeq[Seq[Long]]): DataFrame = {
-      val scored = c.zipWithIndex.map { case (ce, i) =>
-        struct(Embeddings.intDist2(col("iemb"), typedLit(ce)).as("dist"),
-          lit(i).as("cell"))
-      }
-      // least() demands ≥2 args — k=1 degenerates to the single struct
+    // ONE codegen'd pass per row for all k distances (KmeansArgmin);
+    // [[kmeansAssignHof]] is the interpreted cross-validation twin
+    def assign(c: IndexedSeq[Seq[Long]]): DataFrame =
       base.withColumn("__best",
-          if (scored.length == 1) scored.head else least(scored: _*))
+          graft.plans.KmeansArgmin.kmeans_argmin(col("iemb"), c))
         .select(col(idCol), col("iemb"),
           col("__best.cell").as("cell"), col("__best.dist").as("dist"))
-    }
     for (_ <- 0 until iterations) {
       val sums = assign(cents)
         .select(col("cell"), posexplode(col("iemb")).as(Seq("d", "x")))
@@ -216,6 +212,23 @@ object Similarity {
     val out = assign(cents)
     base.unpersist()
     (out, cents)
+  }
+
+  /** The original `least(struct(dist, cell)…)` higher-order-function
+    * assignment — kept as the cross-validation twin for
+    * [[graft.plans.KmeansArgmin]] (k interpreted zip_with walks vs one
+    * codegen'd pass; identical (cell, dist) on well-formed input). */
+  private[graft] def kmeansAssignHof(df: DataFrame, embCol: String,
+      cents: IndexedSeq[Seq[Long]], scale: Long = 1000000L): DataFrame = {
+    val base = df.withColumn("iemb", Embeddings.intQuantize(col(embCol), scale))
+    val scored = cents.zipWithIndex.map { case (ce, i) =>
+      struct(Embeddings.intDist2(col("iemb"), typedLit(ce)).as("dist"),
+        lit(i).as("cell"))
+    }
+    base.withColumn("__best",
+        if (scored.length == 1) scored.head else least(scored: _*))
+      .select(base.columns.map(col) :+ col("__best.cell").as("cell") :+
+        col("__best.dist").as("dist"): _*)
   }
 
   /** IVF probe: rank centroids against the query ON THE DRIVER (the

@@ -82,5 +82,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       HyperplaneSigns(es.head, planes)
     })
+    // SQL form takes the centroid matrix as a foldable array<array<bigint>>
+    reg("kmeans_argmin", classOf[KmeansArgmin], { es =>
+      require(es.length == 2 && es(1).foldable,
+        "kmeans_argmin(iemb, cents): cents must be a foldable array<array<bigint>> literal")
+      val rows = es(1).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val cents = (0 until rows.numElements()).map { i =>
+        val r = rows.getArray(i)
+        (0 until r.numElements()).map(j => r.getLong(j))
+      }
+      KmeansArgmin(es.head, cents)
+    })
   }
 }

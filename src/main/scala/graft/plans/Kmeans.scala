@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `kmeans_argmin(iemb, cents)` — nearest-centroid assignment over an
+  * int-quantized embedding as ONE codegen'd expression: all k exact
+  * squared-L2 distances accumulate in a single pass over the vector,
+  * with the centroid matrix shipped as a reference object (a
+  * `long[][]`), not an expression-tree literal. Returns
+  * `struct(cell int, dist bigint)` — the argmin cell (ties to the
+  * SMALLER index) and its exact distance.
+  *
+  * Replaces the `least(struct(aggregate(zip_with(iemb, cent_c, ...)),
+  * c)…)` formulation — k interpreted array walks allocating a zipped
+  * array each, multiplied further by CollapseProject when the struct
+  * fields are projected separately — on the full-corpus paths
+  * ([[graft.operators.Similarity.kmeansQuantized]]'s per-iteration
+  * assignment and [[graft.operators.Dedup.semanticNearDup]]'s cell
+  * bounding; at SemDeDup scale k is in the thousands, making the
+  * interpreted form the hot path). Arithmetic replicates the HOF form
+  * exactly on well-formed input: per-dimension `(x-c)*(x-c)` long
+  * accumulation, strict `<` comparison so the first (smallest) cell
+  * wins ties. One divergence, same rationale as [[HyperplaneSigns]]:
+  * a NULL vector, a null element, or a dimension mismatch yields a
+  * NULL struct (the HOF's null-poisoned distances made `least` pick
+  * among nulls by struct-comparison edge rules — behavior nobody
+  * should depend on); such rows drop out of assignment loudly. */
+case class KmeansArgmin(iemb: Expression, cents: Seq[Seq[Long]])
+    extends UnaryExpression {
+
+  override def child: Expression = iemb
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val mat: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    iemb.dataType match {
+      case ArrayType(LongType, _) =>
+        if (cents.isEmpty || cents.exists(_.length != cents.head.length))
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "cents must be a non-empty rectangular matrix")
+        else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"iemb must be array<bigint>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(e: Any): Any = {
+    val x = e.asInstanceOf[ArrayData]
+    val k = mat.length
+    val dim = mat(0).length
+    if (x.numElements() != dim) return null
+    var i = 0
+    while (i < dim) { if (x.isNullAt(i)) return null; i += 1 }
+    var bestCell = 0
+    var bestDist = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val row = mat(c)
+      var dd = 0L
+      var d = 0
+      while (d < dim) {
+        val diff = x.getLong(d) - row(d)
+        dd += diff * diff
+        d += 1
+      }
+      if (dd < bestDist) { bestDist = dd; bestCell = c }
+      c += 1
+    }
+    InternalRow(bestCell, bestDist)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val gir = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
+      val matRef = ctx.addReferenceObj("centsMat", mat, "long[][]")
+      val k = mat.length
+      val dim = mat(0).length
+      val ok = ctx.freshName("ok")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val dd = ctx.freshName("dd")
+      val diff = ctx.freshName("diff")
+      val row = ctx.freshName("row")
+      val bestCell = ctx.freshName("bestCell")
+      val bestDist = ctx.freshName("bestDist")
+      s"""
+         |boolean $ok = ($x.numElements() == $dim);
+         |for (int $i = 0; $ok && $i < $dim; $i++) {
+         |  if ($x.isNullAt($i)) $ok = false;
+         |}
+         |if ($ok) {
+         |  int $bestCell = 0;
+         |  long $bestDist = Long.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    long[] $row = $matRef[$c];
+         |    long $dd = 0L;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      long $diff = $x.getLong($d) - $row[$d];
+         |      $dd += $diff * $diff;
+         |    }
+         |    if ($dd < $bestDist) { $bestDist = $dd; $bestCell = $c; }
+         |  }
+         |  ${ev.value} = new $gir(new Object[]{
+         |    java.lang.Integer.valueOf($bestCell), java.lang.Long.valueOf($bestDist)});
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin
+    })
+
+  override def prettyName: String = "kmeans_argmin"
+  override protected def withNewChildInternal(e: Expression): Expression =
+    copy(iemb = e)
+}
+
+object KmeansArgmin {
+  def kmeans_argmin(iemb: Column, cents: Seq[Seq[Long]]): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      KmeansArgmin(
+        org.apache.spark.sql.graft.shims.toExpression(iemb), cents))
+}

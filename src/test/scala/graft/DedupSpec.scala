@@ -456,6 +456,44 @@ class DedupSpec extends SparkSpec {
     assert(rerun._2 == c3)
   }
 
+  test("kmeans_argmin codegen == HOF least(struct) twin; null/mismatch -> null") {
+    import spark.implicits._
+    val docs = (0 until 120).map(i => (i.toLong, s"cluster ${i % 3} doc $i words w$i"))
+      .toDF("id", "text")
+    val emb = Embeddings.withEmbedding(docs, "text").cache()
+    val (assigned, cs) = Similarity.kmeansQuantized(emb, "id", "embedding", 3, 1)
+    val viaCodegen = assigned.select("id", "cell", "dist").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val viaHof = Similarity.kmeansAssignHof(emb, "embedding", cs)
+      .select("id", "cell", "dist").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(viaCodegen == viaHof && viaCodegen.size == 120)
+    // null element / dimension mismatch -> NULL struct (loud drop-out)
+    val odd = Seq(
+      (1L, Seq(Option(1000L), None, Option(0L))),
+      (2L, Seq(Option(1L), Option(2L)))).toDF("id", "iemb")
+    val b = odd.select(col("id"), graft.plans.KmeansArgmin
+        .kmeans_argmin(col("iemb"), Seq(Seq(0L, 0L, 0L))).as("best"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(b == Map(1L -> true, 2L -> true))
+    // STRICT codegen check: GenerateUnsafeProjection has no interpreted
+    // fallback — a Janino compile error in doGenCode throws here
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val e = graft.plans.KmeansArgmin(
+      BoundReference(0, ArrayType(LongType), nullable = true),
+      Seq(Seq(0L, 0L), Seq(3L, 4L)))
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val hit = proj(InternalRow(new GenericArrayData(Array(3L, 3L)))).getStruct(0, 2)
+    assert(hit.getInt(0) == 1 && hit.getLong(1) == 1L) // (3,3): d0=18, d1=1
+    assert(proj(InternalRow(null)).isNullAt(0))
+    assert(proj(InternalRow(new GenericArrayData(Array(3L)))).isNullAt(0))
+    emb.unpersist()
+  }
+
   test("semanticNearDup drops larger-id near-dups within cells, keeps min") {
     import spark.implicits._
     // two tight near-dup groups + two singletons; ids chosen so the

@@ -103,6 +103,9 @@ class RegexpStructSpec extends SparkSpec {
       assert(s2.sql(
         "SELECT hyperplane_signs(array(float(1), float(-1)), array(array(1.0d, 2.0d), array(1.0d, 0.5d)))")
         .collect()(0).getSeq[Int](0) === Seq(0, 1))
+      assert(s2.sql(
+        "SELECT kmeans_argmin(array(1L, 2L), array(array(0L, 0L), array(1L, 2L))).cell")
+        .collect()(0).getInt(0) === 1)
       // NULL semantics preserved: stock regexp_extract returns NULL for
       // a NULL subject; the rewrite must not coalesce that into ''
       val nullDf = Seq(Some("- x @t"), None).toDF("line")
