@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.GraphAnalytics
+
+/** Scale proof for the whole-graph analytics family (PageRank + LPA):
+  * a ~10M-edge synthetic graph of `groups` DISJOINT ISOMORPHIC motifs
+  * (6-cycle with a chord, 7 directed edges per group), verified two
+  * ways:
+  *   (a) ANALYTIC symmetry over ALL vertices: the motifs are
+  *       structurally identical, so after any fixed iteration count
+  *       every motif position must carry exactly ONE distinct PageRank
+  *       value across all groups, and LPA labels must resolve to ONE
+  *       distinct within-group offset per position — a whole-output
+  *       correctness check with no reference run needed;
+  *   (b) cross-parallelism identity: an order-independent checksum of
+  *       the full (vertex, rank) / (vertex, label) outputs, printed so
+  *       a local[8] and a local[32] run of the same input can be
+  *       diffed (the CurateScale discipline — integer arithmetic means
+  *       the checksums must match BITWISE, not approximately).
+  *
+  * Usage: graft.tools.GraphScale [groups]   (default 1,500,000 →
+  * 10.5M edges, 9M vertices)
+  */
+object GraphScale {
+  def main(args: Array[String]): Unit = {
+    val groups = if (args.nonEmpty) args(0).toLong else 1500000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-graph-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def vid(c: org.apache.spark.sql.Column) = format_string("v%09d", c)
+    // 7 directed edges per group over vertices g*6+0 … g*6+5:
+    // the 6-cycle 0→1→2→3→4→5→0 plus chord 0→3
+    val edges = spark.range(groups * 7).select(
+        (col("id") / 7).cast("long").as("g"), pmod(col("id"), lit(7)).as("o"))
+      .select(
+        vid(col("g") * 6 + when(col("o") < 6, col("o")).otherwise(lit(0)))
+          .as("src"),
+        vid(col("g") * 6 + when(col("o") < 6, pmod(col("o") + 1, lit(6)))
+          .otherwise(lit(3))).as("dst"))
+      .persist()
+    val nEdges = edges.count()
+
+    val t0 = System.nanoTime()
+    val pr = GraphAnalytics.pageRank(edges, iterations = 3).persist()
+    val nVerts = pr.count()
+    val prSec = (System.nanoTime() - t0) / 1e9
+
+    // (a) analytic position symmetry: one distinct rank per motif slot
+    val pos = pmod(substring(col("id"), 2, 9).cast("long"), lit(6))
+    val prPositions = pr.groupBy(pos.as("p"))
+      .agg(countDistinct(col("rank")).as("nr")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prSymmetric = prPositions.size == 6 && prPositions.values.forall(_ == 1L)
+    val prChecksum = pr.select(expr("bit_xor(xxhash64(id, rank))").as("c"))
+      .first().getLong(0)
+
+    val t1 = System.nanoTime()
+    val lpa = GraphAnalytics.labelPropagation(edges, rounds = 3).persist()
+    val nLpa = lpa.count()
+    val lpaSec = (System.nanoTime() - t1) / 1e9
+
+    val base = (substring(col("id"), 2, 9).cast("long") / 6).cast("long") * 6
+    val lpaPositions = lpa.groupBy(
+        pmod(substring(col("id"), 2, 9).cast("long"), lit(6)).as("p"))
+      .agg(countDistinct(substring(col("label"), 2, 9).cast("long") - base)
+        .as("nl")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpaSymmetric = lpaPositions.size == 6 && lpaPositions.values.forall(_ == 1L)
+    val lpaChecksum = lpa.select(expr("bit_xor(xxhash64(id, label))").as("c"))
+      .first().getLong(0)
+
+    val heapMb = (Runtime.getRuntime.totalMemory -
+      Runtime.getRuntime.freeMemory) / 1024 / 1024
+    // plain interpolation: the f-interpolator is locale-sensitive
+    val pr1 = math.round(prSec * 10) / 10.0
+    val lpa1 = math.round(lpaSec * 10) / 10.0
+    val prEps = math.round(nEdges * 3 / prSec)
+    val lpaEps = math.round(nEdges * 2 * 3 / lpaSec) // symmetrized edges
+    println(s"""{"edges":$nEdges,"vertices":$nVerts,""" +
+      s""""pr_sec":$pr1,"pr_edge_iters_per_sec":$prEps,""" +
+      s""""pr_symmetric":$prSymmetric,"pr_checksum":$prChecksum,""" +
+      s""""lpa_vertices":$nLpa,"lpa_sec":$lpa1,""" +
+      s""""lpa_edge_rounds_per_sec":$lpaEps,""" +
+      s""""lpa_symmetric":$lpaSymmetric,"lpa_checksum":$lpaChecksum,""" +
+      s""""driver_heap_mb":$heapMb,"cpus":$cpus}""")
+    require(prSymmetric, s"PageRank position symmetry broken: $prPositions")
+    require(lpaSymmetric, s"LPA position symmetry broken: $lpaPositions")
+    spark.stop()
+  }
+}

@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Scale proof for the quantized-k-means / SemDeDup clustering path:
+  * `n` synthetic 64-dim vectors = `k` well-separated planted patterns
+  * (pattern p = one-hot block at p, scaled) each repeated n/k times,
+  * through the production [[Similarity.kmeansQuantized]] (codegen'd
+  * KmeansArgmin assignment), verified two ways:
+  *   (a) ANALYTIC coherence over ALL rows: byte-identical vectors must
+  *       land in the same cell (one distinct cell per planted pattern
+  *       — the argmin is a pure function of the vector), and
+  *       well-separated patterns must not merge: the number of
+  *       distinct (pattern → cell) images must equal the number of
+  *       non-empty cells;
+  *   (b) cross-parallelism identity: order-independent bit_xor
+  *       checksum over (id, cell, dist) for a local[8] vs local[32]
+  *       diff (integer arithmetic → bitwise equality).
+  *
+  * Usage: graft.tools.KmeansScale [n] [k] [iters]
+  * (default 1,000,000 vectors, k=64, 2 iterations)
+  */
+object KmeansScale {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 1000000L
+    val k = if (args.length > 1) args(1).toInt else 64
+    val iters = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-kmeans-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dim = 64
+    // pattern p: 0.9 at slot p, 0.1 elsewhere-constant — distinct
+    // patterns differ in 2 slots by 0.8 each (far above quantization)
+    val vecs = spark.range(n).select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => when(d === pmod(col("id"), lit(k)).cast("int"), lit(0.9f))
+            .otherwise(lit(0.1f))).as("emb"))
+      .persist()
+    vecs.count()
+
+    val t0 = System.nanoTime()
+    val (assigned, cents) =
+      Similarity.kmeansQuantized(vecs, "id", "emb", k, iters)
+    val out = assigned.persist()
+    val nOut = out.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    // (a) identical vectors → identical cells; separated patterns stay
+    // separated (distinct pattern→cell images == non-empty cells)
+    val byPattern = out.groupBy(pmod(col("id"), lit(k)).as("p"))
+      .agg(countDistinct(col("cell")).as("nc"), min(col("cell")).as("c"))
+      .collect()
+    val coherent = byPattern.forall(_.getLong(1) == 1L)
+    val images = byPattern.map(_.getInt(2)).distinct.length
+    val nonEmpty = out.select("cell").distinct().count()
+    val separated = images.toLong == nonEmpty
+
+    val checksum = out
+      .select(expr("bit_xor(xxhash64(id, cell, dist))").as("c"))
+      .first().getLong(0)
+
+    val heapMb = (Runtime.getRuntime.totalMemory -
+      Runtime.getRuntime.freeMemory) / 1024 / 1024
+    val sec1 = math.round(sec * 10) / 10.0
+    val vps = math.round(n * (iters + 1) / sec) // assignment passes
+    println(s"""{"n":$nOut,"k":$k,"dim":$dim,"iters":$iters,""" +
+      s""""sec":$sec1,"assign_rows_per_sec":$vps,""" +
+      s""""coherent":$coherent,"separated":$separated,""" +
+      s""""nonempty_cells":$nonEmpty,"checksum":$checksum,""" +
+      s""""driver_heap_mb":$heapMb,"cpus":$cpus}""")
+    require(coherent, "identical vectors split across cells")
+    require(separated, "well-separated patterns merged")
+    require(cents.length == k)
+    spark.stop()
+  }
+}
