@@ -2081,6 +2081,29 @@ object SparkEntry {
         concat(lit("r"), col("n_regionkey")).as("dst"))
       GraphAnalytics.labelPropagation(cn.union(nr), rounds = 3)
         .orderBy("id")
+    }),
+
+    // G9 (engine extension): per-vertex triangle participation over
+    // customer→supplier→nation + customer→nation edges — a (c, s, n)
+    // triangle closes exactly when a customer bought from a same-nation
+    // supplier, so counts are semantically meaningful, not incidental.
+    // Degree-oriented enumeration (the O(m^1.5) trick), pure integer
+    // joins — the twin replays it verbatim.
+    "g9_triangles" -> ((s, dir) => {
+      val cs = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val sn = tbl(s, dir, "supplier").select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      val cn = tbl(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("n"), col("c_nationkey")).as("dst"))
+      GraphAnalytics.vertexTriangles(cs.union(sn).union(cn))
+        .orderBy("id")
     })
   )
 
@@ -4017,6 +4040,35 @@ object SparkEntry {
                (PARTITION BY v ORDER BY cnt DESC, label ASC) = 1),
       l3 AS (SELECT l.id, coalesce(t.label, l.label) AS label
              FROM l2 l LEFT JOIN t3 t ON t.v = l.id)
-      SELECT id, label FROM l3 ORDER BY id""")
+      SELECT id, label FROM l3 ORDER BY id"""),
+
+    // degree-oriented triangle enumeration: symmetrize+distinct, orient
+    // each edge (deg,id)-upward, two equi-joins close the wedge; per-
+    // vertex participation via the 3-corner unnest
+    "g9_triangles" -> ("""
+      WITH eraw AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        UNION
+        SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+        UNION
+        SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer),
+      und AS (SELECT src, dst FROM eraw WHERE src <> dst),
+      sym AS (SELECT src, dst FROM und UNION SELECT dst, src FROM und),
+      deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+      o AS (SELECT s.src AS u, s.dst AS v FROM sym s
+            JOIN deg da ON da.v = s.src JOIN deg db ON db.v = s.dst
+            WHERE da.d < db.d OR (da.d = db.d AND s.src < s.dst)),
+      tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM o e1 JOIN o e2 ON e2.u = e1.v
+              JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+      pv AS (SELECT vv AS id, count(*) AS n_tri FROM (
+               SELECT a AS vv FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+             GROUP BY vv)
+      SELECT d.v AS id, CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
+             d.d AS deg
+      FROM deg d LEFT JOIN pv ON pv.id = d.v ORDER BY id""")
   )
 }

@@ -110,4 +110,64 @@ object GraphAnalytics {
     sym.unpersist()
     labels
   }
+
+  /** Exact triangle enumeration over the UNDIRECTED reading of
+    * `edges` (self-loops and duplicate/reverse edges collapse first).
+    * Returns one row (v1, v2, v3) per triangle, each triangle exactly
+    * once, in the canonical degree-ordering: every edge is oriented
+    * from its (degree, id)-smaller endpoint to the larger, so a
+    * triangle materializes only at its unique orientation-consistent
+    * corner — the classic O(m^1.5) bound (wedges are enumerated only
+    * from low-degree centers; a hot hub of degree d contributes
+    * d·(its lower-degree neighbors)² wedges instead of d², which is
+    * what makes this survive power-law graphs). Output is a pure
+    * function of the edge SET — integer joins only, replayable by any
+    * SQL engine. Two equi-joins + one partial-aggregable degree count;
+    * no windows, no driver state. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    // not persisted: the symmetrize+distinct shuffle subtree is
+    // IDENTICAL under every reference below, so ReusedExchange dedupes
+    // it at runtime (the bandedPairs discipline) with no cache entry
+    // outliving the lazy query
+    val sym = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val o = sym
+      .join(deg.select(col("v").as("src"), col("d").as("du")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("dv")), "dst")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e2.u") === col("e1.v"))
+      .join(o.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("v1"), col("e1.v").as("v2"), col("e2.v").as("v3"))
+    tri
+  }
+
+  /** Per-vertex triangle participation + undirected degree — the
+    * (n_tri, deg) pair from which local clustering coefficients
+    * derive (2·n_tri / (deg·(deg−1)), left to the caller so the
+    * output stays integer-exact). Covers every vertex of the
+    * undirected graph, 0 for triangle-free ones. */
+  def vertexTriangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val tri = triangles(edges)
+    val pv = tri.select(col("v1").as("id"))
+      .union(tri.select(col("v2").as("id")))
+      .union(tri.select(col("v3").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(pv, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        col("deg"))
+  }
 }

@@ -58,6 +58,38 @@ class GraphAnalyticsSpec extends SparkSpec {
       Map("c" -> "c", "l1" -> "l1", "l2" -> "l1", "l3" -> "l1"))
   }
 
+  test("triangles: K4, pendant, square, dup/self-loop collapse, canonical corners") {
+    import spark.implicits._
+    // K4 → 4 triangles; every vertex participates in 3, degree 3
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d")).toDF("src", "dst")
+    assert(GraphAnalytics.triangles(k4).count() == 4L)
+    val pv = GraphAnalytics.vertexTriangles(k4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(pv == Map("a" -> ((3L, 3L)), "b" -> ((3L, 3L)),
+      "c" -> ((3L, 3L)), "d" -> ((3L, 3L))))
+    // triangle + pendant: exactly one triangle at its canonical
+    // (deg,id)-oriented corner (x→y→z with closing x→z)
+    val tp = Seq(("x", "y"), ("y", "z"), ("x", "z"), ("z", "w"))
+      .toDF("src", "dst")
+    val t = GraphAnalytics.triangles(tp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(t.toSeq == Seq(("x", "y", "z")))
+    val pv2 = GraphAnalytics.vertexTriangles(tp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(pv2 == Map("x" -> ((1L, 2L)), "y" -> ((1L, 2L)),
+      "z" -> ((1L, 3L)), "w" -> ((0L, 1L))))
+    // square: triangle-free
+    val sq = Seq(("p", "q"), ("q", "r"), ("r", "s"), ("s", "p"))
+      .toDF("src", "dst")
+    assert(GraphAnalytics.triangles(sq).count() == 0L)
+    // reverse duplicates and self-loops collapse before counting
+    val messy = k4.union(Seq(("b", "a"), ("a", "a"), ("c", "b"))
+      .toDF("src", "dst"))
+    assert(GraphAnalytics.triangles(messy).count() == 4L)
+    assert(GraphAnalytics.triangles(messy.repartition(5)).count() == 4L)
+  }
+
   test("labelPropagation separates two bridged triangles into communities") {
     import spark.implicits._
     val e = Seq(("x1", "x2"), ("x2", "x3"), ("x1", "x3"),
