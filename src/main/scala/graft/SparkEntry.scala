@@ -2104,8 +2104,56 @@ object SparkEntry {
         concat(lit("n"), col("c_nationkey")).as("dst"))
       GraphAnalytics.vertexTriangles(cs.union(sn).union(cn))
         .orderBy("id")
-    })
+    }),
+
+    // URL curation (engine extension, r5): canonicalize deterministic
+    // messy URLs synthesized from doc_id — uppercase scheme/host,
+    // userinfo with '@' in the password, default + non-default ports,
+    // tracking params, empty params, unsorted params, empty path,
+    // fragment — then host + registrable domain (longest-suffix). The
+    // twin rebuilds the same URLs and replays every normalization step
+    "url_normalize" -> ((s, dir) => {
+      val url = messyUrl(col("doc_id"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+          UrlOps.normalizeUrl(url).as("url"),
+          UrlOps.hostOf(url).as("host"),
+          UrlOps.registrableDomain(UrlOps.hostOf(url)).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // per-site corpus balancing: at most 5 docs per registrable domain,
+    // kept in stable md5 order — subdomains of example.com collapse to
+    // one site, each uN.github.io stays its own site
+    "url_domain_caps" -> ((s, dir) =>
+      UrlOps.perDomainCap(
+          tbl(s, dir, "documents").withColumn("u", messyUrl(col("doc_id"))),
+          "u", "doc_id", k = 5)
+        .select(col("doc_id"), col("domain"))
+        .orderBy("doc_id"))
   )
+
+  /** Deterministic messy-URL fixture for the url_* queries: every
+    * normalization rule is exercised by some residue class of doc_id.
+    * Mirrored character-for-character by the DuckDB twins. */
+  private def messyUrl(i: Column): Column = concat(
+    when(i % 2 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+    when(i % 7 === 0, lit("alice:p@ss@")).otherwise(lit("")),
+    when(i % 5 === 0, lit("WWW.Example.COM"))
+      .when(i % 5 === 1, lit("blog.Example.com"))
+      .when(i % 5 === 2, lit("News.Example.CO.UK"))
+      .when(i % 5 === 3,
+        concat(lit("U"), (i % 13).cast("string"), lit(".GitHub.IO")))
+      .otherwise(lit("media.example")),
+    when(i % 3 === 0,
+        when(i % 2 === 0, lit(":443")).otherwise(lit(":80")))
+      .when(i % 3 === 1, lit(":8080")).otherwise(lit("")),
+    when(i % 11 === 0, lit(""))
+      .otherwise(concat(lit("/P/"), (i % 50).cast("string"))),
+    lit("?utm_source=feed&z="), (i % 7).cast("string"),
+    lit("&utm_campaign=x&a=1"),
+    when(i % 4 === 0, lit("&fbclid=abc")).otherwise(lit("")),
+    when(i % 6 === 0, lit("&")).otherwise(lit("")),
+    when(i % 2 === 0, lit("#sec")).otherwise(lit("")))
 
   /** GrammarCorpus prefix with RECURSIVE enabled (the whole WITH chain
     * shares one keyword) plus the connected-components replay of
@@ -4069,6 +4117,87 @@ object SparkEntry {
              GROUP BY vv)
       SELECT d.v AS id, CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
              d.d AS deg
-      FROM deg d LEFT JOIN pv ON pv.id = d.v ORDER BY id""")
+      FROM deg d LEFT JOIN pv ON pv.id = d.v ORDER BY id"""),
+
+    // full normalizeUrl + registrableDomain replay over the same
+    // synthesized messy URLs (see UrlTwinSql)
+    "url_normalize" -> (s"""WITH $UrlTwinSql
+      SELECT doc_id, url, host, domain FROM dom ORDER BY doc_id"""),
+
+    // per-domain quota: the quotaSample window replayed verbatim
+    "url_domain_caps" -> (s"""WITH $UrlTwinSql
+      SELECT doc_id, domain FROM dom
+      QUALIFY row_number() OVER (PARTITION BY domain
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+      ORDER BY doc_id""")
   )
+
+  /** DuckDB mirror of [[messyUrl]] plus a step-for-step replay of
+    * [[UrlOps.normalizeUrl]] and [[UrlOps.registrableDomain]] (same
+    * anchored regexes, same tracking-param filter, same bytewise param
+    * sort, same longest-suffix CASE over the interpolated
+    * [[UrlOps.DefaultSuffixes]]). Yields `dom(doc_id, url, host,
+    * domain)`; shared by the two url_* twins. */
+  private val UrlTwinSql: String = {
+    val sufs = UrlOps.DefaultSuffixes.map(x => s"'$x'").mkString(", ")
+    s"""u AS (SELECT doc_id,
+      (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      (CASE WHEN doc_id % 7 = 0 THEN 'alice:p@ss@' ELSE '' END) ||
+      (CASE doc_id % 5 WHEN 0 THEN 'WWW.Example.COM'
+            WHEN 1 THEN 'blog.Example.com'
+            WHEN 2 THEN 'News.Example.CO.UK'
+            WHEN 3 THEN 'U' || CAST(doc_id % 13 AS VARCHAR) || '.GitHub.IO'
+            ELSE 'media.example' END) ||
+      (CASE WHEN doc_id % 3 = 0 THEN
+              (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+            WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+      (CASE WHEN doc_id % 11 = 0 THEN ''
+            ELSE '/P/' || CAST(doc_id % 50 AS VARCHAR) END) ||
+      '?utm_source=feed&z=' || CAST(doc_id % 7 AS VARCHAR) ||
+      '&utm_campaign=x&a=1' ||
+      (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=abc' ELSE '' END) ||
+      (CASE WHEN doc_id % 6 = 0 THEN '&' ELSE '' END) ||
+      (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS raw
+      FROM documents),
+    pp AS (SELECT doc_id,
+      lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+      regexp_extract(raw,
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      regexp_extract(raw, '^[^#?]*\\?([^#]*)', 1) AS query
+      FROM u),
+    hh AS (SELECT doc_id, scheme,
+      lower(regexp_extract(auth, '^(?:.*@)?([^@:]*)', 1)) AS host,
+      regexp_extract(auth, ':([0-9]+)$$', 1) AS port, rawpath, query
+      FROM pp),
+    nn AS (SELECT doc_id, scheme, host,
+      CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                AND NOT (scheme = 'https' AND port = '443')
+           THEN ':' || port ELSE '' END AS nport,
+      CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS npath,
+      list_sort(list_filter(string_split(query, '&'),
+        x -> x <> '' AND NOT regexp_matches(x,
+          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src|spm)(=.*)?$$')))
+        AS params
+      FROM hh),
+    uu AS (SELECT doc_id,
+      scheme || '://' || host || nport || npath ||
+      (CASE WHEN len(params) > 0
+            THEN '?' || array_to_string(params, '&') ELSE '' END) AS url,
+      host, string_split(host, '.') AS ls
+      FROM nn),
+    dom AS (SELECT doc_id, url, host,
+      CASE
+        WHEN len(ls) > 3 AND list_contains([$sufs],
+            array_to_string(ls[len(ls)-2:], '.'))
+          THEN array_to_string(ls[len(ls)-3:], '.')
+        WHEN len(ls) > 2 AND list_contains([$sufs],
+            array_to_string(ls[len(ls)-1:], '.'))
+          THEN array_to_string(ls[len(ls)-2:], '.')
+        WHEN len(ls) > 1 AND list_contains([$sufs], ls[len(ls)])
+          THEN array_to_string(ls[len(ls)-1:], '.')
+        WHEN len(ls) >= 2 THEN array_to_string(ls[len(ls)-1:], '.')
+        ELSE host END AS domain
+      FROM uu)"""
+  }
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level corpus curation — the web-crawl half of deduplication
+  * that text-level passes can't see. A crawl corpus keys provenance by
+  * URL; the same page arrives as `HTTPS://WWW.Example.COM:443/p/1?
+  * utm_source=feed&b=2&a=1#sec` and `https://www.example.com/p/1?a=1&
+  * b=2`, and per-site balancing ("at most k docs per registrable
+  * domain", the C4/RefinedWeb rule) needs `foo.blogspot.com` and
+  * `bar.blogspot.com` to count as DIFFERENT sites while
+  * `a.example.com` and `b.example.com` count as the same one.
+  *
+  * Everything here is pure codegen'd expressions — regex extracts +
+  * array HOFs, no UDFs, no shuffles (normalization pushes into the
+  * scan); [[perDomainCap]] adds the one per-domain window that quota
+  * semantics require. Every step is engine-replayable: anchored RE2-
+  * safe regexes, binary string sort, integer arithmetic only.
+  *
+  * Reference context: the reference crawls baike pages and keys its
+  * visited-set by exact URL string (`crawler/craw.py` url bookkeeping);
+  * these are the Spark-scale generalizations — canonical keys instead
+  * of exact strings, and per-site caps for corpus balance.
+  */
+object UrlOps {
+
+  /** Query parameters dropped by [[normalizeUrl]]: click/campaign
+    * trackers that vary per impression but never change the document.
+    * Matched against the WHOLE `name=value` pair, anchored, so `ref=x`
+    * drops but `prefix=x` survives. */
+  val TrackingParamRe: String =
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src|spm)(=.*)?$"
+
+  /** Demo public-suffix set for [[registrableDomain]] — the handful of
+    * multi-label suffixes the fixtures exercise plus common TLDs. At
+    * production scale swap in the full Mozilla Public Suffix List (a
+    * ~9k-entry literal array is still a scan-side `array_contains`);
+    * the matching logic is list-agnostic. Longest match wins, checked
+    * 3-label → 2-label → 1-label. */
+  val DefaultSuffixes: Seq[String] = Seq(
+    "com", "org", "net", "edu", "gov", "io", "ai", "dev", "app", "info",
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "com.br", "co.jp",
+    "co.in", "com.cn", "co.kr",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "s3.amazonaws.com")
+
+  /** `user:pass@host:port` → `host` (lowercased). Userinfo is split on
+    * the LAST `@` (passwords may contain `@`); port on the trailing
+    * `:digits`. */
+  def hostOfAuthority(auth: Column): Column =
+    lower(regexp_extract(auth, "^(?:.*@)?([^@:]*)", 1))
+
+  private def authorityOf(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** Lowercased host of a full URL ('' when the URL has no
+    * `scheme://` prefix — regexp_extract's no-match value on both
+    * Spark and DuckDB). */
+  def hostOf(url: Column): Column = hostOfAuthority(authorityOf(url))
+
+  /** Canonicalize an absolute `scheme://…` URL so byte-equality means
+    * same-resource: lowercase scheme and host, drop userinfo (which is
+    * also a credential-retention scrub), drop the default port (80 for
+    * http, 443 for https), `''` path → `/`, drop tracking parameters
+    * ([[TrackingParamRe]]) and empty `&&` params, sort the surviving
+    * `name=value` pairs bytewise, drop the fragment. No percent-
+    * decoding on purpose — decoding can merge genuinely distinct URLs
+    * (`%2F` in a path segment) and is the one step that's not safely
+    * idempotent. Non-URL strings (no `scheme://`) and NULLs map to
+    * NULL so they never collide with a real canonical key. */
+  def normalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = authorityOf(u)
+    val host = hostOfAuthority(auth)
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val rawPath =
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val normPort = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
+    val normPath = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe)))
+    val normQuery = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      concat(scheme, lit("://"), host, normPort, normPath, normQuery))
+  }
+
+  /** The site-identity key: one label + the longest matching public
+    * suffix (`a.b.example.co.uk` → `example.co.uk`, `foo.github.io` →
+    * `foo.github.io` — subdomains of a suffix ARE distinct sites).
+    * Hosts whose suffix isn't listed fall back to their last two
+    * labels; single-label hosts pass through. Pure slice/join/contains
+    * expressions over the literal suffix array — scan-side, no join. */
+  def registrableDomain(host: Column,
+      suffixes: Seq[String] = DefaultSuffixes): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    def lastK(k: Int): Column =
+      array_join(slice(labels, n - lit(k) + 1, lit(k)), ".")
+    val sufLit = array(suffixes.map(lit): _*)
+    def isSuf(k: Int): Column = n > k && array_contains(sufLit, lastK(k))
+    when(host === "", null)
+      .when(isSuf(3), lastK(4))
+      .when(isSuf(2), lastK(3))
+      .when(isSuf(1), lastK(2))
+      .when(n >= 2, lastK(2))
+      .otherwise(host)
+  }
+
+  /** Per-site corpus balancing: keep at most `k` rows per registrable
+    * domain, selected in the stable content-hash order every sampler
+    * here uses (so the kept set is independent of executor layout and
+    * reproducible across retries). Adds `domain`; rows whose URL
+    * doesn't parse get a NULL domain and share one NULL-site quota.
+    * One window on the domain key — the same WindowGroupLimit shape as
+    * [[Sampling.quotaSample]], group limits applied map-side. */
+  def perDomainCap(df: DataFrame, urlCol: String, keyCol: String, k: Int,
+      suffixes: Seq[String] = DefaultSuffixes): DataFrame = {
+    val d = df.withColumn("domain",
+      registrableDomain(hostOf(col(urlCol)), suffixes))
+    Sampling.quotaSample(d, "domain", keyCol, k)
+  }
+}

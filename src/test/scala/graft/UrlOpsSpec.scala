@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.UrlOps
+
+class UrlOpsSpec extends SparkSpec {
+
+  private def norm(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u").select(UrlOps.normalizeUrl(col("u")).as("n"))
+      .collect().map(r => Option(r.getString(0)).orNull).toSeq
+  }
+
+  test("normalizeUrl: case, default port, userinfo, params, fragment") {
+    assert(norm("HTTPS://WWW.Example.COM:443/p/1?utm_source=feed&b=2&a=1#sec")
+      === Seq("https://www.example.com/p/1?a=1&b=2"))
+    // non-default port kept; http default port 80 dropped
+    assert(norm("http://h.example.com:80/x", "http://h.example.com:8080/x")
+      === Seq("http://h.example.com/x", "http://h.example.com:8080/x"))
+    // https on port 80 is NOT default — kept
+    assert(norm("https://h.example.com:80/x")
+      === Seq("https://h.example.com:80/x"))
+    // userinfo dropped, even with '@' in the password (last-@ split)
+    assert(norm("https://alice:p@ss@Host.COM/d") === Seq("https://host.com/d"))
+    // empty path -> '/', empty query '?' dropped, && empties dropped
+    assert(norm("https://e.com?", "https://e.com#f", "https://e.com/a?x=1&&y=2")
+      === Seq("https://e.com/", "https://e.com/", "https://e.com/a?x=1&y=2"))
+    // tracking params: whole-name anchored (prefix=x survives, ref=x dies)
+    assert(norm("https://e.com/a?ref=tw&prefix=x&gclid=1&refx=keep")
+      === Seq("https://e.com/a?prefix=x&refx=keep"))
+    // path/case preserved (path is case-sensitive); param sort is bytewise
+    assert(norm("https://e.com/CaseKept?B=2&a=1")
+      === Seq("https://e.com/CaseKept?B=2&a=1"))
+    // idempotent: normalizing a normal form is identity
+    val once = norm("HTTPS://U@E.com:443/p?utm_id=9&z=2&a=1#x").head
+    assert(norm(once) === Seq(once))
+    // non-URLs and null -> null
+    assert(norm("not a url", "mailto:a@b.c") === Seq(null, null))
+  }
+
+  test("registrableDomain: longest-suffix match, fallbacks") {
+    import spark.implicits._
+    val got = Seq("a.b.example.co.uk", "www.example.com", "foo.github.io",
+        "github.io", "deep.foo.github.io", "media.example", "localhost",
+        "x.y.unknowntld")
+      .toDF("h").select(UrlOps.registrableDomain(col("h")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("example.co.uk", "example.com", "foo.github.io",
+      "github.io", "foo.github.io", "media.example", "localhost",
+      "y.unknowntld"))
+  }
+
+  test("perDomainCap: k per registrable domain, stable under repartition") {
+    import spark.implicits._
+    val rows = (0L until 40L).map { i =>
+      val host = if (i % 2 == 0) s"sub$i.example.com" else s"u$i.github.io"
+      (i, s"https://$host/p/$i")
+    }.toDF("doc_id", "url")
+    val capped = UrlOps.perDomainCap(rows, "url", "doc_id", k = 3)
+    val byDom = capped.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // example.com collapses (20 rows -> 3); each uN.github.io is its own site
+    assert(byDom("example.com") === 3L)
+    assert(byDom.keys.count(_.endsWith("github.io")) === 20)
+    assert(byDom.filter(_._1.endsWith("github.io")).values.forall(_ == 1L))
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = UrlOps.perDomainCap(rows.repartition(7), "url", "doc_id", k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a === b)
+  }
+}
