@@ -2129,7 +2129,46 @@ object SparkEntry {
           tbl(s, dir, "documents").withColumn("u", messyUrl(col("doc_id"))),
           "u", "doc_id", k = 5)
         .select(col("doc_id"), col("domain"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Split-leakage audit (engine extension, r5): near-dup pairs whose
+    // endpoints hash into DIFFERENT train/val/test splits — the
+    // Decontaminate.splitLeakage architecture with the md5 minhash
+    // family (same swap rationale as dedup_cc_oracle: DuckDB can
+    // replay md5, not seeded xxhash64). Pairs go through the
+    // PRODUCTION bandedPairs; the split labels are the production
+    // assignSplit thresholds (floor(rate·2^32) literals, 0.2/0.2)
+    "split_leakage" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      val sig = docs
+        .select(col("id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", array((0 until 4).map { i =>
+          array_min(transform(col("sh"), w => md5(concat(lit(s"$i|"), w))))
+        }: _*)).persist()
+      val banded = sig.select(col("id"), explode(
+        transform(sequence(lit(0), lit(3)), i =>
+          concat(i.cast("string"), lit("|"), get(col("sig"), i)))).as("bucket"))
+      val verified = Dedup.bandedPairs(banded, bucketCap = 1000000)
+        .join(sig.select(col("id").as("a"), col("sh").as("shA")), Seq("a"))
+        .join(sig.select(col("id").as("b"), col("sh").as("shB")), Seq("b"))
+        .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
+        .filter(col("inter") /
+          (size(col("shA")) + size(col("shB")) - col("inter")) >= 0.5)
+        .select(col("a"), col("b"))
+      val sp = Sampling.assignSplit(docs.select(col("id")), "id",
+        valRate = 0.2, testRate = 0.2)
+      verified
+        .join(sp.select(col("id").as("a"), col("split").as("split_a")),
+          Seq("a"))
+        .join(sp.select(col("id").as("b"), col("split").as("split_b")),
+          Seq("b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          col("split_a"), col("split_b"))
+        .orderBy("a", "b")
+    })
   )
 
   /** Deterministic messy-URL fixture for the url_* queries: every
@@ -4129,7 +4168,48 @@ object SparkEntry {
       SELECT doc_id, domain FROM dom
       QUALIFY row_number() OVER (PARTITION BY domain
         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
-      ORDER BY doc_id""")
+      ORDER BY doc_id"""),
+
+    // split-leakage: the dedup_cc_oracle band→verify replay + the
+    // assignSplit hash thresholds (floor(0.2·2^32), floor(0.4·2^32)),
+    // keep pairs whose endpoints land in different splits
+    "split_leakage" -> ("""
+      WITH t AS (
+        SELECT CAST(doc_id AS VARCHAR) AS id,
+               string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      w AS (SELECT id, unnest(list_distinct(list_filter(
+              [array_to_string(ws[i:i+2], ' ')
+               FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)],
+              g -> g <> ''))) AS w
+            FROM t),
+      sig AS (SELECT id, min(md5('0|' || w)) AS h0, min(md5('1|' || w)) AS h1,
+                     min(md5('2|' || w)) AS h2, min(md5('3|' || w)) AS h3
+              FROM w GROUP BY id),
+      sz AS (SELECT id, count(*) AS n FROM w GROUP BY id),
+      cand AS (SELECT x.id AS a, y.id AS b FROM sig x JOIN sig y
+               ON x.id < y.id AND (x.h0 = y.h0 OR x.h1 = y.h1 OR
+                                   x.h2 = y.h2 OR x.h3 = y.h3)),
+      inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+                JOIN w wa ON wa.id = c.a
+                JOIN w wb ON wb.id = c.b AND wb.w = wa.w
+                GROUP BY c.a, c.b),
+      pairs AS (SELECT i.a, i.b FROM inter i
+                JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+                WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5),
+      sp AS (SELECT id,
+               CASE WHEN hv < 858993459 THEN 'val'
+                    WHEN hv < 1717986918 THEN 'test'
+                    ELSE 'train' END AS split
+             FROM (SELECT id, CAST(list_sum(list_transform(range(1, 9),
+                 i -> (strpos('0123456789abcdef', substr(md5(id), i, 1)) - 1) *
+                      ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+                 AS BIGINT) AS hv FROM t))
+      SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+             sa.split AS split_a, sb.split AS split_b
+      FROM pairs p JOIN sp sa ON sa.id = p.a JOIN sp sb ON sb.id = p.b
+      WHERE sa.split <> sb.split
+      ORDER BY a, b""")
   )
 
   /** DuckDB mirror of [[messyUrl]] plus a step-for-step replay of

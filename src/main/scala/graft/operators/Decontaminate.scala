@@ -47,4 +47,34 @@ object Decontaminate {
       probes: DataFrame, probeCol: String, n: Int = 13): DataFrame =
     docs.join(flag(docs, idCol, textCol, probes, probeCol, n),
       Seq(idCol), "left_anti")
+
+  /** Train/eval SPLIT leakage audit — the other direction of
+    * contamination hygiene: near-duplicate pairs whose endpoints landed
+    * in different values of `splitCol` (val answers hiding in train as
+    * paraphrases survive exact decontamination; this catches them at
+    * the near-dup threshold). Pairs come from the production
+    * [[Dedup.minhashLsh]] path (codegen signatures, count-gated
+    * hot-bucket guard, persisted-hash-set verify), so the audit costs
+    * one near-dup pass plus two id-keyed label joins — nothing beyond
+    * what a dedup run already pays, and at 100 TB it shares the same
+    * scale story. Returns (a, b, split_a, split_b, jaccard) with
+    * split_a ≠ split_b (null-safe: a NULL split is a distinct label).
+    * An empty result IS the audit pass. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, bands: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.7, shingleN: Int = 3,
+      bucketCap: Int = 1000): DataFrame = {
+    val pairs = Dedup.minhashLsh(df, idCol, textCol, bands, rowsPerBand,
+      threshold, shingleN, bucketCap)
+    val labels = df.select(col(idCol).as("__sl_id"),
+      col(splitCol).as("__sl_split"))
+    pairs
+      .join(labels.select(col("__sl_id").as("a"),
+        col("__sl_split").as("split_a")), Seq("a"))
+      .join(labels.select(col("__sl_id").as("b"),
+        col("__sl_split").as("split_b")), Seq("b"))
+      .filter(!(col("split_a") <=> col("split_b")))
+      .select(col("a"), col("b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
 }

@@ -211,6 +211,28 @@ class DedupSpec extends SparkSpec {
     assert(clean === Set(1L, 3L, 4L))
   }
 
+  test("split leakage: cross-split near-dup pairs only, null split is a label") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "train"),
+      (2L, "the quick brown fox jumps over the lazy dog", "test"),   // exact dup, crosses
+      (3L, "the quick brown fox jumps over the lazy cat today", "val"), // J=0.667 < 0.7: no pair
+      (4L, "spark engines shuffle data between executors", "train"),
+      (5L, "completely unrelated text about cooking pasta dishes", "test"),
+      (6L, "spark engines shuffle data between executors often", null) // J=0.8, null split ≠ train
+    ).toDF("doc_id", "text", "split")
+    val got = Decontaminate.splitLeakage(corpus, "doc_id", "text", "split")
+      .select("a", "b", "split_a", "split_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got === Set((1L, 2L, "train", "test"), (4L, 6L, "train", null)))
+    // same-split near-dups are NOT leakage
+    val sameSplit = corpus.withColumn("split", lit("train"))
+    assert(Decontaminate.splitLeakage(sameSplit, "doc_id", "text", "split")
+      .count() === 0L)
+  }
+
   test("incremental exact dedup: in-batch keep-first + seen-corpus drop, null-safe") {
     import spark.implicits._
     val seen = Seq((1L, "alpha"), (2L, null: String)).toDF("doc_id", "text")
