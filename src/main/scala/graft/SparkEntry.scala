@@ -728,6 +728,17 @@ object SparkEntry {
         .select(col("vec_id"), col("cell")).orderBy("vec_id")
     }),
 
+    // Hard-negative mining (r5), DRIVER-ORACLED end to end: the
+    // production Similarity.hardNegatives — k-means cells (k=4, 1
+    // update round, the emb_semdedup clustering) bound the candidate
+    // space, within-cell directed pairs, exact-int cosine, per-anchor
+    // top-3 OTHER-label neighbors. Assignments, similarities, and the
+    // top-k cut all replay bit-for-bit.
+    "emb_hardneg" -> ((s, dir) =>
+      Similarity.hardNegatives(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 3, kCells = 4, iterations = 1)
+        .orderBy("vec_id", "neg_id")),
+
     // The X16 feature-hash EMBEDDING architecture, DRIVER-ORACLED:
     // token → hash → signed vote into hash % dim → L2 normalize. Two
     // deliberate swaps vs the Embeddings.embed kernel, both forced by
@@ -3919,6 +3930,56 @@ object SparkEntry {
       SELECT a.vec_id, CAST(a.cell AS INT) AS cell
       FROM af a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
       WHERE dr.vec_id IS NULL ORDER BY a.vec_id"""),
+
+    // hard negatives: the emb_semdedup k-means replay (k=4 md5 seeds,
+    // one trunc-div Lloyd round, exact-long argmin with ties to the
+    // smaller cell), then directed within-cell pairs, other-label
+    // filter, exact-int cosine, per-anchor top-3 by (sim DESC, neg_id)
+    "emb_hardneg" -> ("""
+      WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                        unnest(range(1, len(embedding) + 1)) AS d
+                 FROM embeddings),
+      ie AS (SELECT vec_id, CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv, d
+             FROM e),
+      iv2 AS (SELECT vec_id, list(iv ORDER BY d) AS iemb FROM ie GROUP BY vec_id),
+      c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell, iemb AS cemb
+             FROM iv2 QUALIFY cell < 4),
+      a1 AS (SELECT v.vec_id, v.iemb, c.cell,
+               CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) AS dist
+             FROM iv2 v CROSS JOIN c0 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY dist ASC, cell ASC) = 1),
+      m1 AS (SELECT cell, d, CAST(sum(x) // count(*) AS BIGINT) AS m
+             FROM (SELECT cell, unnest(iemb) AS x,
+                     unnest(range(1, len(iemb) + 1)) AS d FROM a1)
+             GROUP BY cell, d),
+      n1 AS (SELECT cell, list(m ORDER BY d) AS cemb FROM m1 GROUP BY cell),
+      c1 AS (SELECT c.cell, coalesce(n.cemb, c.cemb) AS cemb
+             FROM c0 c LEFT JOIN n1 n USING (cell)),
+      af AS (SELECT v.vec_id, v.iemb, c.cell
+             FROM iv2 v CROSS JOIN c1 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) ASC,
+                 cell ASC) = 1),
+      afl AS (SELECT a.vec_id, a.iemb, a.cell, b.label
+              FROM af a JOIN embeddings b USING (vec_id)),
+      sc AS (SELECT x.vec_id AS a, x.label AS la, y.vec_id AS b, y.label AS lb,
+               CAST(list_sum(list_transform(range(1, len(x.iemb) + 1),
+                 j -> x.iemb[j] * y.iemb[j])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(x.iemb, t -> t * t)) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(y.iemb, t -> t * t)) AS DOUBLE)))
+                 AS similarity
+             FROM afl x JOIN afl y
+               ON x.cell = y.cell AND x.vec_id <> y.vec_id
+             WHERE x.label IS DISTINCT FROM y.label)
+      SELECT a AS vec_id, la AS label, b AS neg_id, lb AS neg_label, similarity
+      FROM sc
+      QUALIFY row_number() OVER (PARTITION BY a
+        ORDER BY similarity DESC, b) <= 3
+      ORDER BY vec_id, neg_id"""),
 
     // feature-hash embedding: signed votes into hash % dim, L2 norm
     "x16_embed_oracle" -> ("""

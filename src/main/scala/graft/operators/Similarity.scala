@@ -249,4 +249,59 @@ object Similarity {
     bruteForceTopK(assigned.filter(col("cell").isin(probeCells: _*)),
       embCol, query, k, tieBreak)
   }
+
+  /** Hard-negative mining for contrastive training: for every row, the
+    * `k` most-cosine-similar rows carrying a DIFFERENT `labelCol` —
+    * the negatives just outside the decision boundary, which teach a
+    * retrieval/embedding model far more per example than in-batch
+    * random negatives. Scale shape is the SemDeDup discipline
+    * ([[Dedup.semanticNearDup]]): deterministic quantized k-means
+    * bounds the candidate space (clustering IS the prune), candidate
+    * pairs exist only within a cell and run through [[Dedup
+    * .bandedPairs]]' count-gated hot-cell star guard, similarity is the
+    * exact-integer cosine (bit-identical on any engine), and the
+    * per-anchor top-k is one row_number window on the anchor key (the
+    * WindowGroupLimit partial rewrite applies). A negative in a
+    * different cell than its anchor is missed by construction — the
+    * standard ANN recall tradeoff; lower `kCells` (or mine per IVF
+    * probe list) for higher recall. Anchors with no differently-
+    * labeled cellmate yield no rows. Null labels count as one label of
+    * their own (null-safe compare), so null-vs-non-null IS a valid
+    * negative pair.
+    *
+    * Returns (idCol, label, neg_id, neg_label, similarity), ties on
+    * similarity broken by smaller neg_id. */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int, kCells: Int, iterations: Int = 2,
+      scale: Long = 1000000L, bucketCap: Int = 100000): DataFrame = {
+    val (assigned, _) = kmeansQuantized(df, idCol, embCol, kCells,
+      iterations, scale)
+    // persisted for the same reason as semanticNearDup: bandedPairs'
+    // eager hot-cell count materializes it once; pair sides + label
+    // joins then reuse the narrow projection instead of re-running the
+    // argmin scan (evicted by the harnesses' per-query clearCache)
+    val narrow = assigned
+      .join(df.select(col(idCol), col(labelCol).as("__hn_lab")), Seq(idCol))
+      .select(col(idCol).as("id"), col("iemb"), col("cell"), col("__hn_lab"))
+      .persist()
+    // one bucket (= cell) per id → pairs already unique; DIRECTED by
+    // symmetrizing, since each endpoint anchors its own top-k
+    val und = Dedup.bandedPairs(
+      narrow.select(col("id"), col("cell").as("bucket")),
+      bucketCap, dedup = false)
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val w = Window.partitionBy("a")
+      .orderBy(col("similarity").desc, col("b"))
+    sym
+      .join(narrow.select(col("id").as("a"), col("iemb").as("embA"),
+        col("__hn_lab").as("label")), Seq("a"))
+      .join(narrow.select(col("id").as("b"), col("iemb").as("embB"),
+        col("__hn_lab").as("neg_label")), Seq("b"))
+      .filter(!(col("label") <=> col("neg_label")))
+      .withColumn("similarity", Embeddings.intCosine(col("embA"), col("embB")))
+      .withColumn("__hn_rn", row_number().over(w))
+      .filter(col("__hn_rn") <= k)
+      .select(col("a").as(idCol), col("label"), col("b").as("neg_id"),
+        col("neg_label"), col("similarity"))
+  }
 }

@@ -211,6 +211,37 @@ class DedupSpec extends SparkSpec {
     assert(clean === Set(1L, 3L, 4L))
   }
 
+  test("hard negatives: per-anchor top-k nearest OTHER-label, same-label excluded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),
+      (2L, Seq(0.9f, 0.1f), "A"),
+      (3L, Seq(0.8f, 0.2f), "B"),
+      (4L, Seq(0.0f, 1.0f), "B"),
+      (5L, Seq(-1.0f, 0.0f), "C")
+    ).toDF("vec_id", "embedding", "label")
+    // kCells=1 -> every pair is a candidate: exact top-1 per anchor
+    val got = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+        k = 1, kCells = 1, iterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 2L, 5L -> 4L))
+    // k=2: anchor 1's second-hardest negative is the orthogonal 4
+    val k2 = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+        k = 2, kCells = 1, iterations = 0)
+      .filter(col("vec_id") === 1L)
+      .orderBy(col("similarity").desc)
+      .collect().map(_.getLong(2)).toSeq
+    assert(k2 === Seq(3L, 4L))
+    // partitioning-invariant
+    val a = Similarity.hardNegatives(vecs.repartition(5), "vec_id",
+        "embedding", "label", k = 2, kCells = 1, iterations = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val b = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+        k = 2, kCells = 1, iterations = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(a === b)
+  }
+
   test("split leakage: cross-split near-dup pairs only, null split is a label") {
     import spark.implicits._
     import graft.operators.Decontaminate
