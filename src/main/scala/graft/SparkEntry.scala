@@ -2142,6 +2142,16 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"))
         .orderBy("doc_id")),
 
+    // Integer-exact BM25 (r5): per-doc lexical retrieval scores over a
+    // probe term list — fixed-point integer idf (log2 digit
+    // recurrence), exact rational tf normalization, integer per-doc
+    // sum (no float accumulation order anywhere). The twin replays the
+    // log recurrence as chained CTEs and every division as //
+    "text_bm25" -> ((s, dir) =>
+      Retrieval.bm25(tbl(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "window", "hash"))
+        .orderBy("doc_id")),
+
     // Split-leakage audit (engine extension, r5): near-dup pairs whose
     // endpoints hash into DIFFERENT train/val/test splits — the
     // Decontaminate.splitLeakage architecture with the md5 minhash
@@ -4230,6 +4240,52 @@ object SparkEntry {
       QUALIFY row_number() OVER (PARTITION BY domain
         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
       ORDER BY doc_id"""),
+
+    // BM25: the log2 digit recurrence replayed as 8 chained CTE steps
+    // (one fraction bit each), '#N' = the corpus-N numerator row; every
+    // division is // and the per-doc sum is an exact integer
+    "text_bm25" -> {
+      val steps = (1 to 8).map { k =>
+        s"""s$k AS (SELECT key, ip,
+           CASE WHEN ((m*m) >> 30) >= 2147483648 THEN ((m*m) >> 30) >> 1
+                ELSE (m*m) >> 30 END AS m,
+           frac*2 + (CASE WHEN ((m*m) >> 30) >= 2147483648 THEN 1 ELSE 0 END)
+             AS frac
+         FROM s${k - 1})"""
+      }.mkString(",\n      ")
+      s"""
+      WITH tk AS (SELECT doc_id, w FROM (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+           FROM documents) WHERE w <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+      ad AS (SELECT count(*) AS n, greatest(1, sum(dl) // count(*)) AS a
+             FROM dl),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM tk
+             WHERE w IN ('spark', 'window', 'hash') GROUP BY doc_id, w),
+      dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      xs AS (SELECT w AS key, CAST(2*df+1 AS BIGINT) AS x FROM dfq
+             UNION ALL SELECT '#N', CAST(2*n+2 AS BIGINT) FROM ad),
+      s0 AS (SELECT key, CAST(length(bin(x)) - 1 AS BIGINT) AS ip,
+           CASE WHEN length(bin(x)) - 1 >= 30
+                THEN x >> (length(bin(x)) - 1 - 30)
+                ELSE x << (30 - (length(bin(x)) - 1)) END AS m,
+           CAST(0 AS BIGINT) AS frac
+         FROM xs),
+      $steps,
+      lg AS (SELECT key, ip * 256 + frac AS l FROM s8),
+      idf AS (SELECT lg.key AS w,
+           (SELECT l FROM lg x WHERE x.key = '#N') - lg.l AS idf
+         FROM lg WHERE key <> '#N'),
+      sc AS (SELECT tf.doc_id,
+           sum((idf.idf * (44 * ad.a) * tf.tf) //
+               ((20 * ad.a) * tf.tf + 6 * ad.a + 18 * dl.dl)) AS score,
+           count(*) AS n_terms
+         FROM tf JOIN dl USING (doc_id) JOIN idf ON idf.w = tf.w
+         CROSS JOIN ad
+         GROUP BY tf.doc_id)
+      SELECT doc_id, CAST(score AS BIGINT) AS score, n_terms
+      FROM sc ORDER BY doc_id"""
+    },
 
     // split-leakage: the dedup_cc_oracle band→verify replay + the
     // assignSplit hash thresholds (floor(0.2·2^32), floor(0.4·2^32)),

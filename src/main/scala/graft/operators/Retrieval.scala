@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+import org.apache.spark.sql.graft.shims
+
+/** Lexical retrieval scoring — BM25 reduced to INTEGER arithmetic so
+  * scores replay bit-for-bit on any engine (the same discipline as
+  * [[DomainScore.surprisalScore]]'s integer log and
+  * [[Sampling.temperatureMixtureSample]]'s power-of-two exponents):
+  *
+  *   score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  *
+  * with the standard k1 = 1.2 = 6/5 and b = 0.75 = 3/4. Multiplying
+  * through by 20·A (A = floor-integer avgdl) makes the per-term factor
+  * the exact rational 44·A·tf / (20·A·tf + 6·A + 18·dl), and
+  * idf = ln((N+0.5+0.5)/(df+0.5)) becomes log2((2N+2)/(2df+1)) — the
+  * ln→log2 change is a constant factor on every term, so rankings are
+  * untouched — computed as a DIFFERENCE of two [[log2fp]] fixed-point
+  * integer logs. Each per-term score is one integer floor-division;
+  * the per-doc total is an exact integer sum, immune to float
+  * accumulation order. Two deliberate, documented roundings: avgdl is
+  * floored to an integer, and log2 carries `fracBits` fraction bits
+  * (2⁻⁸ ulp at the default — far below any ranking-relevant idf gap).
+  *
+  * Scale shape: one token-explode pass feeds both the doc-length
+  * census and the tf counts; corpus N/T are two driver scalars from
+  * one aggregate (the surprisalScore idiom); the idf table is bounded
+  * by the probe-term list and broadcast by construction; scoring is
+  * one id-keyed join + one partial-aggregable sum. Overflow headroom:
+  * idf_fp < 2¹⁴ · 44·A·tf needs A·tf < 2⁴⁵ — petabyte corpora clear
+  * it, since A is an average DOC length, not a corpus total.
+  */
+object Retrieval {
+
+  /** Integer division for nonnegative longs — replays as DuckDB `//`. */
+  private def idiv(x: Column, d: Column): Column =
+    ((x - pmod(x, d)) / d).cast("long")
+
+  private def shl(x: Column, n: Column): Column = shims.toColumn(
+    ShiftLeft(shims.toExpression(x), shims.toExpression(n.cast("int"))))
+  private def shr(x: Column, n: Column): Column = shims.toColumn(
+    ShiftRight(shims.toExpression(x), shims.toExpression(n.cast("int"))))
+
+  /** approx-floor(log2(x) · 2^fracBits) for integer x ≥ 1, integers
+    * only: integer part from the bit length, fraction bits by the
+    * classic normalize-and-square digit recurrence (m ∈ [2³⁰, 2³¹);
+    * square, renormalize, emit one bit — each step floors at 2⁻³⁰
+    * relative precision, so the accumulated error stays ≪ the
+    * 2^-fracBits granularity for fracBits ≤ 16). Pure +,·,>>,<<,CASE
+    * over BIGINT — the DuckDB twin replays it as `fracBits` chained
+    * CTEs, and [[withLog2fp]] builds it the same way as `fracBits`
+    * CHAINED NAMED COLUMNS: each step's m feeds the next step's m·m
+    * (two references), which both keeps the recurrence readable and —
+    * because CollapseProject refuses to inline a non-cheap alias that
+    * is consumed more than once — stops the optimizer from re-inlining
+    * the chain into a 3^fracBits-node expression tree (building this
+    * as ONE Column literally OOMed the analyzer). */
+  private[graft] def log2fpLong(x: Long, fracBits: Int): Long = {
+    require(x >= 1 && fracBits >= 1 && fracBits <= 16)
+    val ip = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (ip >= 30) x >> (ip - 30) else x << (30 - ip)
+    var frac = 0L
+    for (_ <- 0 until fracBits) {
+      var sq = (m * m) >> 30
+      val bit = if (sq >= 2147483648L) 1L else 0L
+      if (bit == 1L) sq >>= 1
+      frac = frac * 2 + bit
+      m = sq
+    }
+    ip.toLong * (1L << fracBits) + frac
+  }
+
+  /** [[log2fpLong]] as a column recurrence: adds `outCol` =
+    * approx-floor(log2(xCol) · 2^fracBits). */
+  private[graft] def withLog2fp(df: DataFrame, xCol: String, outCol: String,
+      fracBits: Int): DataFrame = {
+    require(fracBits >= 1 && fracBits <= 16)
+    var d = df
+      .withColumn("__l2_ip", (length(bin(col(xCol))) - 1).cast("long"))
+      .withColumn("__l2_m",
+        when(col("__l2_ip") >= 30, shr(col(xCol), col("__l2_ip") - 30))
+          .otherwise(shl(col(xCol), lit(30L) - col("__l2_ip"))))
+      .withColumn("__l2_f", lit(0L))
+    for (_ <- 0 until fracBits) {
+      d = d
+        .withColumn("__l2_sq", shr(col("__l2_m") * col("__l2_m"), lit(30L)))
+        .withColumn("__l2_b",
+          (col("__l2_sq") >= lit(2147483648L)).cast("long"))
+        .withColumn("__l2_f", col("__l2_f") * 2 + col("__l2_b"))
+        .withColumn("__l2_m", when(col("__l2_b") === 1L,
+          shr(col("__l2_sq"), lit(1L))).otherwise(col("__l2_sq")))
+    }
+    d.withColumn(outCol,
+        col("__l2_ip") * (1L << fracBits) + col("__l2_f"))
+      .drop("__l2_ip", "__l2_m", "__l2_f", "__l2_sq", "__l2_b")
+  }
+
+  /** BM25 scores of every document matching ≥ 1 probe term (documents
+    * matching none yield no row — at corpus scale the result is
+    * retrieval-sparse by construction). Returns (idCol, score,
+    * n_terms): `score` is the fixed-point integer described above
+    * (ranking-faithful; divide by 2^fracBits·ln2⁻¹ only if absolute
+    * BM25 values are ever needed), `n_terms` the number of distinct
+    * probe terms matched. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], fracBits: Int = 8): DataFrame = {
+    val probe = terms.map(_.toLowerCase).distinct
+    require(probe.nonEmpty, "bm25: empty probe term list")
+    val toks = df.select(col(idCol).as("__id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+    // persisted: the corpus-stats aggregate below materializes it, and
+    // the scoring join then reuses the narrow (id, dl) projection
+    // (evicted by the harnesses' per-query clearCache)
+    val dl = toks.groupBy("__id").agg(count(lit(1)).as("__dl")).persist()
+    val g = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__t")).head()
+    val nDocs = g.getLong(0)
+    val avgdl = if (nDocs == 0L) 1L else math.max(1L, g.getLong(1) / nDocs)
+    val tf = toks.filter(col("__w").isin(probe: _*))
+      .groupBy("__id", "__w").agg(count(lit(1)).as("__tf"))
+    // the numerator log is a pure function of the N driver scalar;
+    // the per-term log runs as the column recurrence on the tiny df
+    // census (≤ |terms| rows)
+    val lNum = if (nDocs == 0L) 0L else log2fpLong(2L * nDocs + 2L, fracBits)
+    val idf = withLog2fp(
+        tf.groupBy("__w").agg(count(lit(1)).as("__df"))
+          .withColumn("__x", col("__df") * 2L + 1L),
+        "__x", "__ldf", fracBits)
+      .withColumn("__idf", lit(lNum) - col("__ldf"))
+    // idf rows ≤ |terms| — broadcast bounded by the literal probe list
+    tf.join(broadcast(idf.select(col("__w"), col("__idf"))), Seq("__w"))
+      .join(dl, Seq("__id"))
+      .withColumn("__s", idiv(
+        col("__idf") * lit(44L * avgdl) * col("__tf"),
+        lit(20L * avgdl) * col("__tf") + lit(6L * avgdl) +
+          lit(18L) * col("__dl")))
+      .groupBy(col("__id").as(idCol))
+      .agg(sum("__s").as("score"), count(lit(1)).as("n_terms"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+
+  /** Independent driver replay of the integer log2 recurrence. */
+  private def log2fpRef(x: Long, fracBits: Int): Long = {
+    val ip = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (ip >= 30) x >> (ip - 30) else x << (30 - ip)
+    var frac = 0L
+    for (_ <- 0 until fracBits) {
+      var sq = (m * m) >> 30
+      val bit = if (sq >= 2147483648L) 1L else 0L
+      if (bit == 1L) sq >>= 1
+      frac = frac * 2 + bit
+      m = sq
+    }
+    ip.toLong * (1L << fracBits) + frac
+  }
+
+  test("log2fp: matches the driver replay and tracks log2 within one ulp") {
+    import spark.implicits._
+    val xs = Seq(1L, 2L, 3L, 7L, 100L, 1023L, 1024L, 1025L,
+      999983L, (1L << 40) + 12345L)
+    val got = Retrieval.withLog2fp(xs.toDF("x"), "x", "l", 8)
+      .select("x", "l")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      assert(got(x) === log2fpRef(x, 8), s"x=$x")
+      assert(got(x) === Retrieval.log2fpLong(x, 8), s"x=$x (scala twin)")
+      val err = math.abs(got(x).toDouble / 256.0 - math.log(x.toDouble) / math.log(2.0))
+      assert(err <= 1.0 / 256.0 + 1e-6, s"x=$x err=$err")
+    }
+  }
+
+  test("bm25: matches an independent driver replay; ranking sane") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark table spark hash join"),
+      (2L, "spark spark spark spark spark"),
+      (3L, "table of contents and other words beyond"),
+      (4L, "nothing relevant here at all"),
+      (5L, "spark table")
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "table")
+    val got = Retrieval.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // driver replay of the exact integer pipeline
+    val toks = Map(1L -> Seq("spark", "table", "spark", "hash", "join"),
+      2L -> Seq.fill(5)("spark"),
+      3L -> Seq("table", "of", "contents", "and", "other", "words", "beyond"),
+      4L -> Seq("nothing", "relevant", "here", "at", "all"),
+      5L -> Seq("spark", "table"))
+    val n = toks.size.toLong
+    val a = math.max(1L, toks.values.map(_.size.toLong).sum / n)
+    val want = toks.flatMap { case (id, ws) =>
+      val dl = ws.size.toLong
+      val perTerm = terms.flatMap { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0) None else {
+          val df = toks.values.count(_.contains(t)).toLong
+          val idf = log2fpRef(2 * n + 2, 8) - log2fpRef(2 * df + 1, 8)
+          Some(idf * (44 * a) * tf / ((20 * a) * tf + 6 * a + 18 * dl))
+        }
+      }
+      if (perTerm.isEmpty) None
+      else Some(id -> ((perTerm.sum, perTerm.size.toLong)))
+    }
+    assert(got === want)
+    // doc 4 matches nothing -> absent; both-term docs beat rarer configs
+    assert(!got.contains(4L))
+    assert(got(1L)._1 > got(3L)._1) // two terms + higher tf beats one cold term
+    // repartition-invariant
+    val b = Retrieval.bm25(docs.repartition(7), "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(b === got)
+  }
+}
