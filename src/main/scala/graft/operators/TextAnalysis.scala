@@ -118,26 +118,39 @@ object TextAnalysis {
 
   /** Corpus length distribution as (metric, value) rows: count, sum,
     * min, max, and rank-selected percentiles (p50/p90/p99). Percentile
-    * = the value at 1-based rank ceil(n·p/100) in (length, id) order —
-    * the DISCRETE percentile, chosen over interpolation deliberately:
-    * rank selection is integer-exact and engine-replayable, while
+    * = the value at 1-based rank ceil(n·p/100) in length order — the
+    * DISCRETE percentile, chosen over interpolation deliberately: rank
+    * selection is integer-exact and engine-replayable, while
     * interpolated quantiles differ across engines in the last ulp and
-    * poison hash comparison. The ordered rank pass is a single global
-    * window over (length, id) — a stats REPORT, not a per-row
-    * operator; at corpus scale sample first or bucket the lengths. */
+    * poison hash comparison.
+    *
+    * Scale shape: the percentile VALUE depends only on the length
+    * DISTRIBUTION, so the rank pass runs over a partial-aggregable
+    * (length, count) census — the value at rank r is the smallest
+    * length whose cumulative count reaches r. The one single-partition
+    * window is over DISTINCT length values (bounded by the value
+    * domain, e.g. a max-chars gate — thousands of rows), never over
+    * the corpus; this replaced a corpus-wide (length, id) row_number
+    * window whose one sort task was the former scale caveat here.
+    * `idCol` is retained for API compatibility; ranks no longer need a
+    * tiebreak because equal lengths share one census row. */
   def corpusLengthStats(df: DataFrame, idCol: String, lenCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("len"), col(idCol))
-    val ranked = df.select(col(lenCol).cast("long").as("len"), col(idCol))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(
+    val census = df.groupBy(col(lenCol).cast("long").as("len"))
+      .agg(count(lit(1)).as("c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("len").asc_nulls_first)
+    val cum = census
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
     def agg1(metric: String, c: org.apache.spark.sql.Column): DataFrame =
       df.agg(c.cast("long").as("value"))
         .select(lit(metric).as("metric"), col("value"))
-    def pct(p: Int): DataFrame =
-      ranked.filter(col("rn") === floor((col("n") * p + 99) / 100.0))
+    def pct(p: Int): DataFrame = {
+      val r = floor((col("n") * p + 99) / 100.0)
+      cum.filter(col("cum") >= r && (col("cum") - col("c")) < r)
         .select(lit(s"p$p").as("metric"), col("len").as("value"))
+    }
     agg1("n_docs", count(lit(1)))
       .union(agg1("sum_len", sum(col(lenCol))))
       .union(agg1("min_len", min(col(lenCol))))
