@@ -1676,6 +1676,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // bigram LM surprisal with unigram backoff (r5): one rung up the
+    // CCNet ladder from text_surprisal — P(w2|w1) bits under the seed
+    // censuses via the fixed-point integer log2, +3-bit backoff for
+    // unseen transitions; same % 89 seed slice
+    "text_bigram_lm" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val seed = docs.filter(pmod(col("doc_id"), lit(89)) === 0)
+        .select("text")
+      DomainScore.bigramSurprisal(docs, "doc_id", "text", seed, "text")
+        .orderBy("doc_id")
+    }),
+
     // feature-hashed linear quality classifier (r5): fastText-shape
     // unigram+bigram bucket-weight sum, integer weights, pure
     // higher-order expressions (no UDF, no join, no shuffle); the
@@ -4245,14 +4257,6 @@ object SparkEntry {
     // (one fraction bit each), '#N' = the corpus-N numerator row; every
     // division is // and the per-doc sum is an exact integer
     "text_bm25" -> {
-      val steps = (1 to 8).map { k =>
-        s"""s$k AS (SELECT key, ip,
-           CASE WHEN ((m*m) >> 30) >= 2147483648 THEN ((m*m) >> 30) >> 1
-                ELSE (m*m) >> 30 END AS m,
-           frac*2 + (CASE WHEN ((m*m) >> 30) >= 2147483648 THEN 1 ELSE 0 END)
-             AS frac
-         FROM s${k - 1})"""
-      }.mkString(",\n      ")
       s"""
       WITH tk AS (SELECT doc_id, w FROM (SELECT doc_id,
              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
@@ -4265,14 +4269,7 @@ object SparkEntry {
       dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
       xs AS (SELECT w AS key, CAST(2*df+1 AS BIGINT) AS x FROM dfq
              UNION ALL SELECT '#N', CAST(2*n+2 AS BIGINT) FROM ad),
-      s0 AS (SELECT key, CAST(length(bin(x)) - 1 AS BIGINT) AS ip,
-           CASE WHEN length(bin(x)) - 1 >= 30
-                THEN x >> (length(bin(x)) - 1 - 30)
-                ELSE x << (30 - (length(bin(x)) - 1)) END AS m,
-           CAST(0 AS BIGINT) AS frac
-         FROM xs),
-      $steps,
-      lg AS (SELECT key, ip * 256 + frac AS l FROM s8),
+      $Log2CteSql,
       idf AS (SELECT lg.key AS w,
            (SELECT l FROM lg x WHERE x.key = '#N') - lg.l AS idf
          FROM lg WHERE key <> '#N'),
@@ -4285,6 +4282,53 @@ object SparkEntry {
          GROUP BY tf.doc_id)
       SELECT doc_id, CAST(score AS BIGINT) AS score, n_terms
       FROM sc ORDER BY doc_id"""
+    },
+
+    // bigram LM: seed unigram/bigram censuses -> one shared log2 CTE
+    // chain over ALL census rows (keys 'u|tok', 'b|w1 w2', '#T'), then
+    // seen bits = L(cu1+1)-L(cb), backoff = L(T+1)-L(cu2+1)+3*256
+    "text_bigram_lm" -> {
+      s"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sd AS (SELECT toks FROM t WHERE doc_id % 89 = 0),
+      su AS (SELECT tok, count(*) AS cu
+             FROM (SELECT unnest(toks) AS tok FROM sd) GROUP BY tok),
+      tt AS (SELECT coalesce(sum(cu), 0) AS total FROM su),
+      sb AS (SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS cb FROM (
+          SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+            FOR i IN range(1, len(toks))]) AS pr FROM sd)
+        GROUP BY pr.w1, pr.w2),
+      xs AS (SELECT 'u|' || tok AS key, CAST(cu + 1 AS BIGINT) AS x FROM su
+             UNION ALL
+             SELECT 'b|' || w1 || ' ' || w2, CAST(cb AS BIGINT) FROM sb
+             UNION ALL SELECT '#T', CAST(total + 1 AS BIGINT) FROM tt),
+      $Log2CteSql,
+      lu AS (SELECT substr(key, 3) AS tok, l FROM lg
+             WHERE starts_with(key, 'u|')),
+      lb AS (SELECT split_part(substr(key, 3), ' ', 1) AS w1,
+                    split_part(substr(key, 3), ' ', 2) AS w2, l
+             FROM lg WHERE starts_with(key, 'b|')),
+      pe AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+          SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+            FOR i IN range(1, len(toks))]) AS pr FROM t)),
+      j AS (SELECT pe.doc_id,
+          CASE WHEN b.l IS NOT NULL THEN u1.l - b.l
+               ELSE (SELECT l FROM lg WHERE key = '#T')
+                    - coalesce(u2.l, 0) + 768 END AS bits,
+          b.l AS lbv
+        FROM pe LEFT JOIN lb b ON b.w1 = pe.w1 AND b.w2 = pe.w2
+        LEFT JOIN lu u1 ON u1.tok = pe.w1
+        LEFT JOIN lu u2 ON u2.tok = pe.w2),
+      m AS (SELECT doc_id, count(*) AS n_pairs, count(lbv) AS n_seen,
+              CAST(sum(bits) AS BIGINT) AS surprisal
+            FROM j GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(m.n_pairs, 0) AS n_pairs,
+        coalesce(m.n_seen, 0) AS n_seen,
+        coalesce(m.surprisal, 0) AS surprisal
+      FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id"""
     },
 
     // split-leakage: the dedup_cc_oracle band→verify replay + the
@@ -4328,6 +4372,32 @@ object SparkEntry {
       WHERE sa.split <> sb.split
       ORDER BY a, b""")
   )
+
+  /** DuckDB replay of the [[Retrieval.log2fpLong]] fixed-point log2
+    * digit recurrence (8 fraction bits): expects a CTE `xs(key, x)`
+    * upstream, yields `lg(key, l)` with l = approx-floor(log2(x)·256).
+    * s0 normalizes x to m ∈ [2³⁰, 2³¹); each step squares, renorms,
+    * and emits one bit — identical integer ops to the engine's
+    * `withLog2fp` chain. Shared by the text_bm25 / text_bigram_lm
+    * twins. */
+  private val Log2CteSql: String = {
+    val steps = (1 to 8).map { k =>
+      s"""s$k AS (SELECT key, ip,
+         CASE WHEN ((m*m) >> 30) >= 2147483648 THEN ((m*m) >> 30) >> 1
+              ELSE (m*m) >> 30 END AS m,
+         frac*2 + (CASE WHEN ((m*m) >> 30) >= 2147483648 THEN 1 ELSE 0 END)
+           AS frac
+       FROM s${k - 1})"""
+    }.mkString(",\n      ")
+    s"""s0 AS (SELECT key, CAST(length(bin(x)) - 1 AS BIGINT) AS ip,
+           CASE WHEN length(bin(x)) - 1 >= 30
+                THEN x >> (length(bin(x)) - 1 - 30)
+                ELSE x << (30 - (length(bin(x)) - 1)) END AS m,
+           CAST(0 AS BIGINT) AS frac
+         FROM xs),
+      $steps,
+      lg AS (SELECT key, ip * 256 + frac AS l FROM s8)"""
+  }
 
   /** DuckDB mirror of [[messyUrl]] plus a step-for-step replay of
     * [[UrlOps.normalizeUrl]] and [[UrlOps.registrableDomain]] (same

@@ -107,6 +107,82 @@ object DomainScore {
   private def toksOf(c: Column): Column =
     filter(split(lower(trim(coalesce(c, lit("")))), "\\s+"), t => t =!= "")
 
+  /** Adjacent-token (w1, w2) pairs of a text, in order. The size guard
+    * matters: `sequence(1, 0)` would DESCEND, not produce empty. */
+  private def pairsOf(c: Column): Column = {
+    val t = toksOf(c)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** Bigram language-model surprisal with unigram backoff — one rung
+    * up the CCNet ladder from [[surprisalScore]]'s unigram model,
+    * still engine-replayable integers throughout. Per adjacent pair
+    * (w1, w2) of a document, under the seed corpus's censuses
+    * (unigram counts cu, bigram counts cb, total tokens T):
+    *
+    *   seen bigram:   bits = L(cu(w1)+1) − L(cb(w1,w2))   ≈ −log₂ P(w2|w1)
+    *   unseen bigram: bits = L(T+1) − L(cu(w2)+1) + penaltyBits·2^F
+    *
+    * where L = [[Retrieval.log2fpLong]]'s fixed-point log2 (F =
+    * `fracBits` fraction bits), computed ONCE per census row via
+    * [[Retrieval.withLog2fp]] — the per-pair work downstream is pure
+    * integer adds. cb ≤ cu(w1) always, so seen-bits ≥ 0 (L is
+    * monotone); an OOV w2 contributes L(1) = 0 and pays the full
+    * L(T+1) + penalty. A document's (n_pairs, n_seen, surprisal) sums
+    * are exact integers — rank or gate on surprisal/n_pairs (mean
+    * bits/transition ≈ log-perplexity) downstream.
+    *
+    * Scale shape: censuses are partial-aggregable aggregates over the
+    * SEED (in-domain, small by definition), each behind a COUNT-GATED
+    * broadcast with a shuffle fallback ([[ngramCoverage]] discipline).
+    * Docs pay one pair-explode + three keyed joins; on the shuffle
+    * fallback the w1/w2 joins inherit Zipf skew — pair with
+    * [[Skew.hotKeyCensus]]-driven salting if a census ever outgrows
+    * the gate. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      seed: DataFrame, seedCol: String, fracBits: Int = 8,
+      penaltyBits: Int = 3,
+      censusBroadcastLimit: Long = 5000000L): DataFrame = {
+    val scale = 1L << fracBits
+    val su = seed.select(explode(toksOf(col(seedCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+      .persist()
+    val total: Long =
+      if (su.count() == 0) 0L
+      else su.agg(sum(col("__cu"))).head().getLong(0)
+    val lt = Retrieval.log2fpLong(total + 1L, fracBits)
+    val lu = Retrieval.withLog2fp(
+      su.withColumn("__x", col("__cu") + 1L), "__x", "__lu", fracBits)
+      .select("__w", "__lu").persist()
+    val sb = seed.select(explode(pairsOf(col(seedCol))).as("__p"))
+      .select(col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+    val lb = Retrieval.withLog2fp(sb, "__cb", "__lb", fracBits)
+      .select("__w1", "__w2", "__lb").persist()
+    val luJ = if (lu.count() <= censusBroadcastLimit) broadcast(lu) else lu
+    val lbJ = if (lb.count() <= censusBroadcastLimit) broadcast(lb) else lb
+    val pairs = docs.select(col(idCol),
+        explode_outer(pairsOf(col(textCol))).as("__p"))
+      .select(col(idCol), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val bits = when(col("__lb").isNotNull, col("__lu1") - col("__lb"))
+      .otherwise(lit(lt) - coalesce(col("__lu2"), lit(0L)) +
+        lit(penaltyBits * scale))
+    pairs
+      .join(lbJ, Seq("__w1", "__w2"), "left")
+      .join(luJ.select(col("__w").as("__w1"), col("__lu").as("__lu1")),
+        Seq("__w1"), "left")
+      .join(luJ.select(col("__w").as("__w2"), col("__lu").as("__lu2")),
+        Seq("__w2"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__w1")).as("n_pairs"),
+        count(col("__lb")).as("n_seen"),
+        coalesce(sum(when(col("__w1").isNotNull, bits)), lit(0L))
+          .as("surprisal"))
+  }
+
   /** Integer-exact unigram surprisal scoring — the CCNet-selection
     * criterion (language-model perplexity against an in-domain
     * corpus) reduced to engine-replayable integer arithmetic: a

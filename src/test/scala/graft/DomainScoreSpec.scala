@@ -151,4 +151,36 @@ class DomainScoreSpec extends SparkSpec {
       docs.repartition(7), "id", "lang", "wt", 1))
     assert(t2b == t2)
   }
+
+  test("bigramSurprisal: seen/backoff/OOV bits match the hand computation") {
+    import spark.implicits._
+    import graft.operators.{DomainScore, Retrieval}
+    def L(x: Long) = Retrieval.log2fpLong(x, 8)
+    val seed = Seq("the cat sat", "the cat ran").toDF("text")
+    // censuses: the:2 cat:2 sat:1 ran:1, T=6; (the,cat):2 (cat,sat):1 (cat,ran):1
+    val docs = Seq(
+      (1L, "the cat sat"),    // seen+seen: (L(3)-L(2)) + (L(3)-L(1))
+      (2L, "cat the"),        // unseen, w2 'the' known: L(7)-L(3)+768
+      (3L, "zzz qqq"),        // unseen, w2 OOV: L(7)-0+768
+      (4L, "one"),            // no pairs
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = DomainScore.bigramSurprisal(docs, "doc_id", "text", seed, "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((2L, 2L, (L(3) - L(2)) + (L(3) - L(1)))))
+    assert(got(2L) === ((1L, 0L, L(7) - L(3) + 768L)))
+    assert(got(3L) === ((1L, 0L, L(7) + 768L)))
+    assert(got(4L) === ((0L, 0L, 0L)))
+    assert(got(5L) === ((0L, 0L, 0L)))
+    // fluent text scores fewer bits per pair than off-domain text
+    assert(got(1L)._3 / 2 < got(2L)._3)
+    // repartition-invariant
+    val b = DomainScore.bigramSurprisal(docs.repartition(5), "doc_id",
+      "text", seed, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(b === got)
+  }
 }
