@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints a condensed physical plan (exchanges / joins / windows /
+  * scans) for the named SparkEntry queries (dev tool). */
+object PlanPeek {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    for (q <- args) {
+      println(s"===== $q =====")
+      val plan = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      println(plan.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Window") ||
+        l.contains("Broadcast") || l.contains("Join") ||
+        l.contains("Scan parquet") || l.contains("Limit")).mkString("\n"))
+    }
+    spark.stop()
+  }
+}
