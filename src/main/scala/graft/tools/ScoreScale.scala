@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{DomainScore, Retrieval, UrlOps}
+
+/** Scale + identity proof for the round-5 scoring family: BM25,
+  * bigram-LM surprisal, and URL normalization / per-domain caps over
+  * the shared [[ZipfDocs]] corpus (default 1M docs). Each operator
+  * reports (rows, order-independent crc32 checksum, seconds), so the
+  * SAME input replayed at local[8] and local[32] must print identical
+  * (rows, checksum) — float-free integer outputs make the comparison
+  * exact, not approximate.
+  *
+  * The Zipf corpus exercises the interesting paths: probe terms hit
+  * the hash-token head (dense tf lists), per-doc unique "u<id>"
+  * perturbation tokens are OOV for the bigram seed (backoff + OOV
+  * arms), and the synthesized URLs spread ~6% of the corpus onto one
+  * registrable domain (a hot site for the per-domain cap window's
+  * partial group limit).
+  *
+  * Usage: SPARK_GRAFT_CPUS=8|32 run graft.tools.ScoreScale [nDocs]
+  */
+object ScoreScale {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-score-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = ZipfDocs.corpus(spark, nDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nIn = docs.count()
+
+    def fingerprint(df: DataFrame, cols: Seq[String]): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val row = df.agg(count(lit(1)).as("n"),
+          sum(crc32(concat_ws("|", cols.map(c => col(c).cast("string")): _*)))
+            .as("chk"))
+        .collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1), sec)
+    }
+    def js(tag: String, r: (Long, Long, Double)): String =
+      s""""$tag":{"rows":${r._1},"checksum":${r._2},""" +
+        s""""sec":${math.round(r._3 * 10) / 10.0}}"""
+
+    val bm = fingerprint(
+      Retrieval.bm25(docs, "id", "text", Seq("w1", "w17", "w4242")),
+      Seq("id", "score", "n_terms"))
+
+    val seed = docs.filter(pmod(col("id"), lit(89)) === 0).select("text")
+    val bg = fingerprint(
+      DomainScore.bigramSurprisal(docs, "id", "text", seed, "text"),
+      Seq("id", "n_pairs", "n_seen", "surprisal"))
+
+    // deterministic messy URLs: half the corpus collapses onto ONE hot
+    // registrable domain (subdomains of example.com — the partial
+    // group-limit path), half spreads over ~50k distinct github.io
+    // sites (each its own domain — the long-tail path); every URL
+    // carries tracking params, a default port, and a fragment
+    val url = concat(lit("HTTPS://"),
+      when(pmod(col("id"), lit(2L)) === 0L,
+        concat(lit("s"), pmod(xxhash64(lit("h"), col("id")), lit(50000L)),
+          lit(".Example.COM")))
+        .otherwise(concat(lit("u"),
+          pmod(xxhash64(lit("h"), col("id")), lit(50000L)),
+          lit(".GitHub.IO"))),
+      lit(":443/p/"), col("id").cast("string"),
+      lit("?utm_source=x&b=2&a=1#f"))
+    val uc = fingerprint(
+      UrlOps.perDomainCap(docs.withColumn("u", url), "u", "id", k = 100)
+        .select(col("id"),
+          UrlOps.normalizeUrl(col("u")).as("nu"), col("domain")),
+      Seq("id", "nu", "domain"))
+
+    println(s"""{"docs":$nIn,${js("bm25", bm)},${js("bigram_lm", bg)},""" +
+      s"""${js("url_caps", uc)},"cpus":$cpus}""")
+    require(bm._1 > 0 && bg._1 == nIn && uc._1 > 0, "implausible outputs")
+    spark.stop()
+  }
+}
