@@ -413,6 +413,45 @@ class SessionsSpec extends SparkSpec {
     assert(out == Set(1L, 3L)) // near-dup doc 2 collapses into doc 1
   }
 
+  test("curation with urlCol collapses canonical-URL dups and caps domains") {
+    import spark.implicits._
+    // docs 1/2 share a canonical URL (tracking params + case + default
+    // port differ) -> min id 1 kept even though texts differ; doc 3 has
+    // an unparseable url -> sentinel key, always kept; docs 4-7 are
+    // four subdomains of one registrable domain -> domainCap=2 keeps
+    // the two smallest-md5 ids
+    val docs = Seq(
+      (1L, "first fetch of the page content here",
+        "HTTPS://WWW.Site.COM:443/a?utm_source=x&b=2"),
+      (2L, "second fetch slightly different content here",
+        "https://www.site.com/a?b=2"),
+      (3L, "no url at all for this document row", "not-a-url"),
+      (4L, "subdomain four content words go here now", "https://a.hub.org/x"),
+      (5L, "subdomain five content words go here now5", "https://b.hub.org/x"),
+      (6L, "subdomain six content words go here now66", "https://c.hub.org/x"),
+      (7L, "subdomain sevn content words go here now77", "https://d.hub.org/x")
+    ).toDF("id", "text", "url")
+    val out = graft.operators.Curation.curate(docs, "id", "text",
+        minTokens = 3, maxChars = 20000, boilerplateMaxDocs = 50L,
+        urlCol = Some("url"), domainCap = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.contains(1L) && !out.contains(2L)) // canonical-URL collapse
+    assert(out.contains(3L))                      // unparseable keeps its row
+    val hub = out.intersect(Set(4L, 5L, 6L, 7L))
+    assert(hub.size == 2)                         // domain capped at 2
+    // md5-order replay of the quota pick
+    val want = Seq(4L, 5L, 6L, 7L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).take(2).toSet
+    assert(hub == want)
+    // default-off: no urlCol, nothing collapses
+    val off = graft.operators.Curation.curate(docs, "id", "text",
+        minTokens = 3, maxChars = 20000, boilerplateMaxDocs = 50L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(off == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("corpusLengthStats rank-selected percentiles are exact") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, i * 10)).toDF("id", "len")
