@@ -527,6 +527,48 @@ object SparkEntry {
       out
     }),
 
+    // Watermarked tumbling-window aggregation (r5): the canonical
+    // Structured Streaming shape, driver-oracled — the REAL streaming
+    // query runs over a MemoryStream of events (a 2030 sentinel
+    // advances the watermark so Append mode seals every window), and
+    // DuckDB replays the roll-up as a plain epoch-floor GROUP BY.
+    // Integer-only aggregates make the equivalence exact.
+    "stream_windows" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = tbl(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_type"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[(String, Long, java.sql.Timestamp)].collect().toSeq
+      val sentinel = ("__wm__", -1L,
+        new java.sql.Timestamp(1893456000000L)) // 2030-01-01, seals all
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, java.sql.Timestamp)]
+      source.addData(rows :+ sentinel)
+      val sink = s"stream_windows_sink_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingWindowCounts.windowCountsStream(
+          source.toDF().toDF("event_type", "event_id", "ts"),
+          "event_type", "ts", "event_id", "1 hour")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(300000L)
+      q.exception.foreach(e => throw e)
+      q.stop()
+      require(finished, "stream_windows: streaming query did not finish within 300s")
+      val proj = s.table(sink).filter(col("first_ord") >= 0)
+        .select(col("event_type"),
+          unix_micros(col("window_start")).as("win_us"),
+          col("n_events"), col("first_ord").as("first_event"),
+          col("last_ord").as("last_event"))
+        .orderBy("event_type", "win_us")
+      val outRows = proj.collect()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(outRows: _*), proj.schema)
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
     // multimodal decode→feature chain, projected to sortable integer
     // scalars (raw array<float> crashes the driver's pandas compare);
     // fval = round(feature*510) = byte-pair sum — exact in both engines
@@ -2906,6 +2948,17 @@ object SparkEntry {
         min(event_id) AS first_event, max(event_id) AS last_event
       FROM sess GROUP BY user_id, sid
       ORDER BY user_id, start_us"""),
+
+    // tumbling windows: epoch-floor GROUP BY — Spark's window() with no
+    // offset starts each window at floor(us / 3.6e9) * 3.6e9
+    "stream_windows" -> ("""
+      SELECT event_type,
+        (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
+        count(*) AS n_events,
+        min(event_id) AS first_event, max(event_id) AS last_event
+      FROM events WHERE event_id < 2000
+      GROUP BY event_type, win_us
+      ORDER BY event_type, win_us"""),
 
     // vocabulary index replayed as ONE global row_number over
     // (md5-bucket, dst) — provably equal to the engine's sharded

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked TUMBLING-window aggregation over an unbounded event
+  * stream — the canonical Structured Streaming shape (readStream →
+  * event-time window → append-mode emit once the watermark passes a
+  * window's end). Completes the streaming surface family next to
+  * [[StreamingExtract]] (custom state), [[StreamingDedup]] (keyed
+  * first-arrival state) and [[StreamingSessions]] (merging session
+  * windows): here state is the engine's windowed-aggregate store,
+  * O(open windows × group keys), sealed and evicted as the watermark
+  * advances — continuous ingest never accumulates history.
+  *
+  * Aggregates are deliberately integer-only (count + min/max of an
+  * integer ordinal): window roll-ups feed monitoring and budget gates,
+  * and integer outputs make the batch/stream equivalence EXACT — the
+  * driver oracle replays the roll-up as a plain epoch-floor GROUP BY
+  * in DuckDB and compares bit-for-bit, not approximately.
+  *
+  * Windows are epoch-aligned (Spark's `window()` with no offset), so
+  * `window.start = floor(event_us / window_us) · window_us` — the
+  * property the replay relies on. */
+object StreamingWindowCounts {
+
+  /** One row per sealed (key, window): (keyCol, window_start,
+    * window_end, n_events, first_ord, last_ord). */
+  def windowCountsStream(events: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, windowLen: String,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(ordCol)).as("first_ord"),
+        max(col(ordCol)).as("last_ord"))
+      .select(col(keyCol),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("first_ord"), col("last_ord"))
+}

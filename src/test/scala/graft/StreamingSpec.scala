@@ -139,4 +139,45 @@ class StreamingSpec extends SparkSpec {
     assert(s0.getAs[java.sql.Timestamp]("session_end").getTime ==
       t(10).getTime + 30000L)
   }
+
+  test("streaming tumbling-window counts match the batch window roll-up") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // two keys across three 60s windows; sentinel seals the last one
+    val rows = Seq(
+      ("a", 1L, t(5)), ("a", 2L, t(30)), ("a", 3L, t(65)),
+      ("b", 4L, t(10)), ("b", 5L, t(130)), ("wm", 99L, t(600)))
+    val source = MemoryStream[(String, Long, java.sql.Timestamp)]
+    source.addData(rows)
+    val q = graft.streaming.StreamingWindowCounts.windowCountsStream(
+        source.toDF().toDF("k", "eid", "ts"), "k", "ts", "eid", "60 seconds")
+      .writeStream.format("memory").queryName("win_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    q.exception.foreach(throw _)
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM win_stream").collect()
+      .filter(_.getAs[String]("k") != "wm")
+      .map(r => (r.getAs[String]("k"),
+        r.getAs[java.sql.Timestamp]("window_start").getTime,
+        r.getAs[Long]("n_events"), r.getAs[Long]("first_ord"),
+        r.getAs[Long]("last_ord"))).toSet
+    // batch replay: the same groupBy(window) over a static frame
+    import org.apache.spark.sql.functions.{col, window, count, lit, min, max}
+    val batch = rows.toDF("k", "eid", "ts").filter(col("k") =!= "wm")
+      .groupBy(col("k"), window(col("ts"), "60 seconds"))
+      .agg(count(lit(1)).as("n"), min("eid").as("f"), max("eid").as("l"))
+      .collect().map(r => (r.getAs[String]("k"),
+        r.getAs[org.apache.spark.sql.Row]("window")
+          .getAs[java.sql.Timestamp]("start").getTime,
+        r.getAs[Long]("n"), r.getAs[Long]("f"), r.getAs[Long]("l"))).toSet
+    assert(streamed == batch)
+    // epoch alignment: every window start is a multiple of 60s
+    assert(streamed.forall(_._2 % 60000L == 0L))
+    // the 0-60s window of key a holds events 1,2
+    assert(streamed.contains(("a", 1699999980000L / 60000L * 60000L,
+      2L, 1L, 2L)) ||
+      streamed.exists(s => s._1 == "a" && s._3 == 2L && s._4 == 1L && s._5 == 2L))
+  }
 }
