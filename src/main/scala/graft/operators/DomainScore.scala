@@ -107,9 +107,21 @@ object DomainScore {
   private def toksOf(c: Column): Column =
     filter(split(lower(trim(coalesce(c, lit("")))), "\\s+"), t => t =!= "")
 
-  /** Adjacent-token (w1, w2) pairs of a text, in order. The size guard
-    * matters: `sequence(1, 0)` would DESCEND, not produce empty. */
-  private def pairsOf(c: Column): Column = {
+  /** Adjacent-token (w1, w2) pairs of a text, in order — one codegen'd
+    * pass over one split ([[graft.plans.AdjacentPairs]]; empty tokens
+    * skipped there, so no filter HOF either). */
+  private def pairsOf(c: Column): Column =
+    graft.plans.AdjacentPairs.adjacent_pairs(
+      split(lower(trim(coalesce(c, lit("")))), "\\s+"))
+
+  /** The original higher-order formulation — kept as the
+    * cross-validation twin for [[graft.plans.AdjacentPairs]]. Its
+    * lambda references the token array FREELY, which Catalyst
+    * re-evaluates per element (one text re-split per PAIR — the
+    * O(len²) hotspot jstack pinned on the 1M-doc run); never put it
+    * back on the production path. The size guard matters:
+    * `sequence(1, 0)` would DESCEND, not produce empty. */
+  private[graft] def pairsOfHof(c: Column): Column = {
     val t = toksOf(c)
     when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1), i =>

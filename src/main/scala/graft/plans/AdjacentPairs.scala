@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `adjacent_pairs(tokens)` — all adjacent (w1, w2) pairs of the
+  * NON-EMPTY tokens of a string array, in order, as ONE codegen'd
+  * pass: array<struct<w1,w2>> with m−1 rows for m ≥ 2 valid tokens,
+  * empty otherwise. Null elements and empty strings are skipped
+  * exactly like the `filter(split(…), t ≠ '')` pipeline it feeds on —
+  * so `adjacent_pairs(split(lower(trim(text)), "\\s+"))` IS the
+  * bigram extraction, with the split evaluated once.
+  *
+  * This replaced a higher-order `transform(sequence(1, size(t)−1),
+  * i → struct(element_at(t, i), element_at(t, i+1)))` formulation in
+  * [[graft.operators.DomainScore.bigramSurprisal]] whose lambda body
+  * referenced the token-array tree FREELY — Catalyst re-evaluates a
+  * free subexpression per lambda element, so every document re-split
+  * its text once per PAIR (O(len²) regex work; jstack showed
+  * StringSplit + interpreted HOF eval dominating the 1M-doc run,
+  * BENCH.md round 5). Here the child is evaluated once per row and
+  * the pairs are built in one loop.
+  */
+case class AdjacentPairs(tokens: Expression) extends UnaryExpression {
+
+  override def child: Expression = tokens
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!tokens.dataType.isInstanceOf[ArrayType] ||
+        tokens.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tokens must be array<string>, got ${tokens.dataType.simpleString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false))),
+    containsNull = false)
+
+  protected override def nullSafeEval(t: Any): Any = {
+    val arr = t.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    val valid = new Array[UTF8String](total)
+    var m = 0
+    var i = 0
+    while (i < total) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s.numBytes() > 0) { valid(m) = s; m += 1 }
+      }
+      i += 1
+    }
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - 1)
+    var w = 0
+    while (w < m - 1) {
+      out(w) = new GenericInternalRow(
+        Array[Any](valid(w), valid(w + 1)))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rowClass = classOf[GenericInternalRow].getName
+    val arrClass = classOf[GenericArrayData].getName
+    val utf8 = classOf[UTF8String].getName
+    nullSafeCodeGen(ctx, ev, t => {
+      val total = ctx.freshName("total")
+      val valid = ctx.freshName("valid")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      val w = ctx.freshName("w")
+      s"""
+         |int $total = $t.numElements();
+         |$utf8[] $valid = new $utf8[$total];
+         |int $m = 0;
+         |for (int $i = 0; $i < $total; $i++) {
+         |  if ($t.isNullAt($i)) continue;
+         |  $utf8 $s = $t.getUTF8String($i);
+         |  if ($s.numBytes() == 0) continue;
+         |  $valid[$m++] = $s;
+         |}
+         |Object[] $out = new Object[$m < 2 ? 0 : $m - 1];
+         |for (int $w = 0; $w + 1 < $m; $w++) {
+         |  $out[$w] = new $rowClass(new Object[] { $valid[$w], $valid[$w + 1] });
+         |}
+         |${ev.value} = new $arrClass($out);
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "adjacent_pairs"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(tokens = c)
+}
+
+object AdjacentPairs {
+  def adjacent_pairs(tokens: Column): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      AdjacentPairs(org.apache.spark.sql.graft.shims.toExpression(tokens)))
+}

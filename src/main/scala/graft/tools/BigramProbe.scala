@@ -1,0 +1,20 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object BigramProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = ZipfDocs.corpus(spark, 200000L).persist()
+    docs.count()
+    val seed = docs.filter(pmod(col("id"), lit(89)) === 0).select("text")
+    val t0 = System.nanoTime()
+    val n = graft.operators.DomainScore.bigramSurprisal(
+      docs, "id", "text", seed, "text")
+      .agg(sum("surprisal")).head().getLong(0)
+    println(s"bigram 200k: ${(System.nanoTime()-t0)/1e9}s sum=$n")
+    spark.stop()
+  }
+}

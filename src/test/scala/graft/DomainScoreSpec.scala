@@ -152,6 +152,24 @@ class DomainScoreSpec extends SparkSpec {
     assert(t2b == t2)
   }
 
+  test("adjacent_pairs matches the HOF twin, incl. empties and unicode") {
+    import spark.implicits._
+    import graft.operators.DomainScore
+    val texts = Seq("a b c", "one", "", "  x   y  ", null,
+      "日本 語 テスト", "a  b", "solo token pair here now").toDF("text")
+    val a = texts.select(graft.plans.AdjacentPairs.adjacent_pairs(
+        org.apache.spark.sql.functions.split(
+          lower(trim(coalesce(col("text"), lit("")))), "\\s+")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getString(0), r.getString(1))).toSeq).toSeq
+    val b = texts.select(DomainScore.pairsOfHof(col("text")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getString(0), r.getString(1))).toSeq).toSeq
+    assert(a === b)
+    assert(a.head === Seq(("a", "b"), ("b", "c")))
+    assert(a(3) === Seq(("x", "y"))) // empty split tokens skipped
+  }
+
   test("bigramSurprisal: seen/backoff/OOV bits match the hand computation") {
     import spark.implicits._
     import graft.operators.{DomainScore, Retrieval}
