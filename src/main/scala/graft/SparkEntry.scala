@@ -2196,6 +2196,19 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"))
         .orderBy("doc_id")),
 
+    // keep-BEST exact dedup (r5): every 3 consecutive doc_ids share a
+    // synthetic text; the survivor is the min-(cost, id) copy, not the
+    // min id — the source-priority rule a curator actually wants
+    "dedup_keepbest" -> ((s, dir) => {
+      val grp = ((col("doc_id") - pmod(col("doc_id"), lit(3))) / 3)
+        .cast("long")
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("shared "), grp).as("text"),
+        pmod(col("doc_id"), lit(7)).as("cost"))
+      Dedup.exactKeepBest(d, "doc_id", "text", "cost")
+        .orderBy("doc_id")
+    }),
+
     // Integer-exact BM25 (r5): per-doc lexical retrieval scores over a
     // probe term list — fixed-point integer idf (log2 digit
     // recurrence), exact rational tf normalization, integer per-doc
@@ -4304,6 +4317,18 @@ object SparkEntry {
       SELECT doc_id, domain FROM dom
       QUALIFY row_number() OVER (PARTITION BY domain
         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+      ORDER BY doc_id"""),
+
+    // keep-best dedup: min_by replayed as QUALIFY row_number over
+    // (cost, doc_id) per content hash
+    "dedup_keepbest" -> ("""
+      WITH d AS (SELECT doc_id,
+          'shared ' || CAST(doc_id // 3 AS VARCHAR) AS text,
+          doc_id % 7 AS cost
+        FROM documents)
+      SELECT doc_id, text, cost FROM d
+      QUALIFY row_number() OVER (PARTITION BY md5(text)
+        ORDER BY cost, doc_id) = 1
       ORDER BY doc_id"""),
 
     // BM25: the log2 digit recurrence replayed as 8 chained CTE steps

@@ -33,6 +33,21 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep"), count(lit(1)).as("cnt"))
 
+  /** [[exact]] with an explicit preference: per content hash keep the
+    * row minimizing (`costCol`, `idCol`) — "keep the BEST copy", the
+    * rule a curator wants when duplicate content arrives with unequal
+    * provenance (source-priority rank, crawl recency bucket, licence
+    * tier…). `costCol` is lower-is-better; invert a quality score to a
+    * cost upstream. The id stays the tiebreak so the pick is total and
+    * partitioning-invariant. Same partial-aggregable min_by shape as
+    * [[exact]] — no window, hot hashes combine map-side. */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+      costCol: String): DataFrame =
+    Canonicalize.keepFirstByKey(
+      df.withColumn("_h", md5(col(textCol))), Seq("_h"),
+      Seq(costCol, idCol))
+      .drop("_h")
+
   /** Incremental exact dedup for snapshot-append pipelines: exact-dedup
     * within the new batch, then drop every row whose content hash
     * already exists in `seen` (the corpus so far). The anti-join is

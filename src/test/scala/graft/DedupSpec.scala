@@ -211,6 +211,26 @@ class DedupSpec extends SparkSpec {
     assert(clean === Set(1L, 3L, 4L))
   }
 
+  test("exactKeepBest keeps the min-(cost, id) copy per content hash") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same text", 5L), (2L, "same text", 2L), (3L, "same text", 2L),
+      (4L, "other text", 9L), (5L, null.asInstanceOf[String], 1L),
+      (6L, null.asInstanceOf[String], 0L)
+    ).toDF("doc_id", "text", "cost")
+    val got = Dedup.exactKeepBest(d, "doc_id", "text", "cost")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // group {1,2,3}: min cost 2, tie -> min id 2; singleton 4 kept;
+    // null-text group {5,6}: min cost 0 -> id 6
+    assert(got === Set(2L, 4L, 6L))
+    // min-id exact() would instead keep 1 and 5
+    assert(Dedup.exact(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 4L, 5L))
+    val rep = Dedup.exactKeepBest(d.repartition(5), "doc_id", "text", "cost")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rep === got)
+  }
+
   test("hard negatives: per-anchor top-k nearest OTHER-label, same-label excluded") {
     import spark.implicits._
     val vecs = Seq(
