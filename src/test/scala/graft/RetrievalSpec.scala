@@ -35,6 +35,25 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("log2fp fuzz: monotone and within one ulp over 5000 pseudo-random longs") {
+    import spark.implicits._
+    val xs = (1 to 5000).map { i =>
+      val h = i.toLong * -7046029254386353131L + 99
+      math.abs(h % (1L << (1 + (i % 55)))) + 1L
+    }.distinct.sorted
+    val got = Retrieval.withLog2fp(xs.toDF("x"), "x", "l", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      assert(got(x) === Retrieval.log2fpLong(x, 8))
+      val err = got(x).toDouble / 256.0 - math.log(x.toDouble) / math.log(2.0)
+      assert(err <= 1e-6 && err >= -(1.0 / 256.0 + 1e-6), s"x=$x err=$err")
+    }
+    xs.sliding(2).foreach { case Seq(a, b) =>
+      assert(got(a) <= got(b), s"non-monotone at $a < $b")
+    case _ => ()
+    }
+  }
+
   test("bm25: matches an independent driver replay; ranking sane") {
     import spark.implicits._
     val docs = Seq(

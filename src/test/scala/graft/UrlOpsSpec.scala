@@ -50,6 +50,40 @@ class UrlOpsSpec extends SparkSpec {
       "y.unknowntld"))
   }
 
+  test("normalizeUrl fuzz: idempotent and null-safe over 4000 messy URLs") {
+    import spark.implicits._
+    // deterministic soup: every combination axis driven by residues
+    def pick(i: Long, m: Int, opts: Seq[String]): String =
+      opts(((i * 2654435761L) % m + m).toInt % opts.size)
+    val urls = (0L until 4000L).map { i =>
+      val scheme = pick(i, 3, Seq("http", "HTTPS", "ftp"))
+      val user = pick(i, 5, Seq("", "u@", "a:b@c@", "x:y@"))
+      val host = pick(i, 7, Seq("A.B.com", "x.CO.UK", "q.github.IO",
+        "single", "deep.a.b.c.example.com", "127.0.0.1", "WWW.Ex.Org"))
+      val port = pick(i, 11, Seq("", ":80", ":443", ":8443", ":0"))
+      val path = pick(i, 13, Seq("", "/", "/A/b", "/x%2Fy", "//"))
+      val q = pick(i, 17, Seq("", "?", "?a", "?b=2&a=1", "?utm_x=1&z=,9",
+        "?&&", "?a==b&ref=t"))
+      val f = pick(i, 19, Seq("", "#", "#f", "#?notq"))
+      s"$scheme://$user$host$port$path$q$f"
+    }
+    val once = urls.toDF("u")
+      .select(UrlOps.normalizeUrl(col("u")).as("n1")).collect()
+      .map(r => Option(r.getString(0)).orNull)
+    assert(once.forall(_ != null)) // every soup URL has a scheme://
+    val twice = once.toSeq.toDF("n1")
+      .select(UrlOps.normalizeUrl(col("n1")).as("n2")).collect()
+      .map(r => Option(r.getString(0)).orNull)
+    once.zip(twice).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"not idempotent at ${urls(i.toInt)}: $a -> $b")
+    }
+    // domain extraction never throws and is total on the same soup
+    val doms = urls.toDF("u").select(
+        UrlOps.registrableDomain(UrlOps.hostOf(col("u"))).as("d"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(doms.forall(_.isDefined))
+  }
+
   test("perDomainCap: k per registrable domain, stable under repartition") {
     import spark.implicits._
     val rows = (0L until 40L).map { i =>
