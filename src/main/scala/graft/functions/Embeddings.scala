@@ -98,8 +98,19 @@ object Embeddings {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Cosine over int-quantized vectors — exact integer dot/norms, one
-    * IEEE sqrt/divide at the end (bit-identical across engines). */
+    * IEEE sqrt/divide at the end (bit-identical across engines). ONE
+    * codegen'd loop since r5 ([[graft.plans.IntCosine]]): integer sums
+    * are exact, so this is provably bit-identical to the
+    * [[intCosineHof]] composition it replaced — which paid three
+    * interpreted `aggregate(zip_with(…))` walks per candidate PAIR in
+    * the semantic-dedup / hard-negative verify joins (the third
+    * instance of the interpreted-HOF-on-the-pair-path pitfall). */
   def intCosine(a: Column, b: Column): Column =
+    graft.plans.IntCosine.int_cosine(a, b)
+
+  /** The original higher-order composition — kept as the
+    * cross-validation twin for [[graft.plans.IntCosine]]. */
+  private[graft] def intCosineHof(a: Column, b: Column): Column =
     intDot(a, b).cast("double") /
       (sqrt(intDot(a, a).cast("double")) * sqrt(intDot(b, b).cast("double")))
 

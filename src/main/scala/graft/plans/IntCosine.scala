@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `int_cosine(a, b)` — cosine similarity of two INT-QUANTIZED
+  * (array<long>) vectors as ONE codegen'd loop: the exact long dot
+  * product and both exact long squared norms accumulate together,
+  * then one IEEE divide of the exact integers — bit-identical to the
+  * `intDot(a,b) / (sqrt(intDot(a,a)) · sqrt(intDot(b,b)))`
+  * higher-order composition it replaces (integer sums are exact, so
+  * accumulation ORDER cannot matter, unlike the float CosineSim where
+  * order preservation is load-bearing). Null semantics replicated
+  * from the HOF form: mismatched lengths or any null element → null
+  * (zip_with pads with null and `acc + null` poisons the fold). ONE
+  * deliberate divergence, the same one [[CosineSim]] documents: a
+  * zero-norm vector yields IEEE NaN here (which no ≥-threshold verify
+  * ever accepts), where the composition's ANSI `Divide` raises
+  * DIVIDE_BY_ZERO and kills the whole scan — one all-zero quantized
+  * embedding must not abort a corpus-wide dedup. Overflow, by
+  * contrast, is NOT allowed to wrap silently: the accumulators use
+  * `Math.addExact`/`multiplyExact`, erroring loudly exactly where the
+  * HOF's ANSI arithmetic errors (a wrapped dot product would be a
+  * silently WRONG similarity; out of range means quantization scale ×
+  * dimension needs rethinking, not masking).
+  *
+  * Motivation (BENCH.md round 5): every within-cell verify pair in
+  * semanticNearDup / hardNegatives / embeddingNearDup paid THREE
+  * interpreted `aggregate(zip_with(...))` walks per pair — the same
+  * interpreted-HOF-on-the-pair-path pitfall as the LSH verify and the
+  * bigram pair extraction, third instance.
+  */
+case class IntCosine(a: Expression, b: Expression) extends BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def nullIntolerant: Boolean = true
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!okType(a.dataType) || !okType(b.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"inputs must be array<bigint>, got ${a.dataType.simpleString} / ${b.dataType.simpleString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(av: Any, bv: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xa = x.getLong(i)
+      val yb = y.getLong(i)
+      dot = Math.addExact(dot, Math.multiplyExact(xa, yb))
+      na = Math.addExact(na, Math.multiplyExact(xa, xa))
+      nb = Math.addExact(nb, Math.multiplyExact(yb, yb))
+      i += 1
+    }
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xa = ctx.freshName("xa")
+      val yb = ctx.freshName("yb")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $x.numElements();
+         |boolean $bad = ($n != $y.numElements());
+         |long $dot = 0L, $na = 0L, $nb = 0L;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
+         |  long $xa = $x.getLong($i);
+         |  long $yb = $y.getLong($i);
+         |  $dot = java.lang.Math.addExact($dot, java.lang.Math.multiplyExact($xa, $yb));
+         |  $na = java.lang.Math.addExact($na, java.lang.Math.multiplyExact($xa, $xa));
+         |  $nb = java.lang.Math.addExact($nb, java.lang.Math.multiplyExact($yb, $yb));
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((double) $dot) /
+         |    (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+         |}
+       """.stripMargin
+    })
+
+  override def prettyName: String = "int_cosine"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+object IntCosine {
+  def int_cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      IntCosine(
+        org.apache.spark.sql.graft.shims.toExpression(a),
+        org.apache.spark.sql.graft.shims.toExpression(b)))
+}

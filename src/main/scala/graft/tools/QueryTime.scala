@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Times named SparkEntry queries (count() action) — dev tool for
+  * before/after comparisons outside the full Bench battery. */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- args) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      println(s"$q: ${math.round((System.nanoTime() - t0) / 1e7) / 100.0}s rows=$n")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -690,6 +690,66 @@ class DedupSpec extends SparkSpec {
     assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
 
+  test("int_cosine == HOF composition bit-for-bit (incl. nulls, mismatch, zero norm)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (Seq(1000000L, 0L, -250000L), Seq(999999L, 1L, -250001L)),
+      (Seq(-3L, 7L, 11L), Seq(5L, -2L, 9L))
+    ).toDF("a", "b")
+    vecs.select(graft.functions.Embeddings.intCosine(col("a"), col("b")).as("fast"),
+        graft.functions.Embeddings.intCosineHof(col("a"), col("b")).as("hof"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) === 0)
+      }
+    // deliberate divergence (same as cosine_sim): zero norm is NaN on
+    // the fast path; the HOF composition's ANSI Divide errors the scan
+    val zero = Seq((Seq(0L, 0L, 0L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(graft.functions.Embeddings.intCosine(col("a"), col("b")).as("f"))
+      .collect()(0)
+    assert(!zero.isNullAt(0) && zero.getDouble(0).isNaN)
+    intercept[Exception] {
+      Seq((Seq(0L, 0L, 0L), Seq(1L, 2L, 3L))).toDF("a", "b")
+        .select(graft.functions.Embeddings.intCosineHof(col("a"), col("b")).as("h"))
+        .collect()
+    }
+    // overflow errors LOUDLY on both paths (never a silent wrong cosine)
+    intercept[Exception] {
+      Seq((Seq(Long.MaxValue / 2, 3L), Seq(2L, 3L))).toDF("a", "b")
+        .select(graft.functions.Embeddings.intCosine(col("a"), col("b")).as("f"))
+        .collect()
+    }
+    intercept[Exception] {
+      Seq((Seq(Long.MaxValue / 2, 3L), Seq(2L, 3L))).toDF("a", "b")
+        .select(graft.functions.Embeddings.intCosineHof(col("a"), col("b")).as("h"))
+        .collect()
+    }
+    // length mismatch and null element -> null on both paths
+    val mm = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+      .select(graft.functions.Embeddings.intCosine(col("a"), col("b")).as("f"),
+        graft.functions.Embeddings.intCosineHof(col("a"), col("b")).as("h"))
+      .collect()(0)
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+    val ne = Seq((Seq(Option(1L), None), Seq(Option(1L), Option(2L))))
+      .toDF("a", "b")
+      .select(graft.functions.Embeddings.intCosine(col("a"), col("b")).as("f"),
+        graft.functions.Embeddings.intCosineHof(col("a"), col("b")).as("h"))
+      .collect()(0)
+    assert(ne.isNullAt(0) && ne.isNullAt(1))
+    // STRICT codegen check: no interpreted fallback hides a Janino error
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val e = graft.plans.IntCosine(
+      BoundReference(0, ArrayType(LongType), nullable = true),
+      BoundReference(1, ArrayType(LongType), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val r = proj(InternalRow(new GenericArrayData(Array(3L, 4L)),
+      new GenericArrayData(Array(3L, 4L))))
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+  }
+
   test("brute-force cosine top-k and ANN top-k agree on the top hit") {
     val withEmb = Embeddings.withEmbedding(docs, "text")
     val q = Embeddings.embed("quick brown fox jumps")
