@@ -69,6 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("minhash_fold", classOf[MinhashFold], es => MinhashFold(es.head, es(1)))
     reg("shingle_hashes", classOf[ShingleHashes], es => ShingleHashes(es.head, es(1)))
     reg("cosine_sim", classOf[CosineSim], es => CosineSim(es.head, es(1)))
+    reg("int_cosine", classOf[IntCosine], es => IntCosine(es.head, es(1)))
+    reg("adjacent_pairs", classOf[AdjacentPairs],
+      es => AdjacentPairs(es.head))
     reg("nfc_normalize", classOf[NfcNormalize], es => NfcNormalize(es.head))
     // SQL form takes the plane matrix as a foldable array<array<double>>
     reg("hyperplane_signs", classOf[HyperplaneSigns], { es =>

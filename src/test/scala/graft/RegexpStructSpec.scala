@@ -106,6 +106,12 @@ class RegexpStructSpec extends SparkSpec {
       assert(s2.sql(
         "SELECT kmeans_argmin(array(1L, 2L), array(array(0L, 0L), array(1L, 2L))).cell")
         .collect()(0).getInt(0) === 1)
+      assert(math.abs(s2.sql(
+        "SELECT int_cosine(array(3L, 4L), array(3L, 4L))")
+        .collect()(0).getDouble(0) - 1.0) < 1e-15)
+      assert(s2.sql(
+        "SELECT adjacent_pairs(array('a', '', 'b', 'c'))[0].w2")
+        .collect()(0).getString(0) === "b")
       // NULL semantics preserved: stock regexp_extract returns NULL for
       // a NULL subject; the rewrite must not coalesce that into ''
       val nullDf = Seq(Some("- x @t"), None).toDF("line")
