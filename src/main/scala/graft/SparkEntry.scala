@@ -781,6 +781,22 @@ object SparkEntry {
           "embedding", "label", k = 3, kCells = 4, iterations = 1)
         .orderBy("vec_id", "neg_id")),
 
+    // Cross-table hard negatives (r5), DRIVER-ORACLED: the DPR shape —
+    // queries (vec_id % 10 == 0) mine the corpus (the rest) for top-3
+    // similar items EXCLUDING each query's labeled positive (q+1).
+    // Centroids train on the corpus only; every stage replays.
+    "emb_hardneg_xt" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val pos = queries.select(col("vec_id").as("q"),
+        (col("vec_id") + 1).as("c"))
+      Similarity.hardNegativesFor(queries, "vec_id", "embedding",
+          corpus, "vec_id", "embedding", pos, "q", "c",
+          k = 3, kCells = 4, iterations = 1, nprobe = 1)
+        .orderBy("vec_id", "neg_id")
+    }),
+
     // The X16 feature-hash EMBEDDING architecture, DRIVER-ORACLED:
     // token → hash → signed vote into hash % dim → L2 normalize. Two
     // deliberate swaps vs the Embeddings.embed kernel, both forced by
@@ -4018,6 +4034,61 @@ object SparkEntry {
       SELECT a.vec_id, CAST(a.cell AS INT) AS cell
       FROM af a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
       WHERE dr.vec_id IS NULL ORDER BY a.vec_id"""),
+
+    // cross-table hard negatives: k-means trains on the CORPUS slice
+    // only (md5-rank seeds over vec_id % 10 <> 0, one trunc-div Lloyd
+    // round); queries argmin-assign with the SAME centroids, cell-join
+    // candidates, anti the (q, q+1) positives, exact-int cosine top-3
+    "emb_hardneg_xt" -> ("""
+      WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                        unnest(range(1, len(embedding) + 1)) AS d
+                 FROM embeddings),
+      ie AS (SELECT vec_id, CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv, d
+             FROM e),
+      iv2 AS (SELECT vec_id, list(iv ORDER BY d) AS iemb FROM ie GROUP BY vec_id),
+      cv AS (SELECT * FROM iv2 WHERE vec_id % 10 <> 0),
+      qv AS (SELECT * FROM iv2 WHERE vec_id % 10 = 0),
+      c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell, iemb AS cemb
+             FROM cv QUALIFY cell < 4),
+      a1 AS (SELECT v.vec_id, v.iemb, c.cell,
+               CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) AS dist
+             FROM cv v CROSS JOIN c0 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY dist ASC, cell ASC) = 1),
+      m1 AS (SELECT cell, d, CAST(sum(x) // count(*) AS BIGINT) AS m
+             FROM (SELECT cell, unnest(iemb) AS x,
+                     unnest(range(1, len(iemb) + 1)) AS d FROM a1)
+             GROUP BY cell, d),
+      n1 AS (SELECT cell, list(m ORDER BY d) AS cemb FROM m1 GROUP BY cell),
+      c1 AS (SELECT c.cell, coalesce(n.cemb, c.cemb) AS cemb
+             FROM c0 c LEFT JOIN n1 n USING (cell)),
+      af AS (SELECT v.vec_id, v.iemb, c.cell
+             FROM cv v CROSS JOIN c1 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) ASC,
+                 cell ASC) = 1),
+      qf AS (SELECT v.vec_id AS qid, v.iemb AS qemb, c.cell
+             FROM qv v CROSS JOIN c1 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) ASC,
+                 cell ASC) = 1),
+      sc AS (SELECT q.qid, a.vec_id AS neg_id,
+               CAST(list_sum(list_transform(range(1, len(q.qemb) + 1),
+                 j -> q.qemb[j] * a.iemb[j])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(q.qemb, t -> t * t)) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(a.iemb, t -> t * t)) AS DOUBLE)))
+                 AS similarity
+             FROM qf q JOIN af a ON a.cell = q.cell
+             WHERE a.vec_id <> q.qid + 1)
+      SELECT qid AS vec_id, neg_id, similarity
+      FROM sc
+      QUALIFY row_number() OVER (PARTITION BY qid
+        ORDER BY similarity DESC, neg_id) <= 3
+      ORDER BY vec_id, neg_id"""),
 
     // hard negatives: the emb_semdedup k-means replay (k=4 md5 seeds,
     // one trunc-div Lloyd round, exact-long argmin with ties to the

@@ -271,6 +271,68 @@ object Similarity {
     *
     * Returns (idCol, label, neg_id, neg_label, similarity), ties on
     * similarity broken by smaller neg_id. */
+  /** Cross-table hard-negative mining — the DPR/retrieval-training
+    * shape: for each QUERY row, the `k` most-cosine-similar CORPUS
+    * rows that are not among its labeled positives. Centroids train on
+    * the corpus ([[kmeansQuantized]]); each query probes its `nprobe`
+    * nearest cells (the recall knob — 1 uses the codegen'd
+    * [[graft.plans.KmeansArgmin]], >1 ranks the centroid structs,
+    * interpreted but bounded by kCells per QUERY row), corpus
+    * candidates join by cell, labeled positives anti-join out on
+    * (query, corpus) id, the exact-integer cosine ranks, and one
+    * row_number window per query cuts the top-k. A positive hiding in
+    * an unprobed cell is already not a candidate; a NEGATIVE in an
+    * unprobed cell is missed — raise `nprobe` for recall at linear
+    * candidate cost. Skew note: candidates shuffle on the cell key, so
+    * one pathological mega-cell lands on one task — size kCells so
+    * cells stay bounded (the same contract as [[Dedup.semanticNearDup]]).
+    *
+    * Returns (qIdCol, neg_id, similarity), ties broken by smaller
+    * neg_id. */
+  def hardNegativesFor(queries: DataFrame, qIdCol: String, qEmbCol: String,
+      corpus: DataFrame, cIdCol: String, cEmbCol: String,
+      positives: DataFrame, pQCol: String, pCCol: String,
+      k: Int, kCells: Int, iterations: Int = 2, nprobe: Int = 1,
+      scale: Long = 1000000L): DataFrame = {
+    require(nprobe >= 1 && k >= 1)
+    val (cAssigned, cents) =
+      kmeansQuantized(corpus.select(col(cIdCol), col(cEmbCol)), cIdCol,
+        cEmbCol, kCells, iterations, scale)
+    val narrow = cAssigned
+      .select(col(cIdCol).as("neg_id"), col("iemb"), col("cell"))
+      .persist()
+    val qInt = queries.select(col(qIdCol).as("__hn_qid"),
+      Embeddings.intQuantize(col(qEmbCol), scale).as("__hn_qemb"))
+    val qCells =
+      if (nprobe == 1)
+        qInt.withColumn("__hn_best",
+            graft.plans.KmeansArgmin.kmeans_argmin(col("__hn_qemb"), cents))
+          .select(col("__hn_qid"), col("__hn_qemb"),
+            col("__hn_best.cell").as("cell"))
+      else {
+        val scored = cents.zipWithIndex.map { case (ce, i) =>
+          struct(Embeddings.intDist2(col("__hn_qemb"), typedLit(ce)).as("dist"),
+            lit(i).as("cell"))
+        }
+        qInt.withColumn("__hn_probe", explode(slice(
+            array_sort(array(scored: _*)), 1,
+            math.min(nprobe, cents.length))))
+          .select(col("__hn_qid"), col("__hn_qemb"),
+            col("__hn_probe.cell").as("cell"))
+      }
+    val w = Window.partitionBy("__hn_qid")
+      .orderBy(col("similarity").desc, col("neg_id"))
+    qCells
+      .join(narrow, Seq("cell"))
+      .join(positives.select(col(pQCol).as("__hn_qid"),
+        col(pCCol).as("neg_id")), Seq("__hn_qid", "neg_id"), "left_anti")
+      .withColumn("similarity",
+        Embeddings.intCosine(col("__hn_qemb"), col("iemb")))
+      .withColumn("__hn_rn", row_number().over(w))
+      .filter(col("__hn_rn") <= k)
+      .select(col("__hn_qid").as(qIdCol), col("neg_id"), col("similarity"))
+  }
+
   def hardNegatives(df: DataFrame, idCol: String, embCol: String,
       labelCol: String, k: Int, kCells: Int, iterations: Int = 2,
       scale: Long = 1000000L, bucketCap: Int = 100000): DataFrame = {

@@ -262,6 +262,35 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("hardNegativesFor: cross-table mining excludes positives, nprobe adds recall") {
+    import spark.implicits._
+    val corpus = Seq(
+      (101L, Seq(1.0f, 0.0f)), (102L, Seq(0.95f, 0.05f)),
+      (103L, Seq(0.0f, 1.0f)), (104L, Seq(-1.0f, 0.0f)),
+      (105L, Seq(0.9f, 0.1f))
+    ).toDF("cid", "emb")
+    val queries = Seq((10L, Seq(1.0f, 0.01f)), (11L, Seq(0.0f, 1.0f)))
+      .toDF("qid", "emb")
+    val pos = Seq((10L, 101L)).toDF("q", "c")
+    val got = Similarity.hardNegativesFor(queries, "qid", "emb",
+        corpus, "cid", "emb", pos, "q", "c",
+        k = 2, kCells = 1, iterations = 0)
+      .orderBy(col("qid"), col("similarity").desc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // q10: positive 101 excluded; hardest remaining are 102 then 105
+    assert(got.filter(_._1 == 10L).map(_._2) === Seq(102L, 105L))
+    // q11: nearest is 103 (its own direction), then 102/105 tie-ish
+    assert(got.filter(_._1 == 11L).head._2 === 103L)
+    // nprobe recall: with 2 cells, probing both can only ADD candidates
+    def mine(np: Int) = Similarity.hardNegativesFor(queries, "qid", "emb",
+        corpus, "cid", "emb", pos, "q", "c",
+        k = 5, kCells = 2, iterations = 2, nprobe = np)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = mine(1); val p2 = mine(2)
+    assert(p1.subsetOf(p2))
+    assert(p2.size === 9) // every non-positive (query, corpus) pair
+  }
+
   test("split leakage: cross-split near-dup pairs only, null split is a label") {
     import spark.implicits._
     import graft.operators.Decontaminate
