@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.fixtures.{GrammarCorpus, TranscriptGen}
 import graft.functions.Embeddings
 import graft.operators._
+import graft.sources.BucketedStore
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2212,6 +2213,42 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"))
         .orderBy("doc_id")),
 
+    // Bucketed co-located join (r5): both sides written bucketBy the
+    // join key, the join planned with broadcast disabled and asserted
+    // EXCHANGE-FREE in-query (the 100-TB recurring-join primitive),
+    // then the result compared against DuckDB's plain join — the
+    // bucketing must be invisible in the DATA and decisive in the PLAN
+    "bucket_join" -> ((s, dir) => {
+      val seq = streamSeq.incrementAndGet()
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val evs = tbl(s, dir, "events").filter(col("event_id") < 5000)
+        .select(pmod(col("event_id"), lit(500)).as("doc_id"),
+          col("event_type"))
+      val tA = s"bk_docs_$seq"; val tB = s"bk_evs_$seq"
+      BucketedStore.write(docs, tA, scratchPath(s, dir, s"bka$seq"),
+        "doc_id", 8)
+      BucketedStore.write(evs, tB, scratchPath(s, dir, s"bkb$seq"),
+        "doc_id", 8)
+      val joined = s.table(tA).join(s.table(tB), "doc_id")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"bucket_join: the co-located join must be exchange-free\n$plan")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val out = joined.groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_type")).as("first_type"))
+        .orderBy("doc_id")
+      val rows = out.collect()
+      val res = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+      BucketedStore.drop(s, tA); BucketedStore.drop(s, tB)
+      res
+    }),
+
     // keep-BEST exact dedup (r5): every 3 consecutive doc_ids share a
     // synthetic text; the survivor is the min-(cost, id) copy, not the
     // min id — the source-priority rule a curator actually wants
@@ -4388,6 +4425,17 @@ object SparkEntry {
       SELECT doc_id, domain FROM dom
       QUALIFY row_number() OVER (PARTITION BY domain
         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+      ORDER BY doc_id"""),
+
+    // bucketed join: the twin is the PLAIN join — bucketing must not
+    // change a single row
+    "bucket_join" -> ("""
+      SELECT d.doc_id, d.lang, count(*) AS n_events,
+             min(e.event_type) AS first_type
+      FROM documents d
+      JOIN (SELECT event_id % 500 AS doc_id, event_type
+            FROM events WHERE event_id < 5000) e USING (doc_id)
+      GROUP BY d.doc_id, d.lang
       ORDER BY doc_id"""),
 
     // keep-best dedup: min_by replayed as QUALIFY row_number over

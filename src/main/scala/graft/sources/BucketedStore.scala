@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed, bucket-sorted table storage — the CO-LOCATED JOIN
+  * primitive for recurring joins at 100 TB: write both sides of a
+  * hot join bucketed by the join key (`bucketBy` + `sortBy` into the
+  * catalog; the bucketing metadata is what the planner trusts), and
+  * every subsequent equijoin on that key plans with NO shuffle
+  * exchange on either side — each task zips bucket i of A with bucket
+  * i of B. For a fact table joined every run against the same
+  * dimension key, this converts the dominant per-run shuffle into a
+  * one-time write cost.
+  *
+  * Ground rules the planner enforces (so callers must too): both
+  * sides bucketed on the JOIN key with compatible bucket counts (use
+  * the same `buckets` for both), and `spark.sql.sources.bucketing
+  * .enabled` left on (default). Files per bucket stay per-writer-task,
+  * so a sort may still appear above each scan — bucketing removes the
+  * EXCHANGE, which is the part that scales with data volume. The
+  * exchange-free property is machine-asserted in BucketedSpec and
+  * self-asserted by the `bucket_join` driver query.
+  *
+  * `path` makes the table EXTERNAL (parquet at the given location) so
+  * callers control storage and cleanup; `drop` removes only the
+  * catalog entry.
+  */
+object BucketedStore {
+
+  def write(df: DataFrame, table: String, path: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  def drop(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.BucketedStore
+
+class BucketedSpec extends SparkSpec {
+
+  private def rmrf(p: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val sub = f.listFiles; if (sub != null) sub.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(p))
+  }
+
+  test("bucketed join is exchange-free and equals the plain join") {
+    import spark.implicits._
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_bucketed_spec_${System.nanoTime()}"
+    val a = (0L until 400L).map(i => (i % 37, i, s"a$i")).toDF("k", "ai", "av")
+    val b = (0L until 300L).map(i => (i % 41, i, s"b$i")).toDF("k", "bi", "bv")
+    try {
+      BucketedStore.write(a, "bk_a", s"$base/a", "k", 4)
+      BucketedStore.write(b, "bk_b", s"$base/b", "k", 4)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = BucketedStore.read(spark, "bk_a")
+          .join(BucketedStore.read(spark, "bk_b"), "k")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"), plan)
+        // same rows as the plain (shuffled) join of the source frames
+        val got = joined.select("k", "ai", "bi").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = a.join(b, "k").select("k", "ai", "bi").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === want && got.nonEmpty)
+        // a non-bucketed copy of the same data DOES shuffle (the
+        // control: the assertion above is meaningful)
+        val flat = spark.read.parquet(s"$base/a")
+          .join(spark.read.parquet(s"$base/b"), "k")
+        assert(flat.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    } finally {
+      BucketedStore.drop(spark, "bk_a")
+      BucketedStore.drop(spark, "bk_b")
+      rmrf(base)
+    }
+  }
+}
