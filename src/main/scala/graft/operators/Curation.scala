@@ -40,6 +40,28 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Stage 0 applied: (after-URL-dedup, after-domain-cap) frames —
+    * shared by [[curate]] and [[report]] so the audit counts exactly
+    * what the pipeline drops. The sentinel key for unparseable URLs is
+    * NUL-prefixed (never collides with a canonical URL, which starts
+    * with a scheme letter). */
+  private def urlStage(df: DataFrame, idCol: String, u: String,
+      domainCap: Int): (DataFrame, DataFrame) = {
+    val keyed = df.withColumn("__curl",
+      coalesce(UrlOps.normalizeUrl(col(u)),
+        concat(lit("\u0000"), col(idCol).cast("string"))))
+    val byUrl = Canonicalize
+      .keepFirstByKey(keyed, Seq("__curl"), Seq(idCol))
+      .drop("__curl")
+    val capped = if (domainCap > 0)
+      Sampling.quotaSample(
+        byUrl.withColumn("__cdom",
+          UrlOps.registrableDomain(UrlOps.hostOf(col(u)))),
+        "__cdom", idCol, domainCap).drop("__cdom")
+    else byUrl
+    (byUrl, capped)
+  }
+
   def curate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 5, maxChars: Int = 20000,
       boilerplateMaxDocs: Long = 50L,
@@ -59,19 +81,7 @@ object Curation {
     // shadowing this stage exists to provide. Rows whose URL doesn't
     // parse get a per-row sentinel key (never collapse together).
     val src = urlCol match {
-      case Some(u) =>
-        val keyed = df.withColumn("__curl",
-          coalesce(UrlOps.normalizeUrl(col(u)),
-            concat(lit("\u0000"), col(idCol).cast("string"))))
-        val byUrl = Canonicalize
-          .keepFirstByKey(keyed, Seq("__curl"), Seq(idCol))
-          .drop("__curl")
-        if (domainCap > 0)
-          Sampling.quotaSample(
-            byUrl.withColumn("__cdom",
-              UrlOps.registrableDomain(UrlOps.hostOf(col(u)))),
-            "__cdom", idCol, domainCap).drop("__cdom")
-        else byUrl
+      case Some(u) => urlStage(df, idCol, u, domainCap)._2
       case None => df
     }
     // NULL text must fail the gate, not vanish into three-valued-logic
@@ -114,6 +124,8 @@ object Curation {
     * reviewer can see WHERE the corpus shrank. Metrics:
     *
     *   - `n_input`          rows in
+    *   - `n_after_url_dedup` / `n_after_domain_cap`  stage-0 survivor
+    *                        counts (only when `urlCol` is given)
     *   - `n_gate_fail`      rows dropped by the token/length gates
     *   - `n_pii_docs`       surviving docs whose text changed under
     *                        redaction (i.e. contained PII)
@@ -140,23 +152,46 @@ object Curation {
     * exactly — no three-valued-logic row loss. */
   def report(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 5, maxChars: Int = 20000,
-      boilerplateMaxDocs: Long = 50L): DataFrame = {
+      boilerplateMaxDocs: Long = 50L,
+      urlCol: Option[String] = None, domainCap: Int = 0): DataFrame = {
+    // optional stage-0 audit (mirrors curate's urlCol/domainCap): two
+    // ABSOLUTE survivor counts, `n_after_url_dedup` and
+    // `n_after_domain_cap`, emitted as extra metric rows so the
+    // reviewer derives the per-step drops by subtraction (absolute
+    // counts keep this a union of independent lazy aggregates — no
+    // cross-aggregate join); all downstream metrics then audit the
+    // post-stage-0 frame, so the chain still sums exactly
+    def cnt(d: DataFrame, name: String) =
+      d.agg(count(lit(1)).cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    val (src, urlMetrics) = urlCol match {
+      case Some(u) =>
+        val (byUrl, capped) = urlStage(df, idCol, u, domainCap)
+        (capped, Seq(cnt(df, "n_input"), cnt(byUrl, "n_after_url_dedup")))
+      case None => (df, Seq.empty[DataFrame])
+    }
     val t = coalesce(col(textCol), lit(""))
     val gate = TextAnalysis.tokenCount(t) >= minTokens &&
       length(t) <= maxChars
     // scan 1: all row-level counters in one partial-aggregable pass
-    val rowMetrics = df.agg(
+    // over the post-stage-0 frame; its row count IS n_input when no
+    // URL stage ran, and n_after_domain_cap when one did — so the
+    // no-url path keeps its single row-metric aggregate (plan-asserted
+    // ≤ 4 corpus scans in PlanSpec) and the url path pays exactly two
+    // extra narrow counts (original frame + post-URL-dedup)
+    val inName = if (urlCol.isDefined) "n_after_domain_cap" else "n_input"
+    val rowMetrics = src.agg(
         count(lit(1)).as("__in"),
         count(when(!gate, 1)).as("__gf"),
         count(when(gate && Pii.redact(t) =!= t, 1)).as("__pii"))
       .select(explode(map(
-        lit("n_input"), col("__in"),
+        lit(inName), col("__in"),
         lit("n_gate_fail"), col("__gf"),
         lit("n_pii_docs"), col("__pii"))).as(Seq("metric", "value")))
     // line-level chain, built ONCE and shared: census → hot list →
     // anti-join → reassembly (mirrors Dedup.dropBoilerplateLines
     // line-for-line so the audit counts what curate actually drops)
-    val redacted = df.filter(gate)
+    val redacted = src.filter(gate)
       .select(col(idCol), Pii.redact(t).as(textCol))
     val lines = redacted.select(col(idCol),
         posexplode(split(coalesce(col(textCol), lit("")), "\n"))
@@ -180,6 +215,7 @@ object Curation {
       .select(explode(map(
         lit("n_exact_dropped"), col("__n") - col("__d"),
         lit("n_out"), col("__d"))).as(Seq("metric", "value")))
-    rowMetrics.union(hotMetric).union(cleanMetrics)
+    (urlMetrics ++ Seq(rowMetrics, hotMetric, cleanMetrics))
+      .reduce(_ union _)
   }
 }

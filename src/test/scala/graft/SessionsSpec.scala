@@ -452,6 +452,37 @@ class SessionsSpec extends SparkSpec {
     assert(off == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("curation report with urlCol audits stage 0 and still sums") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "first fetch of the page content here",
+        "HTTPS://WWW.Site.COM:443/a?utm_source=x&b=2"),
+      (2L, "second fetch slightly different content here",
+        "https://www.site.com/a?b=2"),
+      (3L, "no url at all for this document row", "not-a-url"),
+      (4L, "subdomain four content words go here now", "https://a.hub.org/x"),
+      (5L, "subdomain five content words go here now5", "https://b.hub.org/x"),
+      (6L, "subdomain six content words go here now66", "https://c.hub.org/x"),
+      (7L, "tiny", "https://d.hub.org/x") // fails the 3-token gate
+    ).toDF("id", "text", "url")
+    val m = graft.operators.Curation.report(docs, "id", "text",
+        minTokens = 3, maxChars = 20000, boilerplateMaxDocs = 50L,
+        urlCol = Some("url"), domainCap = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_input") === 7L)
+    assert(m("n_after_url_dedup") === 6L)   // 2 collapses into 1
+    // hub.org capped to its 2 smallest-md5 ids; site.com + sentinel kept
+    assert(m("n_after_domain_cap") === 4L)
+    // the gate audits the POST-stage-0 frame: doc 7 only counts if its
+    // id survived the domain cap (md5 order keeps {5, 7} of {4,5,6,7})
+    assert(m("n_after_domain_cap") - m("n_gate_fail") === m("n_out"))
+    // without urlCol the metric is n_input, same single-aggregate shape
+    val m0 = graft.operators.Curation.report(docs, "id", "text",
+        minTokens = 3, maxChars = 20000, boilerplateMaxDocs = 50L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m0("n_input") === 7L && !m0.contains("n_after_url_dedup"))
+  }
+
   test("corpusLengthStats rank-selected percentiles are exact") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, i * 10)).toDF("id", "len")
