@@ -782,6 +782,23 @@ object SparkEntry {
           "embedding", "label", k = 3, kCells = 4, iterations = 1)
         .orderBy("vec_id", "neg_id")),
 
+    // Incremental SemDeDup (r5), DRIVER-ORACLED: odds batch-dedup
+    // against the evens' frozen semantic store (k=4 cells trained on
+    // evens only, 1 Lloyd round) — store wins, min-id within the
+    // batch; every flag replays bit-for-bit
+    "emb_semdedup_incr" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val (store, cents) = Dedup.semanticStore(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+        "embedding", k = 4, iterations = 1)
+      val (flags, _) = Dedup.incrementalSemanticNearDup(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
+        "embedding", store, cents, threshold = 0.3,
+        bucketCap = 1000000)
+      flags.select(col("id").as("vec_id"), col("cell"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
     // Cross-table hard negatives (r5), DRIVER-ORACLED: the DPR shape —
     // queries (vec_id % 10 == 0) mine the corpus (the rest) for top-3
     // similar items EXCLUDING each query's labeled positive (q+1).
@@ -4071,6 +4088,65 @@ object SparkEntry {
       SELECT a.vec_id, CAST(a.cell AS INT) AS cell
       FROM af a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
       WHERE dr.vec_id IS NULL ORDER BY a.vec_id"""),
+
+    // incremental SemDeDup: evens train-and-assign (the store), odds
+    // assign with the frozen c1 centroids; a batch row drops on >= 0.3
+    // cosine vs any same-cell store row or smaller-id batch row
+    "emb_semdedup_incr" -> ("""
+      WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                        unnest(range(1, len(embedding) + 1)) AS d
+                 FROM embeddings),
+      ie AS (SELECT vec_id, CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv, d
+             FROM e),
+      iv2 AS (SELECT vec_id, list(iv ORDER BY d) AS iemb FROM ie GROUP BY vec_id),
+      cv AS (SELECT * FROM iv2 WHERE vec_id % 2 = 0),
+      qv AS (SELECT * FROM iv2 WHERE vec_id % 2 = 1),
+      c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell, iemb AS cemb
+             FROM cv QUALIFY cell < 4),
+      a1 AS (SELECT v.vec_id, v.iemb, c.cell,
+               CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) AS dist
+             FROM cv v CROSS JOIN c0 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY dist ASC, cell ASC) = 1),
+      m1 AS (SELECT cell, d, CAST(sum(x) // count(*) AS BIGINT) AS m
+             FROM (SELECT cell, unnest(iemb) AS x,
+                     unnest(range(1, len(iemb) + 1)) AS d FROM a1)
+             GROUP BY cell, d),
+      n1 AS (SELECT cell, list(m ORDER BY d) AS cemb FROM m1 GROUP BY cell),
+      c1 AS (SELECT c.cell, coalesce(n.cemb, c.cemb) AS cemb
+             FROM c0 c LEFT JOIN n1 n USING (cell)),
+      af AS (SELECT v.vec_id, v.iemb, c.cell
+             FROM cv v CROSS JOIN c1 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) ASC,
+                 cell ASC) = 1),
+      bf AS (SELECT v.vec_id, v.iemb, c.cell
+             FROM qv v CROSS JOIN c1 c
+             QUALIFY row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> (v.iemb[j] - c.cemb[j]) * (v.iemb[j] - c.cemb[j]))) AS BIGINT) ASC,
+                 cell ASC) = 1),
+      sdrop AS (SELECT DISTINCT b.vec_id FROM bf b JOIN af a ON a.cell = b.cell
+                WHERE CAST(list_sum(list_transform(range(1, len(b.iemb) + 1),
+                        j -> b.iemb[j] * a.iemb[j])) AS DOUBLE) /
+                      (sqrt(CAST(list_sum(list_transform(b.iemb, t -> t * t)) AS DOUBLE)) *
+                       sqrt(CAST(list_sum(list_transform(a.iemb, t -> t * t)) AS DOUBLE)))
+                      >= 0.3),
+      bdrop AS (SELECT DISTINCT y.vec_id FROM bf x JOIN bf y
+                ON x.cell = y.cell AND x.vec_id < y.vec_id
+                WHERE CAST(list_sum(list_transform(range(1, len(x.iemb) + 1),
+                        j -> x.iemb[j] * y.iemb[j])) AS DOUBLE) /
+                      (sqrt(CAST(list_sum(list_transform(x.iemb, t -> t * t)) AS DOUBLE)) *
+                       sqrt(CAST(list_sum(list_transform(y.iemb, t -> t * t)) AS DOUBLE)))
+                      >= 0.3),
+      dropped AS (SELECT vec_id FROM sdrop UNION SELECT vec_id FROM bdrop)
+      SELECT b.vec_id AS vec_id, CAST(b.cell AS INT) AS cell,
+             CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+      FROM bf b LEFT JOIN dropped d ON d.vec_id = b.vec_id
+      ORDER BY b.vec_id"""),
 
     // cross-table hard negatives: k-means trains on the CORPUS slice
     // only (md5-rank seeds over vec_id % 10 <> 0, one trunc-div Lloyd

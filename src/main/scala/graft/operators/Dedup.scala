@@ -757,6 +757,70 @@ object Dedup {
     *
     * Returns the surviving rows of `df` plus their `cell` assignment.
     */
+  /** Production store for INCREMENTAL semantic dedup: the quantized
+    * corpus embeddings with their trained cell assignments, plus the
+    * centroids — build once over the existing corpus, then dedup every
+    * appended batch against it with [[incrementalSemanticNearDup]]
+    * (corpus embeddings are never re-read, the clustering is never
+    * re-trained; the float→int quantization happened exactly once). */
+  def semanticStore(df: DataFrame, idCol: String, embCol: String, k: Int,
+      iterations: Int = 2, scale: Long = 1000000L)
+      : (DataFrame, IndexedSeq[Seq[Long]]) = {
+    val (assigned, cents) =
+      Similarity.kmeansQuantized(df, idCol, embCol, k, iterations, scale)
+    (assigned.select(col(idCol).as("id"), col("iemb"), col("cell")), cents)
+  }
+
+  /** Incremental SemDeDup for snapshot-append pipelines — the
+    * embedding-space analogue of [[incrementalNearDup]]: assign the
+    * new batch to the STORE's frozen cells (codegen argmin — frozen
+    * centroids keep every historical assignment valid), drop a batch
+    * row when it cosines ≥ `threshold` against ANY same-cell store row
+    * (store wins — the corpus copy is already training data) or
+    * against a SMALLER-id same-cell batch row (the one-pass min-id
+    * rule of [[semanticNearDup]], applied within the batch). Returns
+    * (flags, updatedStore): flags = every batch id with its cell and
+    * kept ∈ {0,1}; updatedStore = store ∪ surviving batch rows, ready
+    * for the next batch. Candidate space is cell-bounded on both
+    * joins; centroid drift under distribution shift is the documented
+    * tradeoff of frozen cells — retrain periodically with
+    * [[semanticStore]] when cells grow lopsided. */
+  def incrementalSemanticNearDup(batch: DataFrame, idCol: String,
+      embCol: String, store: DataFrame, centroids: IndexedSeq[Seq[Long]],
+      threshold: Double = 0.95, scale: Long = 1000000L,
+      bucketCap: Int = 100000): (DataFrame, DataFrame) = {
+    require(centroids.nonEmpty, "incrementalSemanticNearDup: no centroids")
+    val bInt = batch.select(col(idCol).as("id"),
+        graft.functions.Embeddings.intQuantize(col(embCol), scale).as("iemb"))
+      .withColumn("__best",
+        graft.plans.KmeansArgmin.kmeans_argmin(col("iemb"), centroids))
+      .select(col("id"), col("iemb"), col("__best.cell").as("cell"))
+      .persist()
+    val storeDrop = bInt
+      .join(store.select(col("iemb").as("__siemb"), col("cell")), Seq("cell"))
+      .filter(graft.functions.Embeddings.intCosine(
+        col("iemb"), col("__siemb")) >= threshold)
+      .select("id").distinct()
+    val pairs = bandedPairs(
+      bInt.select(col("id"), col("cell").as("bucket")),
+      bucketCap, dedup = false)
+    val batchDrop = pairs
+      .join(bInt.select(col("id").as("a"), col("iemb").as("__ea")), Seq("a"))
+      .join(bInt.select(col("id").as("b"), col("iemb").as("__eb")), Seq("b"))
+      .filter(graft.functions.Embeddings.intCosine(
+        col("__ea"), col("__eb")) >= threshold)
+      .select(col("b").as("id")).distinct()
+    val dropped = storeDrop.union(batchDrop).distinct()
+      .withColumn("__d", lit(1))
+    val flags = bInt.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        col("__d").isNull.cast("int").as("kept"))
+    val survivors = flags.filter(col("kept") === 1)
+      .select("id").join(bInt, Seq("id"))
+      .select("id", "iemb", "cell")
+    (flags, store.unionByName(survivors))
+  }
+
   def semanticNearDup(df: DataFrame, idCol: String, embCol: String,
       k: Int, iterations: Int = 2, threshold: Double = 0.95,
       scale: Long = 1000000L, bucketCap: Int = 100000): DataFrame = {

@@ -291,6 +291,33 @@ class DedupSpec extends SparkSpec {
     assert(p2.size === 9) // every non-positive (query, corpus) pair
   }
 
+  test("incremental semantic dedup: store wins, min-id within batch, store grows") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)), (12L, Seq(0.0f, 1.0f, 0.0f)),
+      (14L, Seq(0.0f, 0.0f, 1.0f)), (16L, Seq(0.0f, 0.7f, 0.7f))
+    ).toDF("vec_id", "emb")
+    val (store, cents) = Dedup.semanticStore(corpus, "vec_id", "emb",
+      k = 1, iterations = 0)
+    val batch = Seq(
+      (21L, Seq(0.999f, 0.001f, 0.0f)),  // near store 10 -> dropped
+      (23L, Seq(0.5f, 0.5f, 0.0f)),      // max store cos ~0.71 -> kept
+      (25L, Seq(0.501f, 0.499f, 0.0f)),  // near 23 -> larger id drops
+      (27L, Seq(-1.0f, 0.0f, 0.0f))      // fresh
+    ).toDF("vec_id", "emb")
+    val (flags, store2) = Dedup.incrementalSemanticNearDup(batch, "vec_id",
+      "emb", store, cents, threshold = 0.98)
+    val got = flags.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got === Map(21L -> 0, 23L -> 1, 25L -> 0, 27L -> 1))
+    assert(store2.count() === 6L)
+    assert(store2.select("id").collect().map(_.getLong(0)).toSet ===
+      Set(10L, 12L, 14L, 16L, 23L, 27L))
+    // repartition-invariant
+    val (f2, _) = Dedup.incrementalSemanticNearDup(batch.repartition(5),
+      "vec_id", "emb", store, cents, threshold = 0.98)
+    assert(f2.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap === got)
+  }
+
   test("split leakage: cross-split near-dup pairs only, null split is a label") {
     import spark.implicits._
     import graft.operators.Decontaminate
