@@ -1,6 +1,12 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Regression probe for the bigram-LM pass at 200k ZipfDocs — the run
+  * whose jstack samples pinned the free-lambda-reference re-split
+  * (115.2 s interpreted HOF pairs → 13.0 s codegen AdjacentPairs,
+  * BENCH.md round 5). Prints seconds + the corpus surprisal sum, which
+  * must stay CONSTANT across any rework (33820090299 at 200k). */
 object BigramProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
