@@ -2230,6 +2230,15 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"))
         .orderBy("doc_id")),
 
+    // BPE merge LEARNING (r5): 4 rounds of the Sennrich procedure over
+    // the documents corpus — most-frequent adjacent symbol pair by
+    // word-frequency weight, lexicographic ties, leftmost
+    // non-overlapping apply. The twin replays censuses, argmaxes, and
+    // every per-word merge walk (recursive CTE per round)
+    "bpe_learn" -> ((s, dir) =>
+      Tokenize.learnBpeMerges(tbl(s, dir, "documents"), "text", k = 4)
+        .orderBy("rank")),
+
     // Bucketed co-located join (r5): both sides written bucketBy the
     // join key, the join planned with broadcast disabled and asserted
     // EXCHANGE-FREE in-query (the 100-TB recurring-join primitive),
@@ -4503,6 +4512,10 @@ object SparkEntry {
         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
       ORDER BY doc_id"""),
 
+    // BPE learning: per round, a pair census + LIMIT-1 argmax + a
+    // recursive-CTE walk applying the merge leftmost-non-overlapping
+    "bpe_learn" -> BpeLearnTwinSql,
+
     // bucketed join: the twin is the PLAIN join — bucketing must not
     // change a single row
     "bucket_join" -> ("""
@@ -4645,6 +4658,49 @@ object SparkEntry {
       WHERE sa.split <> sb.split
       ORDER BY a, b""")
   )
+
+  /** DuckDB replay of [[Tokenize.learnBpeMerges]] at k = 4: the word
+    * census (same pre-tokenizer regex), the character alphabet, and
+    * per round a pair census, a LIMIT-1 argmax (cnt DESC, l, r — the
+    * engine's exact tie rule), and a recursive-CTE walk over every
+    * word applying the merge leftmost-non-overlapping (a merge at
+    * position i jumps to i+2; anything else advances one symbol). */
+  private val BpeLearnTwinSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""p$r AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(f) AS BIGINT) AS cnt
+         FROM (SELECT unnest([{'l': s[i], 'r': s[i+1]}
+                 FOR i IN range(1, len(s))]) AS pr, f FROM s${r - 1})
+         GROUP BY pr.l, pr.r),
+      m$r AS (SELECT l, r FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+      rec$r(w, f, s, i, out) AS (
+        SELECT w, f, s, 1, CAST([] AS VARCHAR[]) FROM s${r - 1}
+        UNION ALL
+        SELECT w, f, s,
+          CASE WHEN i < len(s) AND s[i] = (SELECT l FROM m$r)
+                    AND s[i+1] = (SELECT r FROM m$r)
+               THEN i + 2 ELSE i + 1 END,
+          CASE WHEN i < len(s) AND s[i] = (SELECT l FROM m$r)
+                    AND s[i+1] = (SELECT r FROM m$r)
+               THEN list_append(out, s[i] || s[i+1])
+               ELSE list_append(out, s[i]) END
+        FROM rec$r WHERE i <= len(s)),
+      s$r AS (SELECT w, f, out AS s FROM rec$r WHERE i = len(s) + 1)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH RECURSIVE wd AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+            SELECT unnest(regexp_extract_all(coalesce(text, ''),
+              '${Tokenize.PreTokenRe}')) AS w FROM documents)
+          WHERE w <> '' GROUP BY w),
+      s0 AS (SELECT w, f,
+          [w[i] FOR i IN range(1, length(w) + 1)] AS s FROM wd),
+      $rounds
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS rank, l AS "left", r AS "right" FROM m1
+        UNION ALL SELECT 1, l, r FROM m2
+        UNION ALL SELECT 2, l, r FROM m3
+        UNION ALL SELECT 3, l, r FROM m4)
+      ORDER BY rank"""
+  }
 
   /** DuckDB replay of the [[Retrieval.log2fpLong]] fixed-point log2
     * digit recurrence (8 fraction bits): expects a CTE `xs(key, x)`

@@ -85,4 +85,86 @@ object Tokenize {
       }
     }.toDF(idCol, "n_bpe_tokens")
   }
+
+  /** Code-point symbols of a word (surrogate-safe single-cp strings —
+    * the initial BPE alphabet). */
+  private[graft] def codePointSymbols(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toSeq
+  }
+
+  /** One BPE merge applied to a symbol sequence: leftmost-first,
+    * non-overlapping — the canonical apply rule (so "aaa" under (a,a)
+    * becomes ["aa", "a"]). */
+  private[graft] def mergeOnce(s: Seq[String], l: String,
+      r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `k` BPE merges from the corpus — the TRAINING half of the
+    * tokenizer story ([[bpeTokenCount]] applies a vocabulary; this
+    * builds one): the classic Sennrich et al. 2016 procedure, fully
+    * deterministic. One corpus pass builds the pre-token census; every
+    * merge round then costs O(distinct words) (Heaps' law keeps the
+    * word census orders of magnitude smaller than the corpus): census
+    * adjacent symbol pairs weighted by word frequency (the codegen'd
+    * [[graft.plans.AdjacentPairs]] — the same expression the bigram LM
+    * uses), pick the most frequent pair (ties broken lexicographically
+    * on (left, right), so the merge table is a pure function of the
+    * corpus), merge it leftmost-non-overlapping in every word, repeat.
+    * Each round materializes the rewritten symbol table (one typed
+    * kernel map) and collects exactly ONE row (the argmax pair — the
+    * kmeansQuantized centroid discipline). Returns the merge table
+    * (rank, left, right); concatenate left||right rows onto the
+    * base alphabet to feed [[bpeTokenCount]]. */
+  def learnBpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k >= 1 && k <= 256, "learnBpeMerges: k in [1, 256]")
+    val words = df.select(explode(regexp_extract_all(
+        coalesce(col(textCol), lit("")), lit(PreTokenRe), lit(0))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    var syms: Dataset[(Seq[String], Long)] = words.as[(String, Long)]
+      .map { case (w, f) => (codePointSymbols(w), f) }.persist()
+    syms.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    for (_ <- 0 until k if !done) {
+      val top = syms.toDF("s", "f")
+        .select(explode(
+          graft.plans.AdjacentPairs.adjacent_pairs(col("s"))).as("p"),
+          col("f"))
+        .groupBy(col("p.w1").as("l"), col("p.w2").as("r"))
+        .agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true // every word is one symbol: nothing to merge
+      else {
+        val l = top(0).getString(0); val r = top(0).getString(1)
+        merges += ((l, r))
+        val prev = syms
+        syms = prev.map { case (s, f) => (mergeOnce(s, l, r), f) }.persist()
+        syms.count()
+        prev.unpersist()
+      }
+    }
+    syms.unpersist()
+    spark.createDataFrame(merges.toSeq.zipWithIndex.map {
+      case ((l, r), i) => (i.toLong, l, r)
+    }).toDF("rank", "left", "right")
+  }
 }

@@ -211,6 +211,28 @@ class DedupSpec extends SparkSpec {
     assert(clean === Set(1L, 3L, 4L))
   }
 
+  test("learnBpeMerges: classic merge order, lexicographic ties, early stop") {
+    import spark.implicits._
+    import graft.operators.Tokenize
+    val docs = Seq("low low low lower lowest", "new newer").toDF("text")
+    val got = Tokenize.learnBpeMerges(docs, "text", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // hand-traced: (l,o)x5 ties (o,w) -> lexicographic; then (lo,w);
+    // then the 4-way tie at 2 resolves to (e,r); then (e,w)
+    assert(got === Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("e", "w")))
+    // leftmost non-overlapping apply rule
+    assert(Tokenize.mergeOnce(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    // single-symbol corpus: no pairs -> early stop with an empty table
+    assert(Tokenize.learnBpeMerges(Seq("a b c").toDF("text"), "text", 2)
+      .count() === 0L)
+    // determinism under repartition
+    val rep = Tokenize.learnBpeMerges(docs.repartition(5), "text", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rep === got)
+  }
+
   test("exactKeepBest keeps the min-(cost, id) copy per content hash") {
     import spark.implicits._
     val d = Seq(
