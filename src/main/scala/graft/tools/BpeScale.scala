@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale + identity proof for BPE merge learning: learn `k` merges
+  * over the shared [[ZipfDocs]] corpus (default 1M docs — ~686k
+  * distinct pre-tokens: the 20k hash-token head plus one unique
+  * perturbation token per non-dup doc, a realistic Heaps-law word
+  * census) and print the full merge table. The SAME input at two
+  * parallelism levels must print IDENTICAL tables — the argmax is a
+  * pure function of the census and the tie rule, so any divergence is
+  * a determinism bug, not noise.
+  *
+  * Usage: SPARK_GRAFT_CPUS=8|32 run graft.tools.BpeScale [nDocs] [k]
+  */
+object BpeScale {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val k = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bpe-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = ZipfDocs.corpus(spark, nDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = docs.count()
+    val t0 = System.nanoTime()
+    val merges = graft.operators.Tokenize.learnBpeMerges(docs, "text", k)
+      .orderBy("rank").collect()
+      .map(r => s"${r.getLong(0)}:${r.getString(1)}+${r.getString(2)}")
+    val sec = math.round((System.nanoTime() - t0) / 1e7) / 100.0
+    println(s"""{"docs":$n,"k":$k,"sec":$sec,"cpus":$cpus,""" +
+      s""""merges":"${merges.mkString(" ")}"}""")
+    spark.stop()
+  }
+}
