@@ -1764,6 +1764,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Kneser-Ney smoothed bigram surprisal (r5): the proper-smoothing
+    // rung above text_bigram_lm — unseen transitions priced by
+    // continuation counts (distinct-history censuses) instead of a
+    // flat penalty; D = 1/2 cleared to exact integer fractions, same
+    // fixed-point log2, same % 89 seed slice
+    "text_kn_lm" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val seed = docs.filter(pmod(col("doc_id"), lit(89)) === 0)
+        .select("text")
+      DomainScore.knBigramSurprisal(docs, "doc_id", "text", seed, "text")
+        .orderBy("doc_id")
+    }),
+
     // feature-hashed linear quality classifier (r5): fastText-shape
     // unigram+bigram bucket-weight sum, integer weights, pure
     // higher-order expressions (no UDF, no join, no shuffle); the
@@ -4614,6 +4627,70 @@ object SparkEntry {
       SELECT t.doc_id, coalesce(m.n_pairs, 0) AS n_pairs,
         coalesce(m.n_seen, 0) AS n_seen,
         coalesce(m.surprisal, 0) AS surprisal
+      FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id"""
+    },
+
+    // Kneser-Ney bigram surprisal: censuses (ch, N1, R, T) from the
+    // seed pair census, D=1/2 cleared fractions, the shared log2
+    // recurrence over every needed operand, and the four-way CASE
+    // (seen / backoff-product / pure-continuation / OOV +768)
+    "text_kn_lm" -> {
+      s"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sd AS (SELECT toks FROM t WHERE doc_id % 89 = 0),
+      sb AS (SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS cb FROM (
+          SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+            FOR i IN range(1, len(toks))]) AS pr FROM sd)
+        GROUP BY pr.w1, pr.w2),
+      tt AS (SELECT greatest(count(*), 1) AS ty, count(*) AS t0 FROM sb),
+      hist AS (SELECT w1, sum(cb) AS ch, count(*) AS n1 FROM sb GROUP BY w1),
+      cont AS (SELECT w2, count(*) AS r FROM sb GROUP BY w2),
+      xs AS (SELECT 'd|' || w1 AS key,
+               CAST(ch * 2 * (SELECT ty FROM tt) AS BIGINT) AS x FROM hist
+             UNION ALL
+             SELECT 'n|' || w1, CAST(n1 AS BIGINT) FROM hist
+             UNION ALL
+             SELECT 'r|' || w2, CAST(r AS BIGINT) FROM cont
+             UNION ALL
+             SELECT 'p|' || sb.w1 || ' ' || sb.w2,
+               CAST((2 * cb - 1) * (SELECT t0 FROM tt) + h.n1 * c.r AS BIGINT)
+             FROM sb JOIN hist h ON h.w1 = sb.w1 JOIN cont c ON c.w2 = sb.w2
+             UNION ALL SELECT '#T', CAST(ty AS BIGINT) FROM tt),
+      $Log2CteSql,
+      ld AS (SELECT substr(key, 3) AS w1, l FROM lg
+             WHERE starts_with(key, 'd|')),
+      ln1 AS (SELECT substr(key, 3) AS w1, l FROM lg
+              WHERE starts_with(key, 'n|')),
+      lr AS (SELECT substr(key, 3) AS w2, l FROM lg
+             WHERE starts_with(key, 'r|')),
+      lp AS (SELECT split_part(substr(key, 3), ' ', 1) AS w1,
+                    split_part(substr(key, 3), ' ', 2) AS w2, l
+             FROM lg WHERE starts_with(key, 'p|')),
+      pe AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+          SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+            FOR i IN range(1, len(toks))]) AS pr FROM t)),
+      j AS (SELECT pe.doc_id,
+          CASE WHEN p.l IS NOT NULL THEN d.l - p.l
+               WHEN d.l IS NOT NULL AND r.l IS NOT NULL
+                 THEN d.l - n.l - r.l
+               WHEN d.l IS NOT NULL THEN d.l + 768
+               WHEN r.l IS NOT NULL
+                 THEN (SELECT l FROM lg WHERE key = '#T') - r.l
+               ELSE (SELECT l FROM lg WHERE key = '#T') + 768 END AS bits,
+          p.l AS lpv
+        FROM pe LEFT JOIN lp p ON p.w1 = pe.w1 AND p.w2 = pe.w2
+        LEFT JOIN ld d ON d.w1 = pe.w1
+        LEFT JOIN ln1 n ON n.w1 = pe.w1
+        LEFT JOIN lr r ON r.w2 = pe.w2),
+      m AS (SELECT doc_id, count(*) AS n_pairs, count(lpv) AS n_seen,
+              CAST(sum(bits) AS BIGINT) AS kn_bits
+            FROM j GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(m.n_pairs, 0) AS n_pairs,
+        coalesce(m.n_seen, 0) AS n_seen,
+        coalesce(m.kn_bits, 0) AS kn_bits
       FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id"""
     },
 

@@ -195,6 +195,115 @@ object DomainScore {
           .as("surprisal"))
   }
 
+  /** Kneser–Ney smoothed bigram surprisal — the proper-smoothing rung
+    * above [[bigramSurprisal]] on the CCNet ladder: instead of a flat
+    * backoff penalty, unseen transitions are priced by the
+    * CONTINUATION probability (how many distinct histories a word
+    * follows), which is what actually separates fluent text from
+    * bag-of-frequent-words noise. Discount fixed at D = ½ so every
+    * probability is a ratio of exact 64-bit integers.
+    *
+    * Censuses over the seed's bigram table cb(w1,w2) — all four are
+    * partial-aggregable derivations of ONE pair census:
+    * ch(w1) = Σ_w2 cb (history mass), N1(w1) = distinct continuations
+    * of w1, R(w2) = distinct histories preceding w2, T = distinct
+    * bigram types. The interpolated KN probability
+    *
+    *   P(w2|w1) = max(cb − ½, 0)/ch(w1) + (N1(w1)/(2·ch(w1)))·(R(w2)/T)
+    *
+    * cleared of fractions over the common denominator den = 2·ch(w1)·T:
+    *
+    *   seen pair:      bits = L(den) − L((2·cb − 1)·T + N1(w1)·R(w2))
+    *   unseen, seen w1: bits = L(den) − L(N1(w1)) − L(R(w2))
+    *                    (the backoff term is a pure product, so the
+    *                    log-sum decomposition is exact in infinite
+    *                    precision; the oracle replays the same
+    *                    three-term fixed-point sum, so it hash-matches)
+    *   unseen history:  bits = L(T) − L(R(w2))   (pure continuation)
+    *   OOV continuation (R = 0): L(den or T) + penaltyBits·2^F
+    *
+    * where L = [[Retrieval.log2fpLong]]'s fixed-point log2 (F =
+    * `fracBits`), computed ONCE per census row (never per doc pair —
+    * the per-pair work is joins + integer adds, the
+    * interpreted-HOF-per-pair discipline). Σ_w2 P(w2|w1) = 1 exactly,
+    * so seen/backoff bits are ≥ 0 modulo fixed-point granularity.
+    *
+    * Scale shape: identical to [[bigramSurprisal]] — seed censuses
+    * behind count-gated broadcasts (all three join tables are ≤ T
+    * rows, one gate decides), docs pay one codegen'd pair-explode +
+    * three keyed joins + one partial-aggregable group-by. The
+    * cleared-fraction products need (2·cb+N1·R/T)·T < 2^63; guarded
+    * eagerly via the census totals (seeds are in-domain and small by
+    * definition — a guard, not a budget).
+    *
+    * Returns (idCol, n_pairs, n_seen, kn_bits); rank or gate on
+    * kn_bits/n_pairs (mean bits/transition ≈ KN log-perplexity). */
+  def knBigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      seed: DataFrame, seedCol: String, fracBits: Int = 8,
+      penaltyBits: Int = 3,
+      censusBroadcastLimit: Long = 5000000L): DataFrame = {
+    val scale = 1L << fracBits
+    val sb = seed.select(explode(pairsOf(col(seedCol))).as("__p"))
+      .select(col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+      .persist()
+    val tTypes: Long = sb.count()
+    val totPairs: Long = if (tTypes == 0) 0L
+      else sb.agg(sum(col("__cb"))).head().getLong(0)
+    require(
+      (BigInt(totPairs).max(1) * 2 + BigInt(totPairs).max(1)) *
+        BigInt(tTypes).max(1) < BigInt(Long.MaxValue),
+      s"knBigramSurprisal: cleared fractions exceed 64 bits " +
+        s"(seed pairs=$totPairs, bigram types=$tTypes)")
+    val t1 = math.max(tTypes, 1L)
+    val lt = Retrieval.log2fpLong(t1, fracBits)
+    val hist0 = sb.groupBy("__w1")
+      .agg(sum("__cb").as("__ch"), count(lit(1)).as("__n1"))
+      .persist()
+    val cont0 = sb.groupBy("__w2").agg(count(lit(1)).as("__r"))
+      .persist()
+    val hist = Retrieval.withLog2fp(
+      Retrieval.withLog2fp(
+        hist0.withColumn("__xd", col("__ch") * lit(2L * t1)),
+        "__xd", "__lden", fracBits),
+      "__n1", "__ln1", fracBits)
+      .select("__w1", "__lden", "__ln1")
+    val cont = Retrieval.withLog2fp(cont0, "__r", "__lr", fracBits)
+      .select("__w2", "__lr")
+    val pairL = Retrieval.withLog2fp(
+      sb.join(hist0.select("__w1", "__n1"), Seq("__w1"))
+        .join(cont0, Seq("__w2"))
+        .withColumn("__xn",
+          (col("__cb") * 2L - 1L) * lit(tTypes) + col("__n1") * col("__r")),
+      "__xn", "__lnum", fracBits)
+      .select("__w1", "__w2", "__lnum")
+    val small = tTypes <= censusBroadcastLimit
+    val histJ = if (small) broadcast(hist) else hist
+    val contJ = if (small) broadcast(cont) else cont
+    val pairJ = if (small) broadcast(pairL) else pairL
+    val pairs = docs.select(col(idCol),
+        explode_outer(pairsOf(col(textCol))).as("__p"))
+      .select(col(idCol), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val pen = lit(penaltyBits * scale)
+    val bits =
+      when(col("__lnum").isNotNull, col("__lden") - col("__lnum"))
+        .otherwise(when(col("__lden").isNotNull,
+            when(col("__lr").isNotNull,
+              col("__lden") - col("__ln1") - col("__lr"))
+              .otherwise(col("__lden") + pen))
+          .otherwise(when(col("__lr").isNotNull, lit(lt) - col("__lr"))
+            .otherwise(lit(lt) + pen)))
+    pairs
+      .join(pairJ, Seq("__w1", "__w2"), "left")
+      .join(histJ, Seq("__w1"), "left")
+      .join(contJ, Seq("__w2"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__w1")).as("n_pairs"),
+        count(col("__lnum")).as("n_seen"),
+        coalesce(sum(when(col("__w1").isNotNull, bits)), lit(0L))
+          .as("kn_bits"))
+  }
+
   /** Integer-exact unigram surprisal scoring — the CCNet-selection
     * criterion (language-model perplexity against an in-domain
     * corpus) reduced to engine-replayable integer arithmetic: a

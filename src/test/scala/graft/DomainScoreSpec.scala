@@ -201,4 +201,50 @@ class DomainScoreSpec extends SparkSpec {
       .toMap
     assert(b === got)
   }
+
+  test("knBigramSurprisal: all four KN paths match the hand computation") {
+    import spark.implicits._
+    import graft.operators.{DomainScore, Retrieval}
+    def L(x: Long) = Retrieval.log2fpLong(x, 8)
+    val seed = Seq("the cat sat", "the cat ran").toDF("text")
+    // pair census: (the,cat):2 (cat,sat):1 (cat,ran):1 -> T=3
+    // hist: the(ch=2,n1=1) cat(ch=2,n1=2); cont: cat:1 sat:1 ran:1
+    // den(the)=den(cat)=2*2*3=12
+    val docs = Seq(
+      (1L, "the cat sat"), // seen: (2*2-1)*3+1*1=10, (2*1-1)*3+2*1=5
+      (2L, "the ran"),     // backoff product: L(12)-L(1)-L(1)
+      (3L, "cat the"),     // OOV continuation under a seen history
+      (4L, "sat cat"),     // unseen history, seen continuation
+      (5L, "zzz qqq"),     // both unknown
+      (6L, "one"),         // no pairs
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = DomainScore.knBigramSurprisal(docs, "doc_id", "text",
+        seed, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((2L, 2L, (L(12) - L(10)) + (L(12) - L(5)))))
+    assert(got(2L) === ((1L, 0L, L(12))))
+    assert(got(3L) === ((1L, 0L, L(12) + 768L)))
+    assert(got(4L) === ((1L, 0L, L(3))))
+    assert(got(5L) === ((1L, 0L, L(3) + 768L)))
+    assert(got(6L) === ((0L, 0L, 0L)))
+    assert(got(7L) === ((0L, 0L, 0L)))
+    // KN separates fluent from shuffled: seen transitions cost fewer
+    // bits than the continuation-priced backoff, which costs fewer
+    // than an OOV continuation
+    assert(got(1L)._3 / 2 < got(2L)._3 && got(2L)._3 < got(3L)._3)
+    // repartition-invariant
+    val b = DomainScore.knBigramSurprisal(docs.repartition(5), "doc_id",
+        "text", seed, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(b === got)
+    // empty seed: every pair prices at L(1) + penalty = 768
+    val e = DomainScore.knBigramSurprisal(docs,
+        "doc_id", "text", Seq.empty[String].toDF("text"), "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(e(1L) === 2 * 768L && e(5L) === 768L && e(6L) === 0L)
+  }
 }
