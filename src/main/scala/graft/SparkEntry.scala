@@ -1444,6 +1444,29 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey")).orderBy("c_custkey")),
 
+    // J10 (engine extension, r5): point-in-time as-of join — each
+    // 'view' event picks the most recent same-user 'click' at or before
+    // it (value + matched ts). Union + carry-forward window, NOT a
+    // range join (no per-key cross product); max-event_id tie-break at
+    // equal ts. The twin is DuckDB's NATIVE ASOF LEFT JOIN over the
+    // equivalently deduped right side — two independent implementations
+    // of the same semantics. Timestamps surface as epoch micros.
+    "j10_asof" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val l = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("value"),
+          col("event_id").as("ord"))
+      AsOfJoin.asOf(l, r, Seq("user_id"), "ts", "cts", Seq("value"),
+          rightOrd = Seq("ord"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value").as("click_value"),
+          unix_micros(col("asof_ts").cast("timestamp")).as("click_ts_us"))
+        .orderBy("event_id")
+    }),
+
     // G2: PARENT_OF edge derivation (README.md:265-272)
     "g2_parent_edges" -> ((s, dir) =>
       tbl(s, dir, "nation")
@@ -2218,6 +2241,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // G10 (engine extension): k-core decomposition over the same
+    // customer—supplier—nation graph as g9 — 3 fixed rounds of the
+    // synchronous H-index iteration (fixpoint = exact core number;
+    // GraphAnalyticsSpec proves corenessExact == brute-force peel).
+    // Integer census + row_number + max(least) per round, so the twin
+    // replays every intermediate value bit-exactly.
+    "g10_kcore" -> ((s, dir) => {
+      val cs = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val sn = tbl(s, dir, "supplier").select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      val cn = tbl(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("n"), col("c_nationkey")).as("dst"))
+      GraphAnalytics.coreness(cs.union(sn).union(cn), rounds = 3)
+        .orderBy("id")
+    }),
+
     // URL curation (engine extension, r5): canonicalize deterministic
     // messy URLs synthesized from doc_id — uppercase scheme/host,
     // userinfo with '@' in the password, default + non-default ports,
@@ -2917,6 +2963,23 @@ object SparkEntry {
       WHERE NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey AND o_totalprice > 300000)
       ORDER BY c_custkey"""),
+
+    // the twin uses DuckDB's NATIVE ASOF LEFT JOIN (an independent
+    // implementation of the same point-in-time semantics) after the
+    // same per-(user, ts) max-event_id dedup the operator's tie-break
+    // implies; epoch_us matches unix_micros on NTZ parquet timestamps
+    "j10_asof" -> ("""
+      WITH l AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'view'),
+      r AS (SELECT user_id, ts, value FROM events
+            WHERE event_type = 'click'
+            QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) = 1)
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             r.value AS click_value, epoch_us(r.ts) AS click_ts_us
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id"""),
 
     "g2_parent_edges" -> ("""
       SELECT r_name AS parent, n_name AS child, 'PARENT_OF' AS etype
@@ -4512,6 +4575,35 @@ object SparkEntry {
       SELECT d.v AS id, CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
              d.d AS deg
       FROM deg d LEFT JOIN pv ON pv.id = d.v ORDER BY id"""),
+
+    // k-core decomposition, 3 fixed H-index rounds replayed as chained
+    // CTEs: c0 = degree census, per round c' = max(least(rn, core))
+    // over the descending neighbor-value sort — ties permute equal
+    // values, so the max is tie-order-invariant and bit-identical
+    "g10_kcore" -> ("""
+      WITH eraw AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        UNION
+        SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+        UNION
+        SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer),
+      und AS (SELECT src, dst FROM eraw WHERE src <> dst),
+      sym AS (SELECT src, dst FROM und UNION SELECT dst, src FROM und),
+      c0 AS (SELECT src AS id, count(*) AS core FROM sym GROUP BY src),
+      m1 AS (SELECT s.src AS v, c.core, row_number() OVER
+               (PARTITION BY s.src ORDER BY c.core DESC) AS rn
+             FROM sym s JOIN c0 c ON c.id = s.dst),
+      c1 AS (SELECT v AS id, max(least(rn, core)) AS core FROM m1 GROUP BY v),
+      m2 AS (SELECT s.src AS v, c.core, row_number() OVER
+               (PARTITION BY s.src ORDER BY c.core DESC) AS rn
+             FROM sym s JOIN c1 c ON c.id = s.dst),
+      c2 AS (SELECT v AS id, max(least(rn, core)) AS core FROM m2 GROUP BY v),
+      m3 AS (SELECT s.src AS v, c.core, row_number() OVER
+               (PARTITION BY s.src ORDER BY c.core DESC) AS rn
+             FROM sym s JOIN c2 c ON c.id = s.dst),
+      c3 AS (SELECT v AS id, max(least(rn, core)) AS core FROM m3 GROUP BY v)
+      SELECT id, core FROM c3 ORDER BY id"""),
 
     // full normalizeUrl + registrableDomain replay over the same
     // synthesized messy URLs (see UrlTwinSql)

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
+
+/** Point-in-time (as-of) join — the temporal-alignment operator Spark's
+  * join zoo lacks natively: every left row picks the single right row
+  * with the greatest timestamp ≤ its own (backward; or the smallest ≥,
+  * forward) within the same key. The reference's transcript layer
+  * orders turns and carries state forward per conversation
+  * (md2csv.py:19,55-57 current-concept carry-forward); as-of is that
+  * same alignment generalized to TWO tables — "state of X as of each
+  * event" — which is how per-turn features join slowly-changing
+  * entity/session state at training-data scale.
+  *
+  * NOT implemented as a range join: a theta-join on `l.ts >= r.ts`
+  * explodes to the full per-key cross product before aggregation
+  * (O(n·m) per key — fatal on hot keys at 100 TB). Instead both sides
+  * union into ONE keyed stream sorted by (ts, side, tiebreak) and the
+  * match is a running `last(payload, ignoreNulls)` carry-forward — one
+  * shuffle on the key, one per-key sort, zero row amplification, the
+  * exact plan shape of a single window query. Skew bound = the hottest
+  * key's combined row count (external sort spills; no pair blow-up).
+  *
+  * Determinism contract: right rows tie-break on `rightOrd` (at equal
+  * (key, ts) the max-`rightOrd` payload wins backward, min forward), so
+  * the result is a pure function of the two tables — replayable by any
+  * engine (DuckDB's native ASOF JOIN after an equivalent per-(key, ts)
+  * dedup; the j10_asof twin does exactly that). Matches at EXACTLY
+  * equal timestamps count (inclusive, both directions) — DuckDB ASOF's
+  * `>=`/`<=` reading.
+  *
+  * NULL semantics: window partitioning groups NULL keys together, so
+  * null-key left rows match null-key right rows — UNLIKE SQL equality
+  * joins (documented divergence; pre-filter null keys to get join
+  * behavior). Left rows with no qualifying right row (or none within
+  * `toleranceUs`) keep NULL payload — left-outer semantics.
+  */
+object AsOfJoin {
+
+  /** @param keys       equality key columns (present on both sides)
+    * @param leftTs     left timestamp column (timestamp or numeric)
+    * @param rightTs    right timestamp column
+    * @param payload    right columns to attach (must not clash with
+    *                   left's column names)
+    * @param rightOrd   deterministic tie-break among right rows sharing
+    *                   (key, ts); empty ⇒ caller asserts uniqueness
+    * @param forward    false = greatest right ts ≤ left ts (default);
+    *                   true = smallest right ts ≥ left ts
+    * @param toleranceUs max |left ts − matched ts| in microseconds
+    *                   (timestamp columns) or raw units (numeric
+    *                   columns); negative = unbounded
+    * @return left.* + payload columns + `asof_ts` (the matched right
+    *         timestamp; NULL when unmatched) */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      rightOrd: Seq[String] = Nil, forward: Boolean = false,
+      toleranceUs: Long = -1L): DataFrame = {
+    require(keys.nonEmpty && payload.nonEmpty)
+    val clash = (payload.toSet + "asof_ts") intersect left.columns.toSet
+    require(clash.isEmpty, s"payload/asof_ts clash with left columns: $clash")
+    val ordC = if (rightOrd.isEmpty) lit(0L) else struct(rightOrd.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        struct(col(rightTs).as("__mts") +: payload.map(col): _*).as("__p"),
+        ordC.as("__ord"),
+        lit(0).as("__side")): _*)
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // right rows (side 0) sort before left rows at equal ts in BOTH
+    // directions ⇒ equal-timestamp matches are inclusive
+    val ord =
+      if (forward) Seq(col("__ts").desc, col("__side").asc, col("__ord").desc)
+      else Seq(col("__ts").asc, col("__side").asc, col("__ord").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lTsT = left.schema(leftTs).dataType
+    val rTsT = right.schema(rightTs).dataType
+    val matched = u
+      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val gated =
+      if (toleranceUs < 0) matched.withColumn("__cc", col("__c"))
+      else matched.withColumn("__cc",
+        when(abs(tsLong(col("__ts"), lTsT) -
+          tsLong(col("__c").getField("__mts"), rTsT)) <= toleranceUs,
+          col("__c")))
+    val proj = left.columns.map(col).toSeq ++
+      payload.map(p => col("__cc").getField(p).as(p)) :+
+      col("__cc").getField("__mts").as("asof_ts")
+    gated.select(proj: _*)
+  }
+
+  /** Microsecond scalar of a timestamp column (the Sessions.epochUs
+    * UTC-NTZ contract) or the raw long of a numeric one — only used
+    * for the tolerance gate, never for ordering. */
+  private def tsLong(c: Column, dt: DataType): Column = dt match {
+    case TimestampType | TimestampNTZType => unix_micros(c.cast("timestamp"))
+    case _ => c.cast("long")
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+
+  // (id, key, ts) left rows against (key, ts, v, ord) right rows; long
+  // timestamps keep the arithmetic readable (operator is type-generic)
+  private def run(left: Seq[(Int, String, Long)],
+      right: Seq[(String, Long, String, Int)],
+      forward: Boolean = false, tol: Long = -1L,
+      repart: Int = 0): Map[Int, (Option[String], Option[Long])] = {
+    import spark.implicits._
+    val l0 = left.toDF("id", "k", "ts")
+    val l = if (repart > 0) l0.repartition(repart) else l0
+    val r = right.toDF("k", "rts", "v", "ord")
+    AsOfJoin.asOf(l, r, Seq("k"), "ts", "rts", Seq("v"),
+      rightOrd = Seq("ord"), forward = forward, toleranceUs = tol)
+      .collect().map { row =>
+        row.getInt(0) -> ((Option(row.get(3)).map(_.toString),
+          Option(row.get(4)).map(_.asInstanceOf[Long])))
+      }.toMap
+  }
+
+  private val right = Seq(
+    ("a", 10L, "r10", 0), ("a", 10L, "r10b", 1), // dup ts: ord decides
+    ("a", 20L, "r20", 0),
+    ("b", 50L, "s50", 0))
+
+  test("backward: greatest right ts <= left ts, inclusive, max-ord ties, outer nulls") {
+    val out = run(Seq(
+      (1, "a", 5L),   // before all right rows → null
+      (2, "a", 10L),  // exactly equal ts matches; dup → max ord r10b
+      (3, "a", 15L),  // between → r10b
+      (4, "a", 99L),  // after all → r20
+      (5, "b", 49L),  // b's row is later → null
+      (6, "c", 10L)), // key with no right rows → null
+      right)
+    assert(out == Map(
+      1 -> ((None, None)),
+      2 -> ((Some("r10b"), Some(10L))),
+      3 -> ((Some("r10b"), Some(10L))),
+      4 -> ((Some("r20"), Some(20L))),
+      5 -> ((None, None)),
+      6 -> ((None, None))))
+  }
+
+  test("forward: smallest right ts >= left ts, inclusive, min-ord ties") {
+    val out = run(Seq(
+      (1, "a", 5L),   // → first at 10; dup ts → MIN ord r10
+      (2, "a", 10L),  // equal ts matches forward too
+      (3, "a", 11L),  // → r20
+      (4, "a", 21L),  // nothing ahead → null
+      (5, "b", 50L)), // equal → s50
+      right, forward = true)
+    assert(out == Map(
+      1 -> ((Some("r10"), Some(10L))),
+      2 -> ((Some("r10"), Some(10L))),
+      3 -> ((Some("r20"), Some(20L))),
+      4 -> ((None, None)),
+      5 -> ((Some("s50"), Some(50L)))))
+  }
+
+  test("tolerance nulls out stale matches; partitioning-invariant") {
+    val l = Seq((1, "a", 12L), (2, "a", 40L))
+    // gap 2 within tol=5; gap 20 outside → null payload AND null asof_ts
+    val out = run(l, right, tol = 5L)
+    assert(out == Map(
+      1 -> ((Some("r10b"), Some(10L))),
+      2 -> ((None, None))))
+    assert(run(l, right, tol = 5L, repart = 7) == out)
+  }
+
+  test("null keys group together (documented window divergence from join equality)") {
+    import spark.implicits._
+    val l = Seq((Integer.valueOf(1), null.asInstanceOf[String], 10L))
+      .toDF("id", "k", "ts")
+    val r = Seq((null.asInstanceOf[String], 5L, "nv", 0))
+      .toDF("k", "rts", "v", "ord")
+    val out = AsOfJoin.asOf(l, r, Seq("k"), "ts", "rts", Seq("v"),
+      rightOrd = Seq("ord")).collect()
+    assert(out.length == 1 && out(0).getString(3) == "nv")
+  }
+
+  test("payload name clash is rejected") {
+    import spark.implicits._
+    val l = Seq((1, "a", 10L, "x")).toDF("id", "k", "ts", "v")
+    val r = Seq(("a", 5L, "y")).toDF("k", "rts", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, Seq("k"), "ts", "rts", Seq("v"))
+    }
+  }
+}

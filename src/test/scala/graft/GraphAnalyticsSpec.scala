@@ -90,6 +90,64 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(GraphAnalytics.triangles(messy.repartition(5)).count() == 4L)
   }
 
+  private def coresOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Reference coreness by direct peeling: core(v) = max k such that v
+    * survives iterated removal of all vertices with degree < k. */
+  private def bruteCoreness(edges: Seq[(String, String)]): Map[String, Long] = {
+    val und = edges.filter(e => e._1 != e._2).flatMap(e => Seq(e, e.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    def survivors(k: Int): Set[String] = {
+      var s = adj.keySet
+      var changed = true
+      while (changed) {
+        val drop = s.filter(v => adj(v).count(s) < k)
+        changed = drop.nonEmpty
+        s = s -- drop
+      }
+      s
+    }
+    val maxDeg = adj.values.map(_.size).max
+    adj.keySet.map { v =>
+      v -> (1 to maxDeg).filter(k => survivors(k)(v)).lastOption.getOrElse(0).toLong
+    }.toMap
+  }
+
+  test("coreness: hand-computed H-index rounds on K4 + tail") {
+    import spark.implicits._
+    // K4(a,b,c,d) + d—e + e—f. c0 = degrees; round 1 already the
+    // fixpoint: h-index of a's nbrs {3,3,4} = 3; d's {3,3,3,2} = 3;
+    // e's {4,1} = 1; f's {1} = 1.
+    val e = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e"), ("e", "f")).toDF("src", "dst")
+    assert(coresOf(GraphAnalytics.coreness(e, rounds = 0)) ==
+      Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 4L, "e" -> 2L, "f" -> 1L))
+    val fix = Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L, "e" -> 1L, "f" -> 1L)
+    assert(coresOf(GraphAnalytics.coreness(e, rounds = 1)) == fix)
+    assert(coresOf(GraphAnalytics.coreness(e, rounds = 2)) == fix)
+    assert(coresOf(GraphAnalytics.corenessExact(e)) == fix)
+    assert(fix == bruteCoreness(Seq(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f"))))
+  }
+
+  test("corenessExact matches brute-force peeling on a seeded random graph") {
+    import spark.implicits._
+    var x = 12345L
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
+    val raw = (0 until 300).map(_ => (s"v${nxt() % 40}", s"v${nxt() % 40}"))
+      .filter(e => e._1 != e._2)
+    val df = raw.toDF("src", "dst")
+    val exact = coresOf(GraphAnalytics.corenessExact(df))
+    assert(exact == bruteCoreness(raw))
+    // fixed-round output is partitioning-invariant (the oracle contract)
+    val r3a = coresOf(GraphAnalytics.coreness(df, rounds = 3))
+    val r3b = coresOf(GraphAnalytics.coreness(df.repartition(7), rounds = 3))
+    assert(r3a == r3b)
+    // monotone: every fixed-round value bounds the exact core from above
+    assert(exact.forall { case (v, c) => r3a(v) >= c })
+  }
+
   test("labelPropagation separates two bridged triangles into communities") {
     import spark.implicits._
     val e = Seq(("x1", "x2"), ("x2", "x3"), ("x1", "x3"),
