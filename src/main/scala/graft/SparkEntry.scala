@@ -1763,6 +1763,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // KMV distinct-cardinality sketch (engine extension, r5): per-lang
+    // estimated distinct-token counts with O(k) state per group — the
+    // bounded-memory stand-in for count(DISTINCT) at 100 TB. Hash
+    // family = md5-32 so the twin recomputes it (the LSH-oracle swap);
+    // hs_sig pins the ENTIRE kept-hash array, not just the tail.
+    "kmv_distinct" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents").select(col("lang"),
+        explode(split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+      Sketches.kmvDistinct(toks, Seq("lang"), "h", k = 64, spaceBits = 32)
+        .select(col("lang"), col("n_hashes"), col("kth_hash"), col("est_distinct"),
+          md5(array_join(transform(col("hs"), _.cast("string")), ",")).as("hs_sig"))
+        .orderBy("lang")
+    }),
+
+    // KMV overlap (engine extension, r5): pairwise lang-vocabulary
+    // Jaccard + union-cardinality estimates from the SKETCHES ALONE
+    // (mergeability law — no raw-token rejoin), the corpus-overlap /
+    // contamination-screen shape at scale
+    "kmv_overlap" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents").select(col("lang"),
+        explode(split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+      val sk = Sketches.kmvDistinct(toks, Seq("lang"), "h", k = 64, spaceBits = 32)
+        .select(col("lang"), col("hs"))
+      val pairs = sk.as("a").join(sk.as("b"), col("a.lang") < col("b.lang"))
+        .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+          col("a.hs").as("ha"), col("b.hs").as("hb"))
+      Sketches.kmvOverlap(pairs, "ha", "hb", k = 64, spaceBits = 32)
+        .select(col("lang_a"), col("lang_b"), col("n_merged"), col("n_inter"),
+          col("jaccard_ppm"), col("est_union"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // integer-exact unigram surprisal (r5): CCNet's LM-selection
     // criterion with add-one smoothing, floor-log2 as bin() bit
     // length, true integer division — no float log anywhere, so the
@@ -3315,6 +3351,66 @@ object SparkEntry {
       SELECT g.doc_id, coalesce(m.n_grams, 0) AS n_grams,
         coalesce(m.n_hits, 0) AS n_hits
       FROM g LEFT JOIN m USING (doc_id) ORDER BY doc_id"""),
+
+    // KMV replay: k smallest distinct md5-32 token hashes per lang via
+    // QUALIFY, estimator (k−1)·2^32 // kth as pure integer arithmetic,
+    // hs_sig = md5 of the comma-joined ascending kept hashes
+    "kmv_distinct" -> ("""
+      WITH t AS (SELECT lang,
+          unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\s+'), x -> x <> '')) AS w
+        FROM documents),
+      h AS (SELECT DISTINCT lang,
+          CAST(list_sum(list_transform(range(1, 9),
+            i -> (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1) *
+                 ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+            AS BIGINT) AS hv
+        FROM t),
+      keep AS (SELECT lang, hv FROM h
+               QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hv) <= 64),
+      agg AS (SELECT lang, count(*) AS n_hashes, max(hv) AS mx,
+          md5(array_to_string(list_transform(list(hv ORDER BY hv),
+            x -> x::VARCHAR), ',')) AS hs_sig
+        FROM keep GROUP BY lang)
+      SELECT lang, n_hashes,
+        CASE WHEN n_hashes >= 64 THEN mx END AS kth_hash,
+        CASE WHEN n_hashes < 64 THEN n_hashes
+             ELSE (63 * 4294967296) // mx END AS est_distinct,
+        hs_sig
+      FROM agg ORDER BY lang"""),
+
+    // sketch-only overlap replay: merged = 64 smallest of the two kept
+    // lists' union; intersection membership over the kept lists; both
+    // estimators exact integer //
+    "kmv_overlap" -> ("""
+      WITH t AS (SELECT lang,
+          unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\s+'), x -> x <> '')) AS w
+        FROM documents),
+      h AS (SELECT DISTINCT lang,
+          CAST(list_sum(list_transform(range(1, 9),
+            i -> (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1) *
+                 ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+            AS BIGINT) AS hv
+        FROM t),
+      keep AS (SELECT lang, hv FROM h
+               QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hv) <= 64),
+      sk AS (SELECT lang, list(hv ORDER BY hv) AS hs FROM keep GROUP BY lang),
+      p AS (SELECT a.lang AS lang_a, b.lang AS lang_b, a.hs AS ha, b.hs AS hb
+            FROM sk a JOIN sk b ON a.lang < b.lang),
+      m AS (SELECT lang_a, lang_b, ha, hb,
+              list_sort(list_distinct(ha || hb))[1:64] AS mg FROM p),
+      f AS (SELECT lang_a, lang_b, mg,
+              CAST(len(mg) AS BIGINT) AS n_merged,
+              CAST(len(list_filter(mg, x -> list_contains(ha, x)
+                AND list_contains(hb, x))) AS BIGINT) AS n_inter
+            FROM m)
+      SELECT lang_a, lang_b, n_merged, n_inter,
+        CASE WHEN n_merged > 0 THEN (1000000 * n_inter) // n_merged END
+          AS jaccard_ppm,
+        CASE WHEN n_merged < 64 THEN n_merged
+             ELSE (63 * 4294967296) // mg[64] END AS est_union
+      FROM f ORDER BY lang_a, lang_b"""),
 
     // unigram surprisal replay: same census, same add-one integer
     // division (// in DuckDB ≡ the engine's exact (N - N mod d)/d),

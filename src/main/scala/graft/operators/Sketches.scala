@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.KmvAgg.kmv_minhashes
+
+/** Cardinality/overlap estimation from K-Minimum-Values sketches
+  * ([[graft.plans.KmvAgg]]) — the bounded-state substitute for
+  * `count(DISTINCT …)` and set-overlap joins when the distinct universe
+  * is too large to shuffle (per-source token vocabularies, URL sets,
+  * n-gram spaces at 100 TB). Everything downstream of the sketch is
+  * exact integer arithmetic over the k kept hashes, so every number
+  * here replays bit-for-bit in the DuckDB twins (the estimator's error
+  * is statistical — E[relative error] ≈ 1/√(k−2) — but its VALUE is a
+  * pure function of the hash set).
+  */
+object Sketches {
+
+  /** Per-group KMV sketch + distinct-cardinality estimate.
+    *
+    * Adds `hs` (the k smallest distinct hashes, ascending), `n_hashes`,
+    * `kth_hash` (null while the group holds < k distinct hashes) and
+    * `est_distinct` — EXACT (= n_hashes, the sketch saw every distinct
+    * hash) below k, else `(k−1)·2^spaceBits div kth_hash`.
+    *
+    * @param hashCol  non-negative long hash column over a
+    *                 `[0, 2^spaceBits)` space — see the KmvAgg hash
+    *                 contract */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], hashCol: String,
+      k: Int, spaceBits: Int): DataFrame = {
+    require(spaceBits >= 1 && spaceBits <= 62 &&
+      (k - 1).toLong <= (Long.MaxValue >> spaceBits),
+      "(k-1)*2^spaceBits must fit in a long")
+    val num = (k - 1).toLong * (1L << spaceBits)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(kmv_minhashes(col(hashCol), k).as("hs"))
+      .withColumn("n_hashes", size(col("hs")).cast("long"))
+      .withColumn("kth_hash", get(col("hs"), lit(k - 1)))
+      .withColumn("est_distinct",
+        when(col("n_hashes") < k, col("n_hashes"))
+          .otherwise(expr(s"${num}L div kth_hash")))
+  }
+
+  /** Overlap of two sketched sets from their sketches ALONE (no raw
+    * data): the merged sketch (k smallest of the union — exactly the
+    * sketch the union itself would produce, the mergeability law) plus
+    * the fraction of its survivors present in BOTH inputs, which is an
+    * unbiased Jaccard estimator over the union's bottom-k sample.
+    *
+    * Adds `n_merged`, `n_inter`, `jaccard_ppm` (10^6·n_inter div
+    * n_merged) and `est_union` (cardinality estimate of A ∪ B). The
+    * per-row higher-order filters scan 3k elements — per GROUP row,
+    * never per data row, so interpreted eval is irrelevant here.
+    *
+    * @param aCol,bCol two `hs` arrays built with the SAME k and hash
+    *                  family */
+  def kmvOverlap(df: DataFrame, aCol: String, bCol: String,
+      k: Int, spaceBits: Int): DataFrame = {
+    require(spaceBits >= 1 && spaceBits <= 62 &&
+      (k - 1).toLong <= (Long.MaxValue >> spaceBits))
+    val num = (k - 1).toLong * (1L << spaceBits)
+    df.withColumn("__m", slice(array_sort(
+        array_union(col(aCol), col(bCol))), 1, k))
+      .withColumn("n_merged", size(col("__m")).cast("long"))
+      .withColumn("n_inter", size(filter(col("__m"),
+        h => array_contains(col(aCol), h) && array_contains(col(bCol), h)))
+        .cast("long"))
+      .withColumn("jaccard_ppm", when(col("n_merged") > 0,
+        expr("1000000L * n_inter div n_merged")))
+      .withColumn("est_union",
+        when(col("n_merged") < k, col("n_merged"))
+          .otherwise(expr(s"${num}L div element_at(__m, $k)")))
+      .drop("__m")
+  }
+}

@@ -73,6 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("adjacent_pairs", classOf[AdjacentPairs],
       es => AdjacentPairs(es.head))
     reg("nfc_normalize", classOf[NfcNormalize], es => NfcNormalize(es.head))
+    // aggregate: the analyzer wraps a returned AggregateFunction in its
+    // AggregateExpression during resolution; k must be a foldable int
+    reg("kmv_minhashes", classOf[KmvAgg], { es =>
+      require(es.length == 2 && es(1).foldable,
+        "kmv_minhashes(hash, k): k must be a foldable int literal")
+      KmvAgg(es.head, es(1).eval(null).asInstanceOf[Int])
+    })
     // SQL form takes the plane matrix as a foldable array<array<double>>
     reg("hyperplane_signs", classOf[HyperplaneSigns], { es =>
       require(es.length == 2 && es(1).foldable,

@@ -1,0 +1,131 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** `kmv_minhashes(hash, k)` — the K-Minimum-Values distinct-cardinality
+  * sketch (Bar-Yossef et al. 2002) as a partial-aggregable Catalyst
+  * aggregate: per group, the k smallest DISTINCT hash values in
+  * ascending order.
+  *
+  * This is the bounded-state alternative to `count(DISTINCT x)` at
+  * 100 TB: exact distinct counting shuffles every distinct value; this
+  * aggregate's state is O(k) longs per group at every stage — map-side
+  * partials combine before the exchange, merges are set-union-then-trim,
+  * and the estimator needs only the k-th smallest value
+  * ([[graft.operators.Sketches.distinctEstimate]]: `(k−1)·2^B div h_k`
+  * over a B-bit hash space, exact integer arithmetic). Because the
+  * sketch is a pure function of the input's distinct-hash SET, it is
+  * insensitive to partitioning, duplication, and merge order — and any
+  * engine replays it (k smallest distinct values is plain SQL), which
+  * is what makes the kmv_* driver oracles bit-exact.
+  *
+  * Sketches are MERGEABLE: the sketch of A ∪ B is the trim of the two
+  * sketches' union — so per-partition/per-day sketches roll up without
+  * touching raw data, and two corpora's overlap is estimable from their
+  * sketches alone (see `Sketches.overlapEstimate`).
+  *
+  * Hash contract: values are compared in SIGNED long order; pass a
+  * non-negative hash family so order matches position in [0, 2^B) —
+  * e.g. `shiftrightunsigned(xxhash64(x), 16)` (B = 48) on the engine
+  * path, or the md5-prefix family (B = 32) when a DuckDB twin must
+  * recompute the hashes (the LSH-oracle swap rationale). NULL hashes
+  * are skipped.
+  */
+case class KmvAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"kmv_minhashes needs a bigint hash, got ${child.dataType.simpleString}")
+    else if (k < 2 || k > 65536)
+      TypeCheckResult.TypeCheckFailure("k must be in [2, 65536]")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      // only insert if it could make the k smallest — avoids boxing
+      // churn on the (vastly dominant) over-threshold hashes
+      if (buf.size < k || h < buf.last()) {
+        buf.add(h)
+        if (buf.size > k) buf.pollLast()
+      }
+    }
+    buf
+  }
+
+  override def merge(b: java.util.TreeSet[java.lang.Long],
+      o: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = o.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (b.size < k || h < b.last()) {
+        b.add(h)
+        if (b.size > k) b.pollLast()
+      }
+    }
+    b
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvAgg =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_minhashes"
+}
+
+object KmvAgg {
+  def kmv_minhashes(hash: Column, k: Int): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      KmvAgg(org.apache.spark.sql.graft.shims.toExpression(hash), k)
+        .toAggregateExpression())
+}

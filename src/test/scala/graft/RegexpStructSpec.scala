@@ -112,6 +112,11 @@ class RegexpStructSpec extends SparkSpec {
       assert(s2.sql(
         "SELECT adjacent_pairs(array('a', '', 'b', 'c'))[0].w2")
         .collect()(0).getString(0) === "b")
+      // aggregate registration: analyzer must wrap the returned
+      // AggregateFunction; k smallest distinct of 1,2,3,42 at k=3
+      assert(s2.sql(
+        "SELECT kmv_minhashes(h, 3) FROM (SELECT explode(array(42L, 3L, 1L, 2L, 2L)) AS h)")
+        .collect()(0).getSeq[Long](0) === Seq(1L, 2L, 3L))
       // NULL semantics preserved: stock regexp_extract returns NULL for
       // a NULL subject; the rewrite must not coalesce that into ''
       val nullDf = Seq(Some("- x @t"), None).toDF("line")

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.plans.KmvAgg.kmv_minhashes
+
+class SketchesSpec extends SparkSpec {
+
+  private def hashed(n: Int, tag: String): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => s"$tag$i").toDF("w")
+      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+  }
+
+  test("below k the sketch is exhaustive: est exact, kth null") {
+    val out = Sketches.kmvDistinct(
+      hashed(10, "a").withColumn("g", lit(1)), Seq("g"), "h",
+      k = 64, spaceBits = 32).collect()(0)
+    assert(out.getAs[Long]("n_hashes") == 10L)
+    assert(out.getAs[Any]("kth_hash") == null)
+    assert(out.getAs[Long]("est_distinct") == 10L)
+  }
+
+  test("estimate within 15% at k=256; duplicates and partitioning don't move the sketch") {
+    val base = hashed(20000, "w").withColumn("g", lit(1))
+    val est = Sketches.kmvDistinct(base, Seq("g"), "h", 256, 32)
+      .collect()(0).getAs[Long]("est_distinct")
+    assert(math.abs(est - 20000L) < 3000L, s"est $est")
+    def hs(df: DataFrame): Seq[Long] = {
+      val r = Sketches.kmvDistinct(df, Seq("g"), "h", 256, 32).collect()(0)
+      r.getSeq[Long](r.fieldIndex("hs")).toSeq
+    }
+    val ref = hs(base)
+    assert(ref.length == 256 && ref == ref.sorted)
+    assert(hs(base.union(base)) == ref)           // multiset-insensitive
+    assert(hs(base.repartition(13)) == ref)       // merge-order-insensitive
+  }
+
+  test("mergeability law: sketch(A ∪ B) == trim(union of sketches)") {
+    val a = hashed(3000, "a").withColumn("g", lit(1))
+    val b = hashed(3000, "b").withColumn("g", lit(1))
+    val wrow = Sketches.kmvDistinct(a.union(b), Seq("g"), "h", 128, 32).collect()(0)
+    val whole = wrow.getSeq[Long](wrow.fieldIndex("hs")).toSeq
+    val parts = Sketches.kmvDistinct(a, Seq("g"), "h", 128, 32)
+      .select(col("g"), col("hs").as("ha"))
+      .join(Sketches.kmvDistinct(b, Seq("g"), "h", 128, 32)
+        .select(col("g"), col("hs").as("hb")), "g")
+    val mrow = parts.select(
+      slice(array_sort(array_union(col("ha"), col("hb"))), 1, 128).as("m"))
+      .collect()(0)
+    assert(mrow.getSeq[Long](mrow.fieldIndex("m")).toSeq == whole)
+  }
+
+  test("overlap: 50% shared universe → jaccard ≈ 1/3, union est ≈ 30000") {
+    // A = w0..w19999, B = w10000..w29999: |∩| = 10000, |∪| = 30000
+    val a = hashed(20000, "w").withColumn("g", lit(1))
+    val b = {
+      import spark.implicits._
+      (10000 until 30000).map(i => s"w$i").toDF("w")
+        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+        .withColumn("g", lit(1))
+    }
+    val pair = Sketches.kmvDistinct(a, Seq("g"), "h", 256, 32)
+      .select(col("g"), col("hs").as("ha"))
+      .join(Sketches.kmvDistinct(b, Seq("g"), "h", 256, 32)
+        .select(col("g"), col("hs").as("hb")), "g")
+    val out = Sketches.kmvOverlap(pair, "ha", "hb", 256, 32).collect()(0)
+    val jac = out.getAs[Long]("jaccard_ppm")
+    assert(math.abs(jac - 333333L) < 70000L, s"jaccard_ppm $jac")
+    val u = out.getAs[Long]("est_union")
+    assert(math.abs(u - 30000L) < 4500L, s"est_union $u")
+    assert(out.getAs[Long]("n_merged") == 256L)
+  }
+
+}
