@@ -2300,6 +2300,35 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // G11 (engine extension, r5): multi-source weighted shortest paths
+    // over the layered region→nation→supplier→customer DAG (weights:
+    // 1 / suppkey%7+1 / lineitem count per (s,c) pair), all regions as
+    // sources. Layer depth 3 == the round count, so 3 fixed rounds IS
+    // the exact fixpoint at every SF; min-plus needs no tie-break, so
+    // the twin's unrolled relax CTEs replay it bit-exactly. Customers
+    // with no orders are unreached and absent by contract.
+    "g11_sssp" -> ((s, dir) => {
+      val rn = tbl(s, dir, "nation").select(
+        concat(lit("r"), col("n_regionkey")).as("src"),
+        concat(lit("n"), col("n_nationkey")).as("dst"), lit(1L).as("w"))
+      val ns = tbl(s, dir, "supplier").select(
+        concat(lit("n"), col("s_nationkey")).as("src"),
+        concat(lit("s"), col("s_suppkey")).as("dst"),
+        (pmod(col("s_suppkey"), lit(7)) + 1).cast("long").as("w"))
+      val sc = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_suppkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("w"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"), col("w"))
+      val srcs = tbl(s, dir, "region")
+        .select(concat(lit("r"), col("r_regionkey")).as("id"))
+      GraphAnalytics.shortestPaths(rn.union(ns).union(sc), srcs, rounds = 3)
+        .orderBy("id")
+    }),
+
     // URL curation (engine extension, r5): canonicalize deterministic
     // messy URLs synthesized from doc_id — uppercase scheme/host,
     // userinfo with '@' in the password, default + non-default ports,
@@ -4700,6 +4729,39 @@ object SparkEntry {
              FROM sym s JOIN c2 c ON c.id = s.dst),
       c3 AS (SELECT v AS id, max(least(rn, core)) AS core FROM m3 GROUP BY v)
       SELECT id, core FROM c3 ORDER BY id"""),
+
+    // Bellman-Ford relax rounds unrolled: per round, dist' =
+    // min(dist, min over in-edges of dist(src)+w) — pure min-plus
+    // integer arithmetic, no ties to break
+    "g11_sssp" -> ("""
+      WITH e AS (
+        SELECT 'r' || n_regionkey AS src, 'n' || n_nationkey AS dst,
+               CAST(1 AS BIGINT) AS w FROM nation
+        UNION ALL
+        SELECT 'n' || s_nationkey, 's' || s_suppkey,
+               CAST((s_suppkey % 7) + 1 AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT 's' || l_suppkey, 'c' || o_custkey, count(*)
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      d0 AS (SELECT 'r' || r_regionkey AS id, CAST(0 AS BIGINT) AS dist
+             FROM region),
+      d1 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d0
+               UNION ALL
+               SELECT e.dst, d.dist + e.w FROM e JOIN d0 d ON d.id = e.src)
+             GROUP BY id),
+      d2 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d1
+               UNION ALL
+               SELECT e.dst, d.dist + e.w FROM e JOIN d1 d ON d.id = e.src)
+             GROUP BY id),
+      d3 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d2
+               UNION ALL
+               SELECT e.dst, d.dist + e.w FROM e JOIN d2 d ON d.id = e.src)
+             GROUP BY id)
+      SELECT id, dist FROM d3 ORDER BY id"""),
 
     // full normalizeUrl + registrableDomain replay over the same
     // synthesized messy URLs (see UrlTwinSql)

@@ -221,6 +221,43 @@ object GraphAnalytics {
     state
   }
 
+  /** Multi-source weighted shortest paths (Bellman-Ford message
+    * rounds) over DIRECTED `edges` with columns (src, dst, w) —
+    * non-negative integer weights. `sources` holds the seed vertex ids
+    * (distance 0); after `rounds` relaxations every vertex whose
+    * shortest path uses ≤ `rounds` hops carries its exact min-plus
+    * distance — on layered/DAG graphs a round count = layer depth IS
+    * the fixpoint, data-size-independent (how the g11_sssp oracle
+    * stays replayable at any SF). Vertices not yet reached are absent
+    * from the output (not null-padded): presence itself is the
+    * reachability bit.
+    *
+    * Per round: one keyed shuffle join (edges ⋈ dist on src) + one
+    * partial-aggregable min by dst + one min-merge with the previous
+    * frontier — all integer min-plus, no tie-breaking needed (min is
+    * associative/commutative), so ANY engine replays it bit-exactly.
+    * Lineage is cut per round (localCheckpoint) like the other
+    * iterative operators. Weights must be non-negative (caller
+    * contract, not scanned): with negative weights fixed-round
+    * Bellman-Ford stays deterministic, but "≤ rounds hops is exact"
+    * stops holding, which silently changes the semantics. */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 0)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .persist()
+    var dist = sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(eager = true)
+    for (_ <- 0 until rounds) {
+      val relax = e.join(dist.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relax).groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(eager = true)
+    }
+    e.unpersist()
+    dist
+  }
+
   /** One synchronous h-index round: every vertex reads its neighbors'
     * current values and takes the h-index. max(least(rank, value))
     * over the descending sort IS the h-index; both factors are longs

@@ -148,6 +148,30 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(exact.forall { case (v, c) => r3a(v) >= c })
   }
 
+  test("shortestPaths: multi-source min-plus, round bound, unreached absent") {
+    import spark.implicits._
+    // s1 → a(1) → b(1); s2 → b(5); a → c(10); d isolated from sources
+    val e = Seq(("s1", "a", 1L), ("a", "b", 1L), ("s2", "b", 5L),
+      ("a", "c", 10L), ("x", "d", 1L)).toDF("src", "dst", "w")
+    val src = Seq("s1", "s2").toDF("id")
+    def dists(rounds: Int): Map[String, Long] =
+      GraphAnalytics.shortestPaths(e, src, rounds).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 0: only the sources
+    assert(dists(0) == Map("s1" -> 0L, "s2" -> 0L))
+    // round 1: one hop (b via s2 = 5 for now)
+    assert(dists(1) == Map("s1" -> 0L, "s2" -> 0L, "a" -> 1L, "b" -> 5L))
+    // round 2: two hops — b improves to 2 through a; c reached at 11;
+    // d/x never reached (absent, not null)
+    val fix = Map("s1" -> 0L, "s2" -> 0L, "a" -> 1L, "b" -> 2L, "c" -> 11L)
+    assert(dists(2) == fix)
+    assert(dists(4) == fix) // extra rounds are no-ops at the fixpoint
+    // partitioning invariance
+    val rep = GraphAnalytics.shortestPaths(e.repartition(5), src, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == fix)
+  }
+
   test("labelPropagation separates two bridged triangles into communities") {
     import spark.implicits._
     val e = Seq(("x1", "x2"), ("x2", "x3"), ("x1", "x3"),
