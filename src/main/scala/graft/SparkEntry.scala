@@ -2329,6 +2329,40 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // G12 (engine extension, r5): derandomized DeepWalk corpus over the
+    // undirected customer—nation—region graph — 2 walks per vertex, 3
+    // steps, neighbor pick = md5₃₂(walk_id:step) mod degree in
+    // dst-sorted order. Pure function of the edge set (no PRNG state),
+    // so the twin replays every hop.
+    "g12_walks" -> ((s, dir) => {
+      val e = tbl(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("n"), col("c_nationkey")).as("dst"))
+        .union(tbl(s, dir, "nation").select(
+          concat(lit("n"), col("n_nationkey")).as("src"),
+          concat(lit("r"), col("n_regionkey")).as("dst")))
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      GraphWalks.randomWalks(sym, walksPerVertex = 2, steps = 3)
+        .orderBy("walk_id", "step")
+    }),
+
+    // G13 (engine extension, r5): skip-gram (center, context) counts
+    // from the g12 walk corpus — the word2vec-over-graphs training
+    // pairs; window 2, self-join bounded by walk length
+    "g13_sgpairs" -> ((s, dir) => {
+      val e = tbl(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("n"), col("c_nationkey")).as("dst"))
+        .union(tbl(s, dir, "nation").select(
+          concat(lit("n"), col("n_nationkey")).as("src"),
+          concat(lit("r"), col("n_regionkey")).as("dst")))
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      GraphWalks.skipGramPairs(
+          GraphWalks.randomWalks(sym, walksPerVertex = 2, steps = 3),
+          window = 2)
+        .orderBy("center", "context")
+    }),
+
     // URL curation (engine extension, r5): canonicalize deterministic
     // messy URLs synthesized from doc_id — uppercase scheme/host,
     // userinfo with '@' in the password, default + non-default ports,
@@ -2484,6 +2518,46 @@ object SparkEntry {
     when(i % 4 === 0, lit("&fbclid=abc")).otherwise(lit("")),
     when(i % 6 === 0, lit("&")).otherwise(lit("")),
     when(i % 2 === 0, lit("#sec")).otherwise(lit("")))
+
+  /** DuckDB snippet: first 8 md5 hex digits of `e` as int64 — the
+    * literal-power idiom of the LSH architecture oracles. */
+  private def md532Sql(e: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9),
+       |  i -> (strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1) *
+       |       ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+       |  AS BIGINT)""".stripMargin
+
+  /** Derandomized random-walk replay shared by g12_walks/g13_sgpairs:
+    * the customer—nation—region symmetric closure, dst-sorted neighbor
+    * index, and 3 unrolled steps picking neighbor
+    * md5₃₂(walk_id ∥ ':t') mod deg — hash-for-hash GraphWalks. */
+  private val WalkTwinSql: String = s"""
+      eraw AS (
+        SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer
+        UNION
+        SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+      sym AS (SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw),
+      idx AS (SELECT src, dst,
+                row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn
+              FROM sym),
+      deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+      w0 AS (SELECT src || '#' || i AS walk_id, src AS v, 0 AS step
+             FROM (SELECT DISTINCT src FROM sym) CROSS JOIN range(2) t(i)),
+      s1 AS (SELECT w.walk_id, idx.dst AS v, 1 AS step
+             FROM w0 w JOIN deg ON deg.src = w.v
+             JOIN idx ON idx.src = w.v
+              AND idx.rn = ${md532Sql("w.walk_id || ':0'")} % deg.d),
+      s2 AS (SELECT w.walk_id, idx.dst AS v, 2 AS step
+             FROM s1 w JOIN deg ON deg.src = w.v
+             JOIN idx ON idx.src = w.v
+              AND idx.rn = ${md532Sql("w.walk_id || ':1'")} % deg.d),
+      s3 AS (SELECT w.walk_id, idx.dst AS v, 3 AS step
+             FROM s2 w JOIN deg ON deg.src = w.v
+             JOIN idx ON idx.src = w.v
+              AND idx.rn = ${md532Sql("w.walk_id || ':2'")} % deg.d),
+      walks AS (SELECT * FROM w0 UNION ALL SELECT * FROM s1
+                UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+  """
 
   /** GrammarCorpus prefix with RECURSIVE enabled (the whole WITH chain
     * shares one keyword) plus the connected-components replay of
@@ -4762,6 +4836,18 @@ object SparkEntry {
                SELECT e.dst, d.dist + e.w FROM e JOIN d2 d ON d.id = e.src)
              GROUP BY id)
       SELECT id, dist FROM d3 ORDER BY id"""),
+
+    "g12_walks" -> (s"""
+      WITH $WalkTwinSql
+      SELECT walk_id, step, v FROM walks ORDER BY walk_id, step"""),
+
+    "g13_sgpairs" -> (s"""
+      WITH $WalkTwinSql,
+      pairs AS (SELECT a.v AS center, b.v AS context
+                FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+                 AND a.step <> b.step AND abs(a.step - b.step) <= 2)
+      SELECT center, context, count(*) AS n FROM pairs
+      GROUP BY center, context ORDER BY center, context"""),
 
     // full normalizeUrl + registrableDomain replay over the same
     // synthesized messy URLs (see UrlTwinSql)

@@ -1,0 +1,77 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DeepWalk-style random-walk corpus generation over the KG's edge
+  * list (Perozzi et al., KDD 2014) — the step that turns a constructed
+  * graph into sequence training data for embedding models, which is
+  * where the reference's pipeline would go next after materializing
+  * nodes/edges. "Random" is DERANDOMIZED the engine way: step t of
+  * walk w moves to neighbor `md5₃₂(walk_id ∥ ':' ∥ t) mod deg(v)` in
+  * dst-sorted neighbor order, so the whole corpus is a pure function
+  * of the edge set — partitioning-invariant, resumable, and replayable
+  * by the DuckDB twin hash-for-hash (true PRNG walks are none of
+  * those; statistical quality of md5 on (walk, step) inputs matches
+  * the uniform-pick contract).
+  *
+  * Scale shape: NO adjacency lists are ever materialized — a hot hub
+  * with 10M neighbors would blow any collect_list. Instead neighbors
+  * are indexed once ((src, rn) via row_number, one window over the
+  * edge set) and each step is two keyed equi-joins: frontier ⋈ degree
+  * (pick = hash mod deg), then (v, pick) ⋈ (src, rn) — both
+  * shuffle-partitioned by vertex, row count = live walks, per-round
+  * lineage cut. Dead ends (vertices with no out-edges) end their walk
+  * (no padding rows). Output: (walk_id, step, v), steps 0..`steps`.
+  */
+object GraphWalks {
+
+  def randomWalks(edges: DataFrame, walksPerVertex: Int, steps: Int): DataFrame = {
+    require(walksPerVertex >= 1 && steps >= 0)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val idx = e
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long") - 1L)
+      .select(col("src").as("iv"), col("dst"), col("rn"))
+      .persist()
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    var frontier = e.select(col("src").as("v")).distinct()
+      .select(col("v"),
+        explode(sequence(lit(0), lit(walksPerVertex - 1))).as("i"))
+      .select(concat(col("v"), lit("#"), col("i")).as("walk_id"), col("v"),
+        lit(0).as("step"))
+      .localCheckpoint(eager = true)
+    val out = ArrayBuffer(frontier)
+    for (st <- 0 until steps) {
+      val h = conv(substring(md5(concat(col("walk_id"), lit(s":$st"))), 1, 8),
+        16, 10).cast("long")
+      frontier = frontier.join(deg, "v")
+        .withColumn("pick", pmod(h, col("d")))
+        .join(idx, col("v") === col("iv") && col("pick") === col("rn"))
+        .select(col("walk_id"), col("dst").as("v"), lit(st + 1).as("step"))
+        .localCheckpoint(eager = true)
+      out += frontier
+    }
+    e.unpersist(); idx.unpersist()
+    out.reduce(_ unionByName _).select("walk_id", "step", "v")
+  }
+
+  /** Skip-gram (center, context) pair counts from a walk corpus —
+    * the direct input of a word2vec-style trainer. One self-join on
+    * walk_id bounded by `window` steps each side (walk rows per id =
+    * steps+1, so the join fans out ≤ 2·window per row — constant, not
+    * data-dependent) + one partial-aggregable count. Center≠context
+    * positions only; `n` sums over walks and offsets. */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1)
+    walks.select(col("walk_id"), col("step").as("s1"), col("v").as("center"))
+      .join(walks.select(col("walk_id"), col("step").as("s2"),
+        col("v").as("context")), "walk_id")
+      .filter(col("s1") =!= col("s2") &&
+        abs(col("s1") - col("s2")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.operators.GraphWalks
+
+class GraphWalksSpec extends SparkSpec {
+
+  /** Independent reference: first 8 md5 hex digits as int64. */
+  private def md532(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+
+  private val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+    ("c", "a"), ("d", "a"), ("e", "z"))
+  // dst-sorted adjacency; z is a dead end (never a src)
+  private val adj = Map("a" -> Vector("b", "c"), "b" -> Vector("a", "c"),
+    "c" -> Vector("a"), "d" -> Vector("a"), "e" -> Vector("z"))
+
+  private def referenceWalks(wpv: Int, steps: Int): Set[(String, Int, String)] = {
+    val out = scala.collection.mutable.Set[(String, Int, String)]()
+    for (v <- adj.keys; i <- 0 until wpv) {
+      val wid = s"$v#$i"
+      var cur = v
+      out += ((wid, 0, cur))
+      var st = 0
+      var alive = true
+      while (st < steps && alive) {
+        adj.get(cur) match {
+          case Some(ns) =>
+            cur = ns((md532(s"$wid:$st") % ns.length).toInt)
+            out += ((wid, st + 1, cur))
+          case None => alive = false
+        }
+        st += 1
+      }
+    }
+    out.toSet
+  }
+
+  test("walks replay an independent md5 reference hash-for-hash; dead ends stop") {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    def run(d: org.apache.spark.sql.DataFrame): Set[(String, Int, String)] =
+      GraphWalks.randomWalks(d, 2, 3).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val got = run(df)
+    assert(got == referenceWalks(2, 3))
+    // a walk that lands on z has no later rows (dead-end contract)
+    val byWalk = got.groupBy(_._1)
+    for ((w, rows) <- byWalk; (_, st, v) <- rows if v == "z")
+      assert(!rows.exists(_._2 > st), s"walk $w continued past dead end")
+    // partitioning invariance
+    assert(run(df.toDF("src", "dst").repartition(5)) == got)
+  }
+
+  test("skipGramPairs: window-bounded pair counts match a double-loop reference") {
+    import spark.implicits._
+    val walks = Seq(("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"), ("w1", 3, "b"),
+      ("w2", 0, "x"), ("w2", 1, "y")).toDF("walk_id", "step", "v")
+    val got = GraphWalks.skipGramPairs(walks, window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rows = Seq(("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"), ("w1", 3, "b"),
+      ("w2", 0, "x"), ("w2", 1, "y"))
+    val expect = (for {
+      (wa, sa, va) <- rows; (wb, sb, vb) <- rows
+      if wa == wb && sa != sb && math.abs(sa - sb) <= 2
+    } yield (va, vb)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expect)
+  }
+}
