@@ -570,6 +570,49 @@ object SparkEntry {
       out
     }),
 
+    // Stream-stream interval join (engine extension, r5): the REAL
+    // watermarked two-stream join runs over two MemoryStreams (views,
+    // clicks), band [view ts, +1 hour] per user; append-mode inner join
+    // emits each pair once, so the finite replay equals DuckDB's plain
+    // interval join bit-for-bit (the stream_windows discipline).
+    "stream_join" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = tbl(s, dir, "events").filter(col("event_id") < 2000)
+      val vrows = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+      val crows = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+      val vs = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val cs = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      vs.addData(vrows); cs.addData(crows)
+      val sink = s"stream_join_sink_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingJoin.intervalJoinStream(
+          vs.toDF().toDF("view_id", "v_user", "vts"),
+          cs.toDF().toDF("click_id", "c_user", "cts"),
+          "v_user", "c_user", "vts", "cts", "1 hour")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(300000L)
+      q.exception.foreach(e => throw e)
+      q.stop()
+      require(finished, "stream_join: streaming query did not finish within 300s")
+      val proj = s.table(sink)
+        .select(col("view_id"), col("click_id"), col("v_user").as("user_id"),
+          unix_micros(col("vts")).as("view_us"),
+          unix_micros(col("cts")).as("click_us"))
+        .orderBy("view_id", "click_id")
+      val outRows = proj.collect()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(outRows: _*), proj.schema)
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
     // multimodal decode→feature chain, projected to sortable integer
     // scalars (raw array<float> crashes the driver's pandas compare);
     // fval = round(feature*510) = byte-pair sum — exact in both engines
@@ -3266,6 +3309,19 @@ object SparkEntry {
       FROM events WHERE event_id < 2000
       GROUP BY event_type, win_us
       ORDER BY event_type, win_us"""),
+
+    // the stream-stream join's finite replay == the plain batch
+    // interval join (append-mode inner join emits each pair once)
+    "stream_join" -> ("""
+      WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts
+                 FROM events WHERE event_type = 'view' AND event_id < 2000),
+      c AS (SELECT event_id AS click_id, user_id, ts AS cts
+            FROM events WHERE event_type = 'click' AND event_id < 2000)
+      SELECT v.view_id, c.click_id, v.user_id,
+             epoch_us(v.vts) AS view_us, epoch_us(c.cts) AS click_us
+      FROM v JOIN c ON v.user_id = c.user_id
+        AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 1 HOUR
+      ORDER BY view_id, click_id"""),
 
     // vocabulary index replayed as ONE global row_number over
     // (md5-bucket, dst) — provably equal to the engine's sharded

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream INTERVAL join — the remaining canonical
+  * Structured Streaming shape next to [[StreamingExtract]] (custom
+  * state), [[StreamingDedup]] (keyed first-arrival),
+  * [[StreamingSessions]] (merging windows) and
+  * [[StreamingWindowCounts]] (tumbling aggregates): two unbounded
+  * streams equi-join on a key with a bounded event-time band, and the
+  * watermark + band let the engine EVICT join state (each side buffers
+  * only rows whose timestamp can still find a partner — without the
+  * band, stream-stream state grows forever; that unbounded variant is
+  * rejected by Spark's UnsupportedOperationChecker in append mode).
+  *
+  * Inner join in append mode: a (left, right) pair is emitted exactly
+  * once, when both sides have arrived, so over a finite replay the
+  * output equals the BATCH interval join row-for-row — the equivalence
+  * the stream_join driver oracle checks bit-exactly against DuckDB's
+  * plain interval join (same discipline as stream_windows).
+  *
+  * Column contract: the two inputs must not share column names (the
+  * key columns carry different names per side, like any self-join
+  * projection); the band is `[leftTs, leftTs + upper]` — "right events
+  * following a left event within `upper`". */
+object StreamingJoin {
+
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, upper: String,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val l = left.withColumn(leftTs, col(leftTs).cast("timestamp"))
+      .withWatermark(leftTs, watermarkDelay)
+    val r = right.withColumn(rightTs, col(rightTs).cast("timestamp"))
+      .withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upper"))
+  }
+}

@@ -180,4 +180,40 @@ class StreamingSpec extends SparkSpec {
       2L, 1L, 2L)) ||
       streamed.exists(s => s._1 == "a" && s._3 == 2L && s._4 == 1L && s._5 == 2L))
   }
+
+  test("stream-stream interval join matches the batch interval join, boundaries inclusive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // band [vts, vts+60s]: c101 in v1's band; c102 falls between bands
+    // (unmatched); c103 exactly at v2's upper bound (inclusive);
+    // c104 one second before v3 (excluded); c105 exactly at v3's lower
+    val views = Seq((1L, 10L, t(0)), (2L, 10L, t(100)), (3L, 20L, t(50)))
+    val clicks = Seq((101L, 10L, t(30)), (102L, 10L, t(90)),
+      (103L, 10L, t(160)), (104L, 20L, t(49)), (105L, 20L, t(50)))
+    val vs = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cs = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    vs.addData(views); cs.addData(clicks)
+    val q = graft.streaming.StreamingJoin.intervalJoinStream(
+        vs.toDF().toDF("view_id", "v_user", "vts"),
+        cs.toDF().toDF("click_id", "c_user", "cts"),
+        "v_user", "c_user", "vts", "cts", "60 seconds")
+      .writeStream.format("memory").queryName("join_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    q.exception.foreach(throw _)
+    q.stop()
+    val streamed = spark.sql("SELECT view_id, click_id FROM join_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((1L, 101L), (2L, 103L), (3L, 105L)))
+    // batch equivalence on the same frames
+    import org.apache.spark.sql.functions.{col, expr}
+    val batch = views.toDF("view_id", "v_user", "vts")
+      .join(clicks.toDF("click_id", "c_user", "cts"),
+        col("v_user") === col("c_user") && col("cts") >= col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 60 seconds"))
+      .select("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
 }
