@@ -1866,6 +1866,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance resampling (engine extension, r5): hashed-ngram
+    // importance weights of every doc against the %89 in-domain slice
+    // (target) vs the full corpus (raw) — fixed-point integer log2, so
+    // the twin replays every weight; selection is the deterministic
+    // top-k cut (TakeOrderedAndProject, no global sort)
+    "dsir_weights" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val target = docs.filter(pmod(col("doc_id"), lit(89)) === 0).select("text")
+      DomainScore.dsirLogWeights(docs, "doc_id", "text", target, "text",
+          docs, "text", buckets = 64, fracBits = 8)
+        .orderBy("doc_id")
+    }),
+    "dsir_select" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val target = docs.filter(pmod(col("doc_id"), lit(89)) === 0).select("text")
+      DomainScore.dsirSelect(
+          DomainScore.dsirLogWeights(docs, "doc_id", "text", target, "text",
+            docs, "text", buckets = 64, fracBits = 8),
+          "doc_id", n = 200)
+        .orderBy("doc_id")
+    }),
+
     // Kneser-Ney smoothed bigram surprisal (r5): the proper-smoothing
     // rung above text_bigram_lm — unseen transitions priced by
     // continuation counts (distinct-history censuses) instead of a
@@ -5022,6 +5044,16 @@ object SparkEntry {
       FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id"""
     },
 
+    "dsir_weights" -> (s"""
+      WITH $DsirTwinSql
+      SELECT doc_id, n_feats, logw_fp FROM dw ORDER BY doc_id"""),
+
+    "dsir_select" -> (s"""
+      WITH $DsirTwinSql
+      SELECT doc_id, n_feats, logw_fp FROM (
+        SELECT * FROM dw ORDER BY logw_fp DESC, doc_id LIMIT 200)
+      ORDER BY doc_id"""),
+
     // Kneser-Ney bigram surprisal: censuses (ch, N1, R, T) from the
     // seed pair census, D=1/2 cleared fractions, the shared log2
     // recurrence over every needed operand, and the four-way CASE
@@ -5196,6 +5228,44 @@ object SparkEntry {
       $steps,
       lg AS (SELECT key, ip * 256 + frac AS l FROM s8)"""
   }
+
+  /** DSIR replay shared by dsir_weights/dsir_select: hashed
+    * unigram+bigram buckets (md5-32 % 64), target census = the %89
+    * seed slice, raw census = the whole corpus, add-one smoothing,
+    * per-bucket log deltas through the shared log2 chain. Yields
+    * `dw(doc_id, n_feats, logw_fp)`. */
+  private val DsirTwinSql: String = s"""
+      t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      fe AS (SELECT doc_id, unnest(list_concat(toks,
+               [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS f
+             FROM t),
+      fb AS (SELECT doc_id, ${md532Sql("f")} % 64 AS b FROM fe),
+      tb AS (SELECT b, count(*) AS ct FROM fb WHERE doc_id % 89 = 0 GROUP BY b),
+      rb AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+      sp AS (SELECT unnest(range(0, 64)) AS b),
+      cen AS (SELECT sp.b, coalesce(tb.ct, 0) AS ct, coalesce(rb.cr, 0) AS cr
+              FROM sp LEFT JOIN tb ON tb.b = sp.b LEFT JOIN rb ON rb.b = sp.b),
+      tot AS (SELECT sum(ct) AS tt, sum(cr) AS rr FROM cen),
+      xs AS (SELECT 't|' || b AS key, CAST(ct + 1 AS BIGINT) AS x FROM cen
+             UNION ALL SELECT 'r|' || b, CAST(cr + 1 AS BIGINT) FROM cen
+             UNION ALL SELECT '#T', CAST(tt + 64 AS BIGINT) FROM tot
+             UNION ALL SELECT '#R', CAST(rr + 64 AS BIGINT) FROM tot),
+      $Log2CteSql,
+      dl AS (SELECT CAST(substr(lt.key, 3) AS BIGINT) AS b, lt.l - lr.l AS d
+             FROM lg lt JOIN lg lr ON lr.key = 'r|' || substr(lt.key, 3)
+             WHERE starts_with(lt.key, 't|')),
+      pd AS (SELECT fb.doc_id, count(*) AS n_feats, sum(dl.d) AS sd
+             FROM fb JOIN dl ON dl.b = fb.b GROUP BY fb.doc_id),
+      dw AS (SELECT t.doc_id, coalesce(pd.n_feats, 0) AS n_feats,
+               CAST(coalesce(pd.sd + pd.n_feats *
+                 ((SELECT l FROM lg WHERE key = '#R') -
+                  (SELECT l FROM lg WHERE key = '#T')), 0) AS BIGINT)
+                 AS logw_fp
+             FROM t LEFT JOIN pd USING (doc_id))
+  """
 
   /** DuckDB mirror of [[messyUrl]] plus a step-for-step replay of
     * [[UrlOps.normalizeUrl]] and [[UrlOps.registrableDomain]] (same

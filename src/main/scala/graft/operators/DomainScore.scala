@@ -352,4 +352,94 @@ object DomainScore {
             (length(bin(q)) - 1).cast("long"))),
           lit(0L)).as("surprisal"))
   }
+
+  /** Hashed feature-bucket stream of a text for [[dsirLogWeights]]:
+    * unigrams + adjacent bigrams (the [[hashedLinearScore]] feature
+    * family — same hash, same bucketing, so trained DSIR estimates and
+    * the classifier see one feature space), each mapped to
+    * `md5₃₂(feature) mod buckets`. Interpreted HOFs, but per CORPUS
+    * row (never per pair) — the accepted budget. */
+  private def featBuckets(c: Column, buckets: Int): Column = {
+    def bkt(f: Column): Column =
+      pmod(conv(substring(md5(f), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    concat(
+      transform(toksOf(c), t => bkt(t)),
+      transform(pairsOf(c), p =>
+        bkt(concat(p.getField("w1"), lit(" "), p.getField("w2")))))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") reduced to the
+    * engine's integer discipline: documents are scored by how much
+    * more likely their hashed n-gram features are under a TARGET
+    * distribution than under the RAW distribution,
+    *
+    *   logw(doc) = Σ_f [log p̂(f) − log q̂(f)]
+    *             = Σ_f [L(ct(b_f)+1) − L(cr(b_f)+1)]
+    *               + n_feats · [L(R+D) − L(T+D)]
+    *
+    * with add-one smoothing over D hash buckets, ct/cr the
+    * target/raw bucket censuses (T/R their totals) and L the
+    * [[Retrieval.log2fpLong]] fixed-point log2 — so `logw_fp` is in
+    * units of 2^−fracBits bits and replays bit-for-bit in any engine
+    * (fixed-point floors approximate the real-valued DSIR weight; the
+    * VALUE is exact and deterministic, the engine-wide tradeoff).
+    *
+    * Scale shape: both censuses are bounded at D rows BY CONSTRUCTION
+    * (feature hashing is the paper's own trick), so the per-bucket
+    * delta table always broadcasts; logs are computed once per bucket
+    * (never per document feature); the corpus sees two passes (census
+    * + score) of one codegen-friendly explode each, joined to the
+    * broadcast delta and summed partial-aggregably. Pass a SAMPLE of
+    * the corpus as `raw` to drop the census pass's cost — the paper
+    * estimates q̂ from a sample anyway.
+    *
+    * Returns (idCol, n_feats, logw_fp); featureless docs score 0.
+    * Selection is a separate top-k ([[dsirSelect]]) — deterministic
+    * rank instead of the paper's Gumbel perturbation, for
+    * replayability (inject hashed noise into the rank column if
+    * sampling-without-replacement semantics are ever needed). */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetCol: String,
+      raw: DataFrame, rawCol: String,
+      buckets: Int = 64, fracBits: Int = 8): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536)
+    val tc = target.select(explode(featBuckets(col(targetCol), buckets)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val rc = raw.select(explode(featBuckets(col(rawCol), buckets)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val spine = docs.sparkSession.range(0, buckets.toLong)
+      .select(col("id").as("__b"))
+    val cen = spine.join(tc, Seq("__b"), "left").join(rc, Seq("__b"), "left")
+      .select(col("__b"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+      .persist()
+    val (tTot, rTot) = {
+      val r = cen.agg(sum("__ct"), sum("__cr")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val constFp = Retrieval.log2fpLong(rTot + buckets, fracBits) -
+      Retrieval.log2fpLong(tTot + buckets, fracBits)
+    val delta = Retrieval.withLog2fp(
+      Retrieval.withLog2fp(cen.withColumn("__xt", col("__ct") + 1L)
+          .withColumn("__xr", col("__cr") + 1L),
+        "__xt", "__lt", fracBits),
+      "__xr", "__lr", fracBits)
+      .select(col("__b"), (col("__lt") - col("__lr")).as("__d"))
+    docs.select(col(idCol),
+        explode_outer(featBuckets(col(textCol), buckets)).as("__b"))
+      .join(broadcast(delta), Seq("__b"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__b")).as("n_feats"),
+        (coalesce(sum(col("__d")), lit(0L)) +
+          count(col("__b")) * lit(constFp)).as("logw_fp"))
+  }
+
+  /** Deterministic DSIR selection: the `n` highest-importance docs
+    * (ties broken by id — a total order, so any engine replays the
+    * cut). Physically a TakeOrderedAndProject: per-partition top-n
+    * then a driver merge of n·partitions rows — no global sort, no
+    * single-partition window. */
+  def dsirSelect(scored: DataFrame, idCol: String, n: Int): DataFrame =
+    scored.orderBy(col("logw_fp").desc, col(idCol).asc).limit(n)
 }

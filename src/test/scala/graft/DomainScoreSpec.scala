@@ -247,4 +247,56 @@ class DomainScoreSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(e(1L) === 2 * 768L && e(5L) === 768L && e(6L) === 0L)
   }
+
+  test("dsirLogWeights matches an independent feature-hash + log2fp replay") {
+    import spark.implicits._
+    val targetRows = Seq("apple banana", "apple", "apple pie")
+    val docRows = Seq((1L, "apple banana"), (2L, "zebra yak quux"),
+      (3L, ""), (4L, "apple apple pie"))
+    val target = targetRows.toDF("text")
+    val docs = docRows.toDF("doc_id", "text")
+    val got = operators.DomainScore
+      .dsirLogWeights(docs, "doc_id", "text", target, "text", docs, "text",
+        buckets = 64, fracBits = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // independent reference: MessageDigest md5 buckets + log2fpLong
+    def md532(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    def feats(text: String): Seq[Long] = {
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val grams = toks ++ toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }
+      grams.map(g => md532(g) % 64)
+    }
+    def L(x: Long) = operators.Retrieval.log2fpLong(x, 8)
+    val ct = targetRows.flatMap(feats).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cr = docRows.map(_._2).flatMap(feats).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val constFp = L(cr.values.sum + 64) - L(ct.values.sum + 64)
+    val expect = docRows.map { case (id, text) =>
+      val fs = feats(text)
+      val logw = fs.map(b => L(ct.getOrElse(b, 0L) + 1) - L(cr.getOrElse(b, 0L) + 1)).sum +
+        fs.size * constFp
+      id -> ((fs.size.toLong, logw))
+    }.toMap
+    assert(got == expect)
+    assert(got(3L) == ((0L, 0L)))              // featureless doc scores 0
+    assert(got(1L)._2 > got(2L)._2)            // on-target beats off-target
+    // partitioning invariance
+    val rep = operators.DomainScore
+      .dsirLogWeights(docs.repartition(7), "doc_id", "text",
+        target.repartition(3), "text", docs.repartition(5), "text", 64, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep == got)
+    // deterministic top-k selection: highest logw first, id tiebreak
+    val sel = operators.DomainScore.dsirSelect(
+      operators.DomainScore.dsirLogWeights(docs, "doc_id", "text",
+        target, "text", docs, "text", 64, 8), "doc_id", 2)
+      .collect().map(_.getLong(0)).toSet
+    val best = expect.toSeq.sortBy { case (id, (_, w)) => (-w, id) }.take(2)
+      .map(_._1).toSet
+    assert(sel == best)
+  }
 }
