@@ -1583,6 +1583,21 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // W9 (engine extension, r5): SCD2 compacted history — each user's
+    // event_type stream collapsed to change intervals (valid_from /
+    // valid_to, open current row); the dimension table AsOfJoin reads.
+    // Twin replays lag-compare + lead over the same (ts, event_id)
+    // order.
+    "w9_scd2" -> ((s, dir) =>
+      Scd2.compactHistory(
+          tbl(s, dir, "events")
+            .select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+          Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("valid_from").cast("timestamp")).as("from_us"),
+          unix_micros(col("valid_to").cast("timestamp")).as("to_us"))
+        .orderBy("user_id", "event_id")),
+
     // O4: drop-LARGEST-until-fits batch trim, faithful to
     // read_v2.py:34-53 INCLUDING the JSON envelope: items are batched
     // 16 at a time in input order; the batch total is estimated over
@@ -3228,6 +3243,18 @@ object SparkEntry {
         (sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))::DOUBLE AS s
       FROM events ORDER BY user_id, event_id"""),
+
+    "w9_scd2" -> ("""
+      WITH s AS (SELECT user_id, event_id, ts, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts NULLS FIRST, event_id) AS prev
+        FROM events),
+      k AS (SELECT user_id, event_id, ts, event_type FROM s
+            WHERE prev IS DISTINCT FROM event_type)
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS from_us,
+        epoch_us(lead(ts) OVER (PARTITION BY user_id
+          ORDER BY ts NULLS FIRST, event_id)) AS to_us
+      FROM k ORDER BY user_id, event_id"""),
 
     "o4_batch_trim" -> ("""
       WITH t AS (SELECT lang, doc_id,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD2 (slowly-changing-dimension, type 2) history build: collapse a
+  * per-key event/snapshot stream into CHANGE intervals — one row per
+  * (key, payload run) with `valid_from`/`valid_to` bounds, `valid_to`
+  * NULL on the current row. The write-side complement of
+  * [[AsOfJoin]]: as-of reads "state at time t"; this materializes the
+  * state table as-of reads from, the standard lakehouse dimension
+  * shape.
+  *
+  * Change detection is a null-safe struct compare against the previous
+  * row (`lag`), so consecutive identical payloads compact into one
+  * interval and a value that flips A→B→A yields three intervals (runs,
+  * not distinct values). Determinism: rows order by (ts,
+  * `ordCols`) per key — pass tie-breaking `ordCols` whenever
+  * timestamps can repeat, as with every window operator here.
+  *
+  * Scale shape: two windows over the SAME (key) partitioning — the
+  * exchange is planned once and reused; no joins, no explosion;
+  * per-key state is the sort buffer. NULL timestamps sort first
+  * (explicitly, the [[Sessions.sessionize]] contract — DuckDB twins
+  * must spell NULLS FIRST).
+  */
+object Scd2 {
+
+  /** @return one row per payload run: keyCols ++ payloadCols ++
+    *         ordCols (of the run's FIRST row) + `valid_from` (its ts)
+    *         + `valid_to` (next run's ts, NULL if none). */
+  def compactHistory(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      ordCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && payloadCols.nonEmpty)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc_nulls_first +: ordCols.map(col): _*)
+    val p = struct(payloadCols.map(col): _*)
+    val kept = df
+      .withColumn("__chg", !(lag(p, 1).over(w) <=> p))
+      .filter(col("__chg"))
+      .select((keyCols ++ payloadCols ++ ordCols :+ tsCol).map(col): _*)
+    kept
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(tsCol).asc_nulls_first +: ordCols.map(col): _*)))
+      .drop(tsCol)
+  }
+}

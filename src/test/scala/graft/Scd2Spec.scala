@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Scd2
+
+class Scd2Spec extends SparkSpec {
+
+  test("compactHistory: runs compact, A→B→A reopens, valid_to chains, current open") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 1L, 10L, "A"), ("u", 2L, 20L, "A"), // same run — compacts
+      ("u", 3L, 30L, "B"),
+      ("u", 4L, 40L, "A"), // same VALUE as run 1 but a new run
+      ("v", 5L, 5L, "X"))
+      .toDF("k", "eid", "ts", "state")
+    val out = Scd2.compactHistory(df, Seq("k"), "ts", Seq("eid"), Seq("state"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(out == Set(
+      ("u", "A", 1L, 10L, Some(30L)),
+      ("u", "B", 3L, 30L, Some(40L)),
+      ("u", "A", 4L, 40L, None),
+      ("v", "X", 5L, 5L, None)))
+  }
+
+  test("compactHistory: equal-ts ties break on ordCols; partitioning-invariant") {
+    import spark.implicits._
+    // two changes at the same timestamp: eid decides the run order, so
+    // the eid=2 state wins the open interval
+    val df = Seq(("u", 1L, 10L, "A"), ("u", 2L, 10L, "B"), ("u", 3L, 20L, "B"))
+      .toDF("k", "eid", "ts", "state")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Scd2.compactHistory(d, Seq("k"), "ts", Seq("eid"), Seq("state"))
+        .collect()
+        .map(r => (r.getString(1), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+    val out = run(df)
+    assert(out == Set(("A", 10L, Some(10L)), ("B", 10L, None)))
+    assert(run(df.repartition(5)) == out)
+  }
+}
