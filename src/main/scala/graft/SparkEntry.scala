@@ -2409,6 +2409,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // G14 (engine extension, r5): link-prediction features over the
+    // customer—supplier purchase graph — 2-hop pairs (suppliers sharing
+    // a customer / customers sharing a supplier) with common-neighbor,
+    // Jaccard and fixed-point Adamic-Adar scores; wedge cap 64 keeps
+    // hub suppliers from quadratic blowup at every SF (customer degrees
+    // are SF-invariant, so the output never empties). Bipartite, so
+    // excludeExisting never fires here — kept on for the contract.
+    "g14_linkpred" -> ((s, dir) => {
+      val cs = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      GraphAnalytics.linkFeatures(cs, maxWedgeDeg = 64L)
+        .orderBy("u", "v")
+    }),
+
     // G12 (engine extension, r5): derandomized DeepWalk corpus over the
     // undirected customer—nation—region graph — 2 walks per vertex, 3
     // steps, neighbor pick = md5₃₂(walk_id:step) mod degree in
@@ -4941,6 +4959,36 @@ object SparkEntry {
                SELECT e.dst, d.dist + e.w FROM e JOIN d2 d ON d.id = e.src)
              GROUP BY id)
       SELECT id, dist FROM d3 ORDER BY id"""),
+
+    // wedge enumeration around capped centers, AA weights from the
+    // shared log2 chain over DISTINCT degree values, both estimators //
+    "g14_linkpred" -> (s"""
+      WITH und AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      sym AS (SELECT src, dst FROM und UNION SELECT dst, src FROM und),
+      deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+      xs AS (SELECT 'd|' || d AS key, CAST(d AS BIGINT) AS x
+             FROM (SELECT DISTINCT d FROM deg WHERE d BETWEEN 2 AND 64)),
+      $Log2CteSql,
+      lw AS (SELECT CAST(substr(key, 3) AS BIGINT) AS d, 65536 // l AS w
+             FROM lg),
+      cj AS (SELECT s.src AS x, s.dst AS n, lw.w
+             FROM sym s JOIN deg ON deg.v = s.src
+             JOIN lw ON lw.d = deg.d
+             WHERE deg.d BETWEEN 2 AND 64),
+      pr AS (SELECT a.n AS u, b.n AS v, count(*) AS cn,
+               CAST(sum(a.w) AS BIGINT) AS aa_fp
+             FROM cj a JOIN cj b ON a.x = b.x AND a.n < b.n
+             GROUP BY a.n, b.n),
+      ex AS (SELECT pr.* FROM pr
+             WHERE NOT EXISTS (SELECT 1 FROM sym
+                               WHERE sym.src = pr.u AND sym.dst = pr.v))
+      SELECT ex.u AS u, ex.v AS v, ex.cn AS cn, du.d AS du, dv.d AS dv,
+        (1000000 * ex.cn) // (du.d + dv.d - ex.cn) AS jaccard_ppm,
+        ex.aa_fp AS aa_fp
+      FROM ex JOIN deg du ON du.v = ex.u JOIN deg dv ON dv.v = ex.v
+      ORDER BY ex.u, ex.v"""),
 
     "g12_walks" -> (s"""
       WITH $WalkTwinSql

@@ -258,6 +258,69 @@ object GraphAnalytics {
     dist
   }
 
+  /** Link-prediction features over the UNDIRECTED reading of `edges`:
+    * for every 2-hop pair (u, v) — vertices sharing ≥ 1 common
+    * neighbor — the classic KG-completion feature triple:
+    *
+    *   - `cn` common-neighbor count,
+    *   - `jaccard_ppm` = 10⁶·cn div (deg u + deg v − cn),
+    *   - `aa_fp` Adamic–Adar Σ_x 1/log₂(deg x) in 2^−fracBits units
+    *     (per-center weight = 2^(2F) div L(deg x), L the
+    *     [[Retrieval.log2fpLong]] fixed-point log2, computed once per
+    *     DISTINCT degree value — a tiny always-broadcast table),
+    *
+    * all exact integers, so any engine replays them. With
+    * `excludeExisting` (default) pairs already connected are
+    * anti-joined out — the output IS the candidate list a link
+    * predictor scores.
+    *
+    * Scale shape: wedges enumerate around CENTERS with degree in
+    * [2, maxWedgeDeg] — the cap is the standard hub guard (a
+    * celebrity hub's wedge set is quadratic in its degree and carries
+    * ~zero link signal; Adamic–Adar exists precisely because hub
+    * evidence is weak). Work is Σ_centers deg² ≤ maxWedgeDeg·m,
+    * data-size-linear for a fixed cap. Degrees in the output remain
+    * FULL degrees (the cap bounds enumeration, not semantics — capped
+    * hubs just contribute no wedges, which the caller reads off the
+    * documented contract). */
+  def linkFeatures(edges: DataFrame, maxWedgeDeg: Long = 10000L,
+      fracBits: Int = 8, excludeExisting: Boolean = true): DataFrame = {
+    require(maxWedgeDeg >= 2 && fracBits >= 1 && fracBits <= 16)
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+      .persist()
+    // Adamic–Adar weight per DISTINCT degree value (log once per value)
+    val lw = Retrieval.withLog2fp(
+      deg.select(col("d")).distinct()
+        .filter(col("d") >= 2 && col("d") <= maxWedgeDeg)
+        .withColumn("__x", col("d")),
+      "__x", "__l", fracBits)
+      .select(col("d"), expr(s"${1L << (2 * fracBits)}L div __l").as("w"))
+    val cj = sym.select(col("src").as("x"), col("dst").as("n"))
+      .join(deg.select(col("v").as("x"), col("d")), "x")
+      .filter(col("d") >= 2 && col("d") <= maxWedgeDeg)
+      .join(broadcast(lw), "d")
+      .select(col("x"), col("n"), col("w"))
+    val pairs = cj.as("a")
+      .join(cj.as("b"), col("a.x") === col("b.x") && col("a.n") < col("b.n"))
+      .groupBy(col("a.n").as("u"), col("b.n").as("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("a.w")).as("aa_fp"))
+    val cand = if (excludeExisting)
+      pairs.join(sym.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+    else pairs
+    cand
+      .join(deg.select(col("v").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("v").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+        expr("1000000L * cn div (du + dv - cn)").as("jaccard_ppm"),
+        col("aa_fp"))
+  }
+
   /** One synchronous h-index round: every vertex reads its neighbors'
     * current values and takes the h-index. max(least(rank, value))
     * over the descending sort IS the h-index; both factors are longs

@@ -172,6 +172,38 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(rep == fix)
   }
 
+  test("linkFeatures: square + triangle + star hand cases, hub cap, exclude-existing") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // square p-q-r-s: (p,r) and (q,s) share both opposite corners
+    val sq = Seq(("p", "q"), ("q", "r"), ("r", "s"), ("s", "p")).toDF("src", "dst")
+    val w2 = (1L << 16) / graft.operators.Retrieval.log2fpLong(2, 8) // deg-2 AA weight
+    val got = rows(GraphAnalytics.linkFeatures(sq))
+    assert(got == Map(
+      ("p", "r") -> ((2L, 2L, 2L, 1000000L, 2 * w2)),
+      ("q", "s") -> ((2L, 2L, 2L, 1000000L, 2 * w2))))
+    // triangle: every pair IS an edge → excludeExisting empties it,
+    // excludeExisting=false reports cn=1, jaccard 1/3
+    val tri = Seq(("t1", "t2"), ("t2", "t3"), ("t1", "t3")).toDF("src", "dst")
+    assert(GraphAnalytics.linkFeatures(tri).isEmpty)
+    val triAll = rows(GraphAnalytics.linkFeatures(tri, excludeExisting = false))
+    assert(triAll(("t1", "t2")) == ((1L, 2L, 2L, 333333L, w2)))
+    // star h-(a,b,c): leaves pair through h; capping the hub kills all
+    val st = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")
+    val w3 = (1L << 16) / graft.operators.Retrieval.log2fpLong(3, 8)
+    val stGot = rows(GraphAnalytics.linkFeatures(st))
+    assert(stGot == Map(
+      ("a", "b") -> ((1L, 1L, 1L, 1000000L, w3)),
+      ("a", "c") -> ((1L, 1L, 1L, 1000000L, w3)),
+      ("b", "c") -> ((1L, 1L, 1L, 1000000L, w3))))
+    assert(GraphAnalytics.linkFeatures(st, maxWedgeDeg = 2).isEmpty)
+    // partitioning invariance
+    assert(rows(GraphAnalytics.linkFeatures(sq.repartition(5))) == got)
+  }
+
   test("labelPropagation separates two bridged triangles into communities") {
     import spark.implicits._
     val e = Seq(("x1", "x2"), ("x2", "x3"), ("x1", "x3"),
