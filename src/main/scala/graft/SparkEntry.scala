@@ -1510,6 +1510,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // J11 (engine extension, r5): sorted-neighborhood blocking —
+    // customers paired with their 3 nearest account-balance neighbors
+    // (the ER candidate generator for near-misses under an ORDERING,
+    // which LSH bands scatter). Spark side ranks DISTRIBUTEDLY
+    // (range-partition + zipWithIndex); the twin's single row_number
+    // window is the oracle-scale equivalent of the same total order.
+    "j11_snm" -> ((s, dir) =>
+      Blocking.sortedNeighborhood(
+          tbl(s, dir, "customer")
+            .select(col("c_custkey").as("id"), col("c_acctbal").as("bal")),
+          "id", "bal", window = 4)
+        .orderBy("id_a", "id_b")),
+
     // G2: PARENT_OF edge derivation (README.md:265-272)
     "g2_parent_edges" -> ((s, dir) =>
       tbl(s, dir, "nation")
@@ -1880,6 +1893,15 @@ object SparkEntry {
       DomainScore.bigramSurprisal(docs, "doc_id", "text", seed, "text")
         .orderBy("doc_id")
     }),
+
+    // Collocation PMI (engine extension, r5): adjacent-pair pointwise
+    // mutual information in fixed-point log2 — the phrase-mining
+    // signal for multi-word entities; log-SUM form (never multiplies
+    // counts, so no 64-bit overflow at corpus scale), minCount prunes
+    // the pair census before any join
+    "text_collocations" -> ((s, dir) =>
+      DomainScore.collocations(tbl(s, dir, "documents"), "text", minCount = 5L)
+        .orderBy("w1", "w2")),
 
     // DSIR importance resampling (engine extension, r5): hashed-ngram
     // importance weights of every doc against the %89 in-domain slice
@@ -3217,6 +3239,15 @@ object SparkEntry {
       FROM l ASOF LEFT JOIN r
         ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id"""),
+
+    "j11_snm" -> ("""
+      WITH r AS (SELECT c_custkey AS id, c_acctbal AS bal,
+          row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS rk
+        FROM customer)
+      SELECT a.id AS id_a, a.bal AS bal_a, b.id AS id_b, b.bal AS bal_b,
+             b.rk - a.rk AS w_dist
+      FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3
+      ORDER BY id_a, id_b"""),
 
     "g2_parent_edges" -> ("""
       SELECT r_name AS parent, n_name AS child, 'PARENT_OF' AS etype
@@ -5118,6 +5149,35 @@ object SparkEntry {
         coalesce(m.surprisal, 0) AS surprisal
       FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id"""
     },
+
+    // PMI replay: censuses + the shared log2 chain, pmi as the same
+    // four-term log sum
+    "text_collocations" -> (s"""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      su AS (SELECT tok, count(*) AS cu
+             FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+      nn AS (SELECT coalesce(sum(cu), 0) AS n FROM su),
+      sb AS (SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS cb FROM (
+               SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                 FOR i IN range(1, len(toks))]) AS pr FROM t)
+             GROUP BY pr.w1, pr.w2 HAVING count(*) >= 5),
+      xs AS (SELECT 'u|' || tok AS key, CAST(cu AS BIGINT) AS x FROM su
+             UNION ALL SELECT 'b|' || w1 || ' ' || w2, CAST(cb AS BIGINT) FROM sb
+             UNION ALL SELECT '#N', CAST(greatest(n, 1) AS BIGINT) FROM nn),
+      $Log2CteSql,
+      lu AS (SELECT substr(key, 3) AS tok, l FROM lg
+             WHERE starts_with(key, 'u|')),
+      lb AS (SELECT split_part(substr(key, 3), ' ', 1) AS w1,
+                    split_part(substr(key, 3), ' ', 2) AS w2, l
+             FROM lg WHERE starts_with(key, 'b|'))
+      SELECT sb.w1, sb.w2, sb.cb,
+        lb.l + (SELECT l FROM lg WHERE key = '#N') - u1.l - u2.l AS pmi_fp
+      FROM sb JOIN lb ON lb.w1 = sb.w1 AND lb.w2 = sb.w2
+      JOIN lu u1 ON u1.tok = sb.w1 JOIN lu u2 ON u2.tok = sb.w2
+      ORDER BY sb.w1, sb.w2"""),
 
     "dsir_weights" -> (s"""
       WITH $DsirTwinSql

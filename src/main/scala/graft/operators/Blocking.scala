@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+  * entity-resolution candidate generator that complements the
+  * MinHash/SimHash banding family ([[Dedup]], [[EntityLinking]]):
+  * sort the corpus by a blocking key and pair every record with its
+  * `window−1` successors. Where LSH banding finds high-set-overlap
+  * pairs, SNM finds near-misses under an ORDERING (typo'd names,
+  * adjacent amounts, close timestamps) that hash bands scatter.
+  *
+  * The core primitive is [[withGlobalRank]] — a DISTRIBUTED total-order
+  * rank. The naive formulation (`row_number()` over an unpartitioned
+  * window, which is what the DuckDB twin legitimately does at oracle
+  * scale) collapses to a single task on a cluster; here the frame is
+  * range-repartitioned on the order key, sorted within partitions, and
+  * ranked by `zipWithIndex` (one count job for partition offsets —
+  * Spark's own machinery, the one place an RDD hop earns its keep).
+  * Because the caller's order must be TOTAL (append a unique tiebreak
+  * column), the rank — and so the emitted pair set — is independent of
+  * where the range sampler happens to place partition boundaries.
+  *
+  * Pairing is an EQUI-join: each row explodes `window−1` probe ranks
+  * (rank+1 … rank+window−1) and joins rank-to-rank — no range join, no
+  * theta blowup; work is exactly n·(window−1) probe rows. */
+object Blocking {
+
+  /** Adds `outCol` = 0-based rank of the row under `ord` (which MUST
+    * be a total order for the result to be well-defined). */
+  def withGlobalRank(df: DataFrame, ord: Seq[Column], outCol: String): DataFrame = {
+    require(ord.nonEmpty)
+    val sorted = df.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Candidate pairs (a, b, w_dist) for every a whose rank precedes
+    * b's by 1 … window−1 under (keyCol, idCol) order. Columns come out
+    * as (idCol_a, keyCol_a, idCol_b, keyCol_b, w_dist). */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+      window: Int): DataFrame = {
+    require(window >= 2)
+    val ranked = withGlobalRank(df.select(col(idCol), col(keyCol)),
+      Seq(col(keyCol), col(idCol)), "__r").persist()
+    val probes = ranked
+      .select(col(idCol).as(s"${idCol}_a"), col(keyCol).as(s"${keyCol}_a"),
+        col("__r"),
+        explode(sequence(lit(1L), lit((window - 1).toLong))).as("__o"))
+      .withColumn("__r2", col("__r") + col("__o"))
+    probes.join(
+        ranked.select(col(idCol).as(s"${idCol}_b"),
+          col(keyCol).as(s"${keyCol}_b"), col("__r").as("__r2")),
+        "__r2")
+      .select(col(s"${idCol}_a"), col(s"${keyCol}_a"),
+        col(s"${idCol}_b"), col(s"${keyCol}_b"), col("__o").as("w_dist"))
+  }
+}

