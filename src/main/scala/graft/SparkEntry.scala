@@ -1894,6 +1894,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Table profiler (engine extension, r5): one-scan data-quality
+    // census of the documents table — per-column nulls/min/max plus
+    // KMV-estimated distinct counts (O(k) aggregate state per column,
+    // never a shuffled distinct set), long-form output
+    "profile_table" -> ((s, dir) =>
+      Profile.tableProfile(tbl(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"), k = 64)
+        .orderBy("col", "metric")),
+
     // Collocation PMI (engine extension, r5): adjacent-pair pointwise
     // mutual information in fixed-point log2 — the phrase-mining
     // signal for multi-word entities; log-SUM form (never multiplies
@@ -5148,6 +5157,33 @@ object SparkEntry {
         coalesce(m.n_seen, 0) AS n_seen,
         coalesce(m.surprisal, 0) AS surprisal
       FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id"""
+    },
+
+    // profiler replay: per-column aggregate metrics + the KMV
+    // distinct estimate over md5-32 of the stringified value
+    "profile_table" -> {
+      def estSql(c: String): String = s"""
+        SELECT '$c' AS "col", 'distinct_est' AS metric,
+          CAST(CASE WHEN count(*) < 64 THEN count(*)
+                    ELSE 270582939648 // max(hv) END AS VARCHAR) AS value
+        FROM (SELECT hv FROM (
+                SELECT DISTINCT ${md532Sql(s"CAST($c AS VARCHAR)")} AS hv
+                FROM documents WHERE $c IS NOT NULL)
+              QUALIFY row_number() OVER (ORDER BY hv) <= 64)"""
+      def colSql(c: String): String = s"""
+        SELECT '$c', 'n_null', CAST(count(*) - count($c) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT '$c', 'min', CAST(min($c) AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT '$c', 'max', CAST(max($c) AS VARCHAR) FROM documents
+        UNION ALL ${estSql(c)}"""
+      s"""
+      SELECT '*' AS "col", 'n_rows' AS metric,
+             CAST(count(*) AS VARCHAR) AS value FROM documents
+      UNION ALL ${Seq("doc_id", "lang", "source", "n_chars")
+          .map(colSql).mkString("\n      UNION ALL ")}
+      ORDER BY "col", metric"""
     },
 
     // PMI replay: censuses + the shared log2 chain, pmi as the same

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.KmvAgg.kmv_minhashes
+
+/** One-pass table profiler — the data-quality census a pipeline runs
+  * before trusting a new drop (the Deequ/great-expectations shape):
+  * per column, null count, min/max, and a KMV-estimated distinct
+  * cardinality, all from ONE aggregation over ONE scan. The distinct
+  * estimate rides [[graft.plans.KmvAgg]] (O(k) state per column — a
+  * 100-column profile costs 100·k longs of aggregate state, not 100
+  * shuffled distinct sets), over the md5-32 hash of the value's string
+  * form so the driver oracle can recompute it; swap in xxhash64 for
+  * production speed, same contract.
+  *
+  * Output is long-form (col, metric, value), `value` stringified so
+  * heterogeneous column types share one frame: `n_rows` (col = '*'),
+  * and per column `n_null`, `min`, `max`, `distinct_est` (exact below
+  * k — the sketch saw every distinct hash). String min/max compare in
+  * binary/codepoint order on both engines (ASCII-safe; collation is
+  * out of contract). */
+object Profile {
+
+  private def hashOf(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  def tableProfile(df: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
+    require(cols.nonEmpty)
+    require(k >= 2 && (k - 1).toLong <= (Long.MaxValue >> 32))
+    val kNum = (k - 1).toLong * (1L << 32)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"),
+        kmv_minhashes(hashOf(col(c)), k).as(s"__hs_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    def est(c: String): Column = {
+      val n = size(col(s"__hs_$c")).cast("long")
+      when(n < k, n).otherwise(expr(s"${kNum}L div element_at(__hs_$c, $k)"))
+    }
+    val entries = struct(lit("*").as("col"), lit("n_rows").as("metric"),
+      col("__n").cast("string").as("value")) +:
+      cols.flatMap { c =>
+        Seq(
+          struct(lit(c).as("col"), lit("n_null").as("metric"),
+            (col("__n") - col(s"__nn_$c")).cast("string").as("value")),
+          struct(lit(c).as("col"), lit("min").as("metric"),
+            col(s"__mn_$c").as("value")),
+          struct(lit(c).as("col"), lit("max").as("metric"),
+            col(s"__mx_$c").as("value")),
+          struct(lit(c).as("col"), lit("distinct_est").as("metric"),
+            est(c).cast("string").as("value")))
+      }
+    row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+  }
+}

@@ -74,4 +74,22 @@ class SketchesSpec extends SparkSpec {
     assert(out.getAs[Long]("n_merged") == 256L)
   }
 
+  test("tableProfile: nulls, min/max, exact distinct below k, one long frame") {
+    import spark.implicits._
+    val df = Seq((Some(3L), Some("b")), (Some(1L), None),
+      (Some(3L), Some("a")), (None, Some("a"))).toDF("x", "s")
+    def prof(d: DataFrame): Map[(String, String), String] =
+      graft.operators.Profile.tableProfile(d, Seq("x", "s"), k = 64)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+        .toMap
+    val got = prof(df)
+    assert(got(("*", "n_rows")) == "4")
+    assert(got(("x", "n_null")) == "1" && got(("s", "n_null")) == "1")
+    assert(got(("x", "min")) == "1" && got(("x", "max")) == "3")
+    assert(got(("s", "min")) == "a" && got(("s", "max")) == "b")
+    // below k the estimate is the exact distinct count (nulls skipped)
+    assert(got(("x", "distinct_est")) == "2")
+    assert(got(("s", "distinct_est")) == "2")
+    assert(prof(df.repartition(5)) == got) // partitioning invariance
+  }
 }
