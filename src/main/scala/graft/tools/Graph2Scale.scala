@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphAnalytics, GraphWalks}
+
+/** Scale + identity proof for the round-5 graph additions (coreness,
+  * weighted SSSP, link-prediction features, derandomized walks) — the
+  * [[GraphScale]] discipline: `groups` disjoint isomorphic motifs
+  * (6-cycle 0→1→2→3→4→5→0 with chord 0→3, weights cycling 1,2,3 by
+  * edge ordinal), so every operator's whole output is checkable two
+  * ways with no reference run:
+  *
+  *   (a) ANALYTIC: per motif position the value set is a singleton —
+  *       coreness ≡ 2 everywhere (theta graph: min degree 2, no
+  *       3-core), SSSP from position 0 is exactly
+  *       {0:0, 1:1, 2:3, 3:1, 4:2, 5:4} (the chord undercuts the
+  *       3-hop cycle path), link features resolve to one (cn,
+  *       jaccard_ppm, aa_fp) triple per position pair;
+  *   (b) cross-parallelism: bit-exact order-independent checksums of
+  *       every full output, diffable between a local[8] and a
+  *       local[32] run (integer arithmetic ⇒ BITWISE equality).
+  *
+  * Usage: graft.tools.Graph2Scale [groups]   (default 1,000,000 →
+  * 7M directed edges, 6M vertices)
+  */
+object Graph2Scale {
+  def main(args: Array[String]): Unit = {
+    val groups = if (args.nonEmpty) args(0).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-graph2-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def vid(c: org.apache.spark.sql.Column) = format_string("v%09d", c)
+    val edges = spark.range(groups * 7).select(
+        (col("id") / 7).cast("long").as("g"), pmod(col("id"), lit(7)).as("o"))
+      .select(
+        vid(col("g") * 6 + when(col("o") < 6, col("o")).otherwise(lit(0)))
+          .as("src"),
+        vid(col("g") * 6 + when(col("o") < 6, pmod(col("o") + 1, lit(6)))
+          .otherwise(lit(3))).as("dst"),
+        (pmod(col("o"), lit(3)) + 1).as("w"))
+      .persist()
+    val nEdges = edges.count()
+    val pos = pmod(substring(col("id"), 2, 9).cast("long"), lit(6))
+
+    def sec(t0: Long): Double = math.round((System.nanoTime() - t0) / 1e8) / 10.0
+
+    // ---- coreness (3 H-index rounds = the fixpoint on this motif) ----
+    val t0 = System.nanoTime()
+    val core = GraphAnalytics.coreness(edges, rounds = 3).persist()
+    val nCore = core.count()
+    val coreSec = sec(t0)
+    val coreVals = core.select(countDistinct("core")).first().getLong(0)
+    val coreIs2 = core.filter(col("core") =!= 2L).isEmpty
+    val coreSum = core.select(expr("bit_xor(xxhash64(id, core))")).first().getLong(0)
+
+    // ---- weighted SSSP from every motif's position 0, 3 rounds ----
+    val srcs = spark.range(groups).select(vid(col("id") * 6).as("id"))
+    val t1 = System.nanoTime()
+    val sp = GraphAnalytics.shortestPaths(edges, srcs, rounds = 3).persist()
+    val nSp = sp.count()
+    val spSec = sec(t1)
+    val want = Map(0L -> 0L, 1L -> 1L, 2L -> 3L, 3L -> 1L, 4L -> 2L, 5L -> 4L)
+    val spPos = sp.groupBy(pos.as("p"))
+      .agg(countDistinct("dist").as("nd"), min("dist").as("d")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val spExact = spPos.size == 6 &&
+      spPos.forall { case (p, (nd, d)) => nd == 1L && d == want(p) }
+    val spSum = sp.select(expr("bit_xor(xxhash64(id, dist))")).first().getLong(0)
+
+    // ---- link-prediction features ----
+    val t2 = System.nanoTime()
+    val lf = GraphAnalytics.linkFeatures(edges.select("src", "dst")).persist()
+    val nLf = lf.count()
+    val lfSec = sec(t2)
+    val posU = pmod(substring(col("u"), 2, 9).cast("long"), lit(6))
+    val posV = pmod(substring(col("v"), 2, 9).cast("long"), lit(6))
+    val lfPos = lf.groupBy(posU.as("pu"), posV.as("pv"))
+      .agg(countDistinct(struct(col("cn"), col("jaccard_ppm"), col("aa_fp")))
+        .as("nv")).collect()
+    val lfSymmetric = lfPos.length == 6 && lfPos.forall(_.getLong(2) == 1L) &&
+      nLf == 6L * groups
+    val lfSum = lf.select(
+      expr("bit_xor(xxhash64(u, v, cn, jaccard_ppm, aa_fp))")).first().getLong(0)
+
+    // ---- derandomized walks (1 walk/vertex, 2 steps) ----
+    val t3 = System.nanoTime()
+    val walks = GraphWalks.randomWalks(edges.select("src", "dst"),
+      walksPerVertex = 1, steps = 2).persist()
+    val nWalks = walks.count()
+    val wSec = sec(t3)
+    val wSum = walks.select(
+      expr("bit_xor(xxhash64(walk_id, step, v))")).first().getLong(0)
+
+    val heapMb = (Runtime.getRuntime.totalMemory -
+      Runtime.getRuntime.freeMemory) / 1024 / 1024
+    println(s"""{"edges":$nEdges,"core_vertices":$nCore,""" +
+      s""""core_sec":$coreSec,"core_all2":${coreVals == 1L && coreIs2},""" +
+      s""""core_checksum":$coreSum,""" +
+      s""""sssp_reached":$nSp,"sssp_sec":$spSec,"sssp_exact":$spExact,""" +
+      s""""sssp_checksum":$spSum,""" +
+      s""""lp_pairs":$nLf,"lp_sec":$lfSec,"lp_symmetric":$lfSymmetric,""" +
+      s""""lp_checksum":$lfSum,""" +
+      s""""walk_rows":$nWalks,"walk_sec":$wSec,"walk_checksum":$wSum,""" +
+      s""""driver_heap_mb":$heapMb,"cpus":$cpus}""")
+    require(coreVals == 1L && coreIs2, "coreness symmetry broken")
+    require(spExact, s"SSSP analytic values broken: $spPos")
+    require(lfSymmetric, s"link-feature symmetry broken: ${lfPos.mkString(",")}")
+    spark.stop()
+  }
+}
