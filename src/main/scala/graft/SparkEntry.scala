@@ -1903,6 +1903,15 @@ object SparkEntry {
           Seq("doc_id", "lang", "source", "n_chars"), k = 64)
         .orderBy("col", "metric")),
 
+    // Equi-depth histogram (engine extension, r5): exact 8-bin depth
+    // histogram of document lengths on the DISTRIBUTED global rank
+    // (rank·B div n — deliberately not ntile's remainder convention)
+    "profile_bins" -> ((s, dir) =>
+      Profile.equiDepthBins(
+          tbl(s, dir, "documents").select(col("n_chars"), col("doc_id")),
+          "n_chars", Seq("doc_id"), bins = 8)
+        .orderBy("bin")),
+
     // Collocation PMI (engine extension, r5): adjacent-pair pointwise
     // mutual information in fixed-point log2 — the phrase-mining
     // signal for multi-word entities; log-SUM form (never multiplies
@@ -2437,6 +2446,31 @@ object SparkEntry {
       val srcs = tbl(s, dir, "region")
         .select(concat(lit("r"), col("r_regionkey")).as("id"))
       GraphAnalytics.shortestPaths(rn.union(ns).union(sc), srcs, rounds = 3)
+        .orderBy("id")
+    }),
+
+    // G15 (engine extension, r5): personalized PageRank from the
+    // region vertices over the REVERSED layered graph (r→n→s→c), so
+    // mass flows outward — distance-discounted reachability, the
+    // related-entity recommendation score; teleport only to sources,
+    // 3 iterations, same integer discipline as g7
+    "g15_ppr" -> ((s, dir) => {
+      val nr = tbl(s, dir, "nation").select(
+        concat(lit("r"), col("n_regionkey")).as("src"),
+        concat(lit("n"), col("n_nationkey")).as("dst"))
+      val sn = tbl(s, dir, "supplier").select(
+        concat(lit("n"), col("s_nationkey")).as("src"),
+        concat(lit("s"), col("s_suppkey")).as("dst"))
+      val cs = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+      val srcs = tbl(s, dir, "region")
+        .select(concat(lit("r"), col("r_regionkey")).as("id"))
+      GraphAnalytics.personalizedPageRank(nr.union(sn).union(cs), srcs,
+          iterations = 3)
         .orderBy("id")
     }),
 
@@ -5000,6 +5034,45 @@ object SparkEntry {
              GROUP BY id)
       SELECT id, dist FROM d3 ORDER BY id"""),
 
+    // personalized PageRank: the g7 chained-CTE replay with teleport
+    // mass CASE-gated on source membership
+    "g15_ppr" -> ("""
+      WITH e AS (
+        SELECT 'r' || n_regionkey AS src, 'n' || n_nationkey AS dst FROM nation
+        UNION
+        SELECT 'n' || s_nationkey, 's' || s_suppkey FROM supplier
+        UNION
+        SELECT 's' || l_suppkey, 'c' || o_custkey
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+      sv AS (SELECT DISTINCT 'r' || r_regionkey AS id FROM region),
+      k AS (SELECT 1000000000000 // count(*) AS init,
+                   (15 * (1000000000000 // count(*))) // 100 AS base FROM sv),
+      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      vs AS (SELECT v.id, CASE WHEN sv.id IS NOT NULL THEN 1 ELSE 0 END AS s
+             FROM v LEFT JOIN sv ON sv.id = v.id),
+      r0 AS (SELECT vs.id, CAST(CASE WHEN vs.s = 1 THEN k.init ELSE 0 END
+               AS BIGINT) AS "rank" FROM vs, k),
+      s1 AS (SELECT e.dst AS id, sum(r."rank" // deg.od) AS m
+             FROM e JOIN r0 r ON r.id = e.src JOIN deg ON deg.src = e.src
+             GROUP BY e.dst),
+      r1 AS (SELECT vs.id, CAST((CASE WHEN vs.s = 1 THEN k.base ELSE 0 END)
+               + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS "rank"
+             FROM vs CROSS JOIN k LEFT JOIN s1 s ON s.id = vs.id),
+      s2 AS (SELECT e.dst AS id, sum(r."rank" // deg.od) AS m
+             FROM e JOIN r1 r ON r.id = e.src JOIN deg ON deg.src = e.src
+             GROUP BY e.dst),
+      r2 AS (SELECT vs.id, CAST((CASE WHEN vs.s = 1 THEN k.base ELSE 0 END)
+               + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS "rank"
+             FROM vs CROSS JOIN k LEFT JOIN s2 s ON s.id = vs.id),
+      s3 AS (SELECT e.dst AS id, sum(r."rank" // deg.od) AS m
+             FROM e JOIN r2 r ON r.id = e.src JOIN deg ON deg.src = e.src
+             GROUP BY e.dst),
+      r3 AS (SELECT vs.id, CAST((CASE WHEN vs.s = 1 THEN k.base ELSE 0 END)
+               + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS "rank"
+             FROM vs CROSS JOIN k LEFT JOIN s3 s ON s.id = vs.id)
+      SELECT id, "rank" FROM r3 ORDER BY id"""),
+
     // wedge enumeration around capped centers, AA weights from the
     // shared log2 chain over DISTINCT degree values, both estimators //
     "g14_linkpred" -> (s"""
@@ -5185,6 +5258,16 @@ object SparkEntry {
           .map(colSql).mkString("\n      UNION ALL ")}
       ORDER BY "col", metric"""
     },
+
+    // equi-depth replay: row_number ranks + the same rank·B div n
+    "profile_bins" -> ("""
+      WITH r AS (SELECT n_chars,
+          row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+          count(*) OVER () AS n
+        FROM documents)
+      SELECT (rk * 8) // n AS bin, count(*) AS n_rows,
+             min(n_chars) AS lo, max(n_chars) AS hi
+      FROM r GROUP BY bin ORDER BY bin"""),
 
     // PMI replay: censuses + the shared log2 chain, pmi as the same
     // four-term log sum

@@ -72,6 +72,57 @@ object GraphAnalytics {
     ranks
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * restricted to `sources`: rank measures distance-discounted
+    * reachability FROM the source set (the recommendation / related-
+    * entity score over a KG). Same integer discipline — initial mass
+    * `scale div |S|` on each source, per round
+    *
+    * {{{ rank'(v) = [v ∈ S]·base + (dampingPct · Σ_{u→v} rank(u) div outdeg(u)) div 100 }}}
+    *
+    * with `base = ((100−dampingPct)·(scale div |S|)) div 100`; all the
+    * [[pageRank]] caveats (distinct edges, deterministic truncation
+    * leaks, dangling loss) carry over, and the twin replays the CASE
+    * on source membership bit-exactly. Non-sources unreachable from S
+    * keep rank 0 — rows are still emitted (the score IS "not
+    * related"). Same per-round plan: one keyed join + one
+    * partial-aggregable sum; the source flag joins in once, before the
+    * loop. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iterations: Int = 3, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val ed = e.join(deg, "src").persist()
+    val src = sources.select(col("id")).distinct()
+      .withColumn("__s", lit(1)).persist()
+    val nS = src.count()
+    require(nS > 0, "personalizedPageRank needs a non-empty source set")
+    val init = scale / nS
+    val base = ((100L - dampingPct) * init) / 100L
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(src, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0)).as("__s"))
+      .persist()
+    var ranks = verts
+      .withColumn("rank", when(col("__s") === 1, lit(init)).otherwise(lit(0L)))
+      .select("id", "rank").localCheckpoint(eager = true)
+    for (_ <- 0 until iterations) {
+      val sums = ed.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank div od").as("contrib"))
+        .groupBy("id").agg(sum("contrib").as("m"))
+      ranks = verts.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("__s") === 1, lit(base)).otherwise(lit(0L)) +
+            expr(s"(${dampingPct}L * coalesce(m, 0L)) div 100L")).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    e.unpersist(); ed.unpersist(); verts.unpersist(); src.unpersist()
+    ranks
+  }
+
   /** Synchronous label propagation (community detection) with a fixed
     * round count over the UNDIRECTED closure of `edges`.
     *

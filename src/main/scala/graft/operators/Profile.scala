@@ -41,7 +41,7 @@ object Profile {
       val n = size(col(s"__hs_$c")).cast("long")
       when(n < k, n).otherwise(expr(s"${kNum}L div element_at(__hs_$c, $k)"))
     }
-    val entries = struct(lit("*").as("col"), lit("n_rows").as("metric"),
+    val profEntries = struct(lit("*").as("col"), lit("n_rows").as("metric"),
       col("__n").cast("string").as("value")) +:
       cols.flatMap { c =>
         Seq(
@@ -54,6 +54,28 @@ object Profile {
           struct(lit(c).as("col"), lit("distinct_est").as("metric"),
             est(c).cast("string").as("value")))
       }
-    row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+    row.select(explode(array(profEntries: _*)).as("e")).select(col("e.*"))
+  }
+
+  /** EXACT equi-depth histogram of `valueCol` (the optimizer/explorer
+    * statistic approximate-percentile sketches only estimate): rows
+    * take the distributed total-order rank under (valueCol, tieCols)
+    * ([[Blocking.withGlobalRank]] — no single-partition window), then
+    * `bin = rank·bins div n` (exact integer; NOTE this is NOT ntile's
+    * convention — ntile hands the first n mod bins tiles one extra row
+    * — so twins must replay THIS formula). One count action for n
+    * (the pageRank eager-count discipline). Returns one row per
+    * non-empty bin: (bin, n_rows, lo, hi). Rank·bins stays < 2⁶³ up
+    * to 10¹⁶ row·bins — beyond any real corpus × bin count. */
+  def equiDepthBins(df: DataFrame, valueCol: String, tieCols: Seq[String],
+      bins: Int): DataFrame = {
+    require(bins >= 1)
+    val ranked = Blocking.withGlobalRank(
+      df.select((valueCol +: tieCols).map(col): _*),
+      (valueCol +: tieCols).map(col), "__r").persist()
+    val n = math.max(ranked.count(), 1L)
+    ranked.withColumn("bin", expr(s"__r * $bins div ${n}L"))
+      .groupBy("bin").agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
 }

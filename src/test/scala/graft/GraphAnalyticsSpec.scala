@@ -172,6 +172,25 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(rep == fix)
   }
 
+  test("personalizedPageRank: source-only teleport, hand-computed rounds, unreachable 0") {
+    import spark.implicits._
+    val e = Seq(("s", "a"), ("a", "b"), ("b", "a"), ("x", "y")).toDF("src", "dst")
+    val src = Seq("s").toDF("id")
+    // |S|=1, scale=1200, damping=50 → init=1200, base=600
+    // round 1: s base 600; a ← 50%·1200 = 600; rest 0
+    assert(ranksOf(GraphAnalytics.personalizedPageRank(e, src,
+      iterations = 1, dampingPct = 50, scale = 1200L)) ==
+      Map("s" -> 600L, "a" -> 600L, "b" -> 0L, "x" -> 0L, "y" -> 0L))
+    // round 2: a ← 50%·600 = 300 (s's new mass), b ← 50%·600 = 300
+    assert(ranksOf(GraphAnalytics.personalizedPageRank(e, src,
+      iterations = 2, dampingPct = 50, scale = 1200L)) ==
+      Map("s" -> 600L, "a" -> 300L, "b" -> 300L, "x" -> 0L, "y" -> 0L))
+    // partitioning invariance
+    assert(ranksOf(GraphAnalytics.personalizedPageRank(e.repartition(5), src,
+      iterations = 2, dampingPct = 50, scale = 1200L)) ==
+      Map("s" -> 600L, "a" -> 300L, "b" -> 300L, "x" -> 0L, "y" -> 0L))
+  }
+
   test("linkFeatures: square + triangle + star hand cases, hub cap, exclude-existing") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

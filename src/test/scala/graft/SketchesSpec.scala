@@ -92,4 +92,19 @@ class SketchesSpec extends SparkSpec {
     assert(got(("s", "distinct_est")) == "2")
     assert(prof(df.repartition(5)) == got) // partitioning invariance
   }
+
+  test("equiDepthBins: exact rank*B div n binning, non-ntile convention") {
+    import spark.implicits._
+    val df = (0L until 10L).map(v => (v, v + 100L)).toDF("v", "id")
+    def bins(d: DataFrame): Map[Long, (Long, Long, Long)] =
+      graft.operators.Profile.equiDepthBins(d, "v", Seq("id"), bins = 4)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    // rank·4 div 10 → bins {0,1,2}, {3,4}, {5,6,7}, {8,9}
+    val want = Map(0L -> ((3L, 0L, 2L)), 1L -> ((2L, 3L, 4L)),
+      2L -> ((3L, 5L, 7L)), 3L -> ((2L, 8L, 9L)))
+    assert(bins(df) == want)
+    assert(bins(df.repartition(7)) == want)
+  }
 }
