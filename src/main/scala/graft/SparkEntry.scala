@@ -1611,6 +1611,38 @@ object SparkEntry {
           unix_micros(col("valid_to").cast("timestamp")).as("to_us"))
         .orderBy("user_id", "event_id")),
 
+    // CDC snapshot diff (engine extension, r5): two deterministic
+    // snapshots of events (drop %10==3 vs drop %7==2 with %5==0 types
+    // uppercased) diffed into the insert/delete/update stream
+    "cdc_diff" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val oldS = ev.filter(pmod(col("event_id"), lit(10)) =!= 3)
+        .select(col("event_id"), col("event_type"))
+      val newS = ev.filter(pmod(col("event_id"), lit(7)) =!= 2)
+        .select(col("event_id"),
+          when(pmod(col("event_id"), lit(5)) === 0, upper(col("event_type")))
+            .otherwise(col("event_type")).as("event_type"))
+      Cdc.diff(oldS, newS, Seq("event_id"), Seq("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // W10 (engine extension, r5): view→click→purchase funnel — first
+    // stage events strictly after the previous stage's, (ts, id) tuple
+    // order; NULL t marks where each user's funnel broke
+    "w10_funnel" -> ((s, dir) =>
+      Sessions.funnel(tbl(s, dir, "events"), "user_id", "ts", "event_id",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"))
+        .select(col("user_id"), col("t0").as("t0_us"),
+          col("t1").as("t1_us"), col("t2").as("t2_us"))
+        .orderBy("user_id")),
+
+    // W11 (engine extension, r5): weekly cohort retention over events
+    "w11_cohort" -> ((s, dir) =>
+      Sessions.cohortRetention(tbl(s, dir, "events"), "user_id", "ts",
+          bucketSec = 604800L)
+        .orderBy("cohort", "bucket_off")),
+
     // O4: drop-LARGEST-until-fits batch trim, faithful to
     // read_v2.py:34-53 INCLUDING the JSON envelope: items are batched
     // 16 at a time in input order; the batch total is estimated over
@@ -3347,6 +3379,54 @@ object SparkEntry {
         epoch_us(lead(ts) OVER (PARTITION BY user_id
           ORDER BY ts NULLS FIRST, event_id)) AS to_us
       FROM k ORDER BY user_id, event_id"""),
+
+    "cdc_diff" -> ("""
+      WITH o AS (SELECT event_id, event_type FROM events
+                 WHERE event_id % 10 <> 3),
+      n AS (SELECT event_id,
+              CASE WHEN event_id % 5 = 0 THEN upper(event_type)
+                   ELSE event_type END AS event_type
+            FROM events WHERE event_id % 7 <> 2),
+      d AS (SELECT coalesce(o.event_id, n.event_id) AS event_id,
+              o.event_type AS event_type_old, n.event_type AS event_type_new,
+              CASE WHEN o.event_id IS NULL THEN 'insert'
+                   WHEN n.event_id IS NULL THEN 'delete'
+                   WHEN o.event_type IS DISTINCT FROM n.event_type
+                     THEN 'update' END AS op
+            FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
+      SELECT * FROM d WHERE op IS NOT NULL ORDER BY event_id"""),
+
+    "w10_funnel" -> ("""
+      WITH s0 AS (SELECT user_id, epoch_us(ts) AS t0, event_id AS o0
+              FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+              QUALIFY row_number() OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id) = 1),
+      s1 AS (SELECT e.user_id, epoch_us(e.ts) AS t1, e.event_id AS o1
+             FROM events e JOIN s0 ON s0.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+               AND (epoch_us(e.ts) > s0.t0
+                    OR (epoch_us(e.ts) = s0.t0 AND e.event_id > s0.o0))
+             QUALIFY row_number() OVER (PARTITION BY e.user_id
+               ORDER BY epoch_us(e.ts), e.event_id) = 1),
+      s2 AS (SELECT e.user_id, epoch_us(e.ts) AS t2, e.event_id AS o2
+             FROM events e JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+               AND (epoch_us(e.ts) > s1.t1
+                    OR (epoch_us(e.ts) = s1.t1 AND e.event_id > s1.o1))
+             QUALIFY row_number() OVER (PARTITION BY e.user_id
+               ORDER BY epoch_us(e.ts), e.event_id) = 1)
+      SELECT s0.user_id, s0.t0 AS t0_us, s1.t1 AS t1_us, s2.t2 AS t2_us
+      FROM s0 LEFT JOIN s1 ON s1.user_id = s0.user_id
+      LEFT JOIN s2 ON s2.user_id = s0.user_id
+      ORDER BY s0.user_id"""),
+
+    "w11_cohort" -> ("""
+      WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS b
+                 FROM events WHERE ts IS NOT NULL),
+      f AS (SELECT user_id, min(b) AS cohort FROM a GROUP BY user_id)
+      SELECT f.cohort, a.b - f.cohort AS bucket_off, count(*) AS n_users
+      FROM a JOIN f ON f.user_id = a.user_id
+      GROUP BY f.cohort, a.b - f.cohort ORDER BY cohort, bucket_off"""),
 
     "o4_batch_trim" -> ("""
       WITH t AS (SELECT lang, doc_id,

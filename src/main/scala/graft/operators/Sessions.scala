@@ -103,4 +103,64 @@ object Sessions {
       .groupBy("src_label", "dst_label")
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Ordered funnel: per key, the FIRST event matching stage 0, then
+    * the first stage-1 event STRICTLY after it ((ts, ord) tuple
+    * order), then the first stage-2 event after that, … — the
+    * conversion-path query (view → click → purchase), also the
+    * instruction → tool-call → answer progression probe on agent
+    * traces. Returns one row per key that reached stage 0, with
+    * `t0/o0 … tk/ok` (epoch-micros timestamp + tie ordinal per
+    * reached stage, NULL once the funnel breaks — reached depth =
+    * count of non-null t's).
+    *
+    * Per stage: one filtered pass + a per-key top-1 window
+    * (WindowGroupLimit-friendly) + one key-partitioned join against
+    * the accumulated funnel — k stages = k bounded passes, never a
+    * per-key sequence materialization. NULL-timestamp events can't
+    * anchor a funnel step (filtered before the windows). */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, stages: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(stages.nonEmpty)
+    val us = epochUs(col(tsCol))
+    def stageMin(df: DataFrame, i: Int): DataFrame = {
+      val w = Window.partitionBy(keyCol).orderBy(col(s"t$i"), col(s"o$i"))
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col(keyCol), col(s"t$i"), col(s"o$i"))
+    }
+    var acc = stageMin(events.filter(stages.head && us.isNotNull)
+      .select(col(keyCol), us.as("t0"), col(ordCol).as("o0")), 0)
+    for (i <- 1 until stages.size) {
+      val si = events.filter(stages(i) && us.isNotNull)
+        .select(col(keyCol), us.as(s"t$i"), col(ordCol).as(s"o$i"))
+        .join(acc.select(col(keyCol), col(s"t${i - 1}"), col(s"o${i - 1}")),
+          keyCol)
+        .filter(col(s"t$i") > col(s"t${i - 1}") ||
+          (col(s"t$i") === col(s"t${i - 1}") && col(s"o$i") > col(s"o${i - 1}")))
+        .select(col(keyCol), col(s"t$i"), col(s"o$i"))
+      acc = acc.join(stageMin(si, i), Seq(keyCol), "left")
+    }
+    acc
+  }
+
+  /** Cohort retention: users bucketed by their FIRST activity bucket
+    * (cohort), counted in every later bucket they reappear in —
+    * (cohort, bucket_off, n_users). Buckets are epoch-aligned
+    * `bucketSec` windows (integer `div`, twin-exact). Distinct
+    * (key, bucket) first, so a key counts once per bucket; both
+    * aggregations are partial-aggregable; the first-bucket join is
+    * key-partitioned. NULL timestamps drop (no activity evidence). */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0)
+    val act = events
+      .withColumn("__us", epochUs(col(tsCol)))
+      .filter(col("__us").isNotNull)
+      .withColumn("__b", expr(s"__us div ${bucketSec * 1000000L}L"))
+      .select(col(keyCol), col("__b")).distinct()
+    val first = act.groupBy(keyCol).agg(min("__b").as("cohort"))
+    act.join(first, keyCol)
+      .groupBy(col("cohort"), (col("__b") - col("cohort")).as("bucket_off"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Cdc, Sessions}
+
+class CdcFunnelSpec extends SparkSpec {
+
+  test("Cdc.diff: insert/delete/update classified, unchanged silent") {
+    import spark.implicits._
+    val oldDf = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "v")
+    val newDf = Seq((2L, "B"), (3L, "X"), (4L, "D")).toDF("k", "v")
+    val got = Cdc.diff(oldDf, newDf, Seq("k"), Seq("v")).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((Some("A"), None, "delete")),
+      3L -> ((Some("C"), Some("X"), "update")),
+      4L -> ((None, Some("D"), "insert"))))
+    // null payloads compare null-safely: null → null is unchanged
+    val o2 = Seq((1L, Option.empty[String]), (2L, Some("y"))).toDF("k", "v")
+    val n2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "v")
+    val g2 = Cdc.diff(o2, n2, Seq("k"), Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(g2 == Map(2L -> "update"))
+  }
+
+  private def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+  private def us(s: Long) = 1700000000000000L + s * 1000000L
+
+  test("funnel: strictly-after stage matching, equal-ts ord tiebreak, broken funnels null") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: view 10, click 20, but purchase at 15 precedes the click → t2 null
+      ("u1", t(10), 1L, "view"), ("u1", t(20), 2L, "click"), ("u1", t(15), 3L, "purchase"),
+      // u2: click before the first view → t1 null
+      ("u2", t(10), 4L, "view"), ("u2", t(5), 5L, "click"),
+      // u3: click at the SAME ts as view but higher ord counts; purchase after
+      ("u3", t(10), 6L, "view"), ("u3", t(10), 7L, "click"), ("u3", t(11), 8L, "purchase"),
+      // u4: never views → no row
+      ("u4", t(1), 9L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sessions.funnel(ev, "user_id", "ts", "event_id",
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .collect().map { r =>
+        def opt(i: Int) = Option(r.get(i)).map(_.asInstanceOf[Long])
+        r.getString(0) -> ((opt(1), opt(3), opt(5)))
+      }.toMap
+    assert(out == Map(
+      "u1" -> ((Some(us(10)), Some(us(20)), None)),
+      "u2" -> ((Some(us(10)), None, None)),
+      "u3" -> ((Some(us(10)), Some(us(10)), Some(us(11))))))
+  }
+
+  test("cohortRetention: first-bucket cohorts, per-bucket distinct users") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", t(5)), ("u1", t(15)), ("u1", t(18)), ("u1", t(35)),
+      ("u2", t(12)),
+      ("u3", t(7)))
+      .toDF("user_id", "ts")
+    val got = Sessions.cohortRetention(ev, "user_id", "ts", bucketSec = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // epoch buckets are absolute (1700000000+s) div 10 — express offsets
+    val b0 = (1700000000L + 5) / 10
+    val b1 = (1700000000L + 12) / 10
+    assert(got == Map(
+      (b0, 0L) -> 2L, // u1, u3 in their first bucket
+      (b0, 1L) -> 1L, // u1 returns next bucket
+      (b0, 3L) -> 1L, // u1 returns two buckets later
+      (b1, 0L) -> 1L)) // u2's own cohort
+    assert(Sessions.cohortRetention(ev.repartition(5), "user_id", "ts", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == got)
+  }
+}
