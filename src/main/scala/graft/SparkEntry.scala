@@ -1523,6 +1523,26 @@ object SparkEntry {
           "id", "bal", window = 4)
         .orderBy("id_a", "id_b")),
 
+    // J12 (engine extension, r5): interval-overlap (range) join —
+    // per-user 30-min view windows × 10-min purchase windows, closed
+    // intervals, via the bucketized equi-join (NO theta/nested-loop
+    // plan); the twin runs the plain range-predicate join DuckDB can
+    // afford at oracle scale — an independent implementation
+    "j12_interval" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          us.as("v_start"), (us + lit(1800000000L)).as("v_end"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          us.as("p_start"), (us + lit(600000000L)).as("p_end"))
+      IntervalJoin.overlapJoin(v, p, "view_id", "purchase_id",
+          Seq("user_id"), "v_start", "v_end", "p_start", "p_end",
+          bucketUs = 1800000000L)
+        .orderBy("view_id", "purchase_id")
+    }),
+
     // G2: PARENT_OF edge derivation (README.md:265-272)
     "g2_parent_edges" -> ((s, dir) =>
       tbl(s, dir, "nation")
@@ -3314,6 +3334,19 @@ object SparkEntry {
       FROM l ASOF LEFT JOIN r
         ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id"""),
+
+    "j12_interval" -> ("""
+      WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_start,
+                   epoch_us(ts) + 1800000000 AS v_end
+                 FROM events WHERE event_type = 'view'),
+      p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_start,
+              epoch_us(ts) + 600000000 AS p_end
+            FROM events WHERE event_type = 'purchase')
+      SELECT v.user_id, v.view_id, v.v_start, v.v_end,
+             p.purchase_id, p.p_start, p.p_end
+      FROM v JOIN p ON v.user_id = p.user_id
+        AND v.v_start <= p.p_end AND p.p_start <= v.v_end
+      ORDER BY view_id, purchase_id"""),
 
     "j11_snm" -> ("""
       WITH r AS (SELECT c_custkey AS id, c_acctbal AS bal,

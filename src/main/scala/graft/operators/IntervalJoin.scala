@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap (range) join — the second temporal join Spark
+  * lacks natively, next to [[AsOfJoin]]: pair every left interval
+  * with every right interval it OVERLAPS (closed intervals,
+  * `l.start ≤ r.end ∧ r.start ≤ l.end`), optionally key-scoped.
+  *
+  * NOT a theta join: `ON l.start <= r.end AND r.start <= l.end` plans
+  * a nested-loop cross product — O(n·m) per key, fatal at scale. Here
+  * both sides EXPLODE into the fixed-size time buckets they cover
+  * (`sequence(start div B, end div B)`), the join is a hash equi-join
+  * on (key, bucket), and a post-filter keeps true overlaps; a pair
+  * overlapping k shared buckets would surface k times, so candidates
+  * dedupe on the id pair before the filter. Work = Σ interval
+  * lengths / B + true-overlap candidates — linear for bounded
+  * intervals (pick `bucketUs` ≈ the typical interval length: too
+  * small explodes rows, too large degrades toward per-key cross
+  * products; the classic spatial-grid tradeoff, one knob).
+  *
+  * All arithmetic is integer (`div` on epoch-micros longs), so the
+  * pair set is a pure function of the inputs and the DuckDB twin —
+  * which CAN afford the plain range-predicate join at oracle scale —
+  * is an independent implementation of the same semantics. NULL
+  * bounds drop (an unbounded interval would cover every bucket). */
+object IntervalJoin {
+
+  /** @param left  (leftId, keyCol?, leftStart, leftEnd) — micros longs
+    * @param right (rightId, keyCol?, rightStart, rightEnd)
+    * @param keyCols equality scope (empty = global overlap join)
+    * @return (leftId, rightId) + both interval bounds, one row per
+    *         overlapping pair */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String, keyCols: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0)
+    def buckets(s: String, e: String) =
+      explode(sequence(expr(s"$s div ${bucketUs}L"), expr(s"$e div ${bucketUs}L")))
+    val l = left
+      .filter(col(leftStart).isNotNull && col(leftEnd).isNotNull &&
+        col(leftStart) <= col(leftEnd))
+      .select((keyCols.map(col) :+ col(leftId) :+ col(leftStart) :+
+        col(leftEnd) :+ buckets(leftStart, leftEnd).as("__bk")): _*)
+    val r = right
+      .filter(col(rightStart).isNotNull && col(rightEnd).isNotNull &&
+        col(rightStart) <= col(rightEnd))
+      .select((keyCols.map(col) :+ col(rightId) :+ col(rightStart) :+
+        col(rightEnd) :+ buckets(rightStart, rightEnd).as("__bk")): _*)
+    l.join(r, keyCols :+ "__bk")
+      .drop("__bk").distinct()
+      .filter(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.IntervalJoin
+
+class IntervalJoinSpec extends SparkSpec {
+
+  test("overlapJoin: closed-interval semantics, bucket dedupe, key scoping") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, "k1", 0L, 25L),   // spans buckets 0-2 (B=10)
+      (2L, "k1", 40L, 41L),
+      (3L, "k2", 0L, 100L))  // same span, other key
+      .toDF("lid", "k", "ls", "le")
+    val r = Seq(
+      (10L, "k1", 5L, 30L),   // overlaps l1 across SEVERAL shared buckets → once
+      (11L, "k1", 25L, 25L),  // touches l1's closed end exactly
+      (12L, "k1", 26L, 39L),  // between l1 and l2 → nothing (same bucket as l1's tail!)
+      (13L, "k1", 41L, 60L),  // touches l2's end
+      (14L, "k2", 24L, 26L))  // overlaps only the k2 interval
+      .toDF("rid", "k", "rs", "re")
+    val got = IntervalJoin.overlapJoin(l, r, "lid", "rid", Seq("k"),
+        "ls", "le", "rs", "re", bucketUs = 10L)
+      .collect().map(x => (x.getAs[Long]("lid"), x.getAs[Long]("rid")))
+    assert(got.length == got.distinct.length) // shared buckets never duplicate
+    assert(got.toSet == Set((1L, 10L), (1L, 11L), (2L, 13L), (3L, 14L)))
+    // partitioning invariance
+    val rep = IntervalJoin.overlapJoin(l.repartition(5), r.repartition(3),
+        "lid", "rid", Seq("k"), "ls", "le", "rs", "re", bucketUs = 10L)
+      .collect().map(x => (x.getAs[Long]("lid"), x.getAs[Long]("rid"))).toSet
+    assert(rep == got.toSet)
+    // invalid (start > end) and null-bounded intervals drop
+    val bad = Seq((9L, "k1", 50L, 40L)).toDF("lid", "k", "ls", "le")
+    assert(IntervalJoin.overlapJoin(bad, r, "lid", "rid", Seq("k"),
+      "ls", "le", "rs", "re", 10L).isEmpty)
+  }
+
+  test("overlapJoin without keys is a global overlap join") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 10L)).toDF("lid", "ls", "le")
+    val r = Seq((2L, 10L, 20L), (3L, 11L, 20L)).toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlapJoin(l, r, "lid", "rid", Nil,
+        "ls", "le", "rs", "re", bucketUs = 7L)
+      .collect().map(x => (x.getAs[Long]("lid"), x.getAs[Long]("rid"))).toSet
+    assert(got == Set((1L, 2L))) // closed-end touch joins; 11 > 10 doesn't
+  }
+}
