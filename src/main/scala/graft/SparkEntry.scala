@@ -908,6 +908,16 @@ object SparkEntry {
     "dedup_neardup_drop" -> ((s, dir) =>
       Dedup.dropNearDuplicates(tbl(s, dir, "documents"), "doc_id", "text", 0.8)
         .select("doc_id")),
+    // containment near-dup (engine extension, r5): subset-copy pairs
+    // Jaccard LSH misses — rare-window census candidates (df ≤ 64),
+    // exact integer containment over persisted window-hash sets; the
+    // twin replays window STRINGS, so a hash collision surfaces as a
+    // diff (suite-wide rationale)
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          thresholdPpm = 600000L)
+        .orderBy("a", "b")),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
         bits = 32, bandBits = 8, maxDist = 3)),
@@ -5344,6 +5354,39 @@ object SparkEntry {
         coalesce(m.surprisal, 0) AS surprisal
       FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id"""
     },
+
+    // containment replay: exact window STRINGS (ShingleHashes window
+    // semantics: <3 tokens → one window, 0 → none), rare-window census
+    // pairs, integer ppm containments
+    "dedup_containment" -> ("""
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      g AS (SELECT doc_id,
+          CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+               WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+        FROM t),
+      w AS (SELECT DISTINCT doc_id, unnest(grams) AS gr FROM g),
+      nw AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+      rare AS (SELECT gr FROM (SELECT gr, count(*) AS dfc FROM w GROUP BY gr)
+               WHERE dfc BETWEEN 2 AND 64),
+      k AS (SELECT w.doc_id, w.gr FROM w JOIN rare USING (gr)),
+      p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM k x JOIN k y ON x.gr = y.gr AND x.doc_id < y.doc_id),
+      i AS (SELECT p.a, p.b, count(*) AS inter
+            FROM p JOIN w wa ON wa.doc_id = p.a
+            JOIN w wb ON wb.doc_id = p.b AND wb.gr = wa.gr
+            GROUP BY p.a, p.b),
+      f AS (SELECT i.a, i.b, na.n AS n_a, nb.n AS n_b, i.inter,
+              (1000000 * i.inter) // na.n AS cont_a_ppm,
+              (1000000 * i.inter) // nb.n AS cont_b_ppm
+            FROM i JOIN nw na ON na.doc_id = i.a
+            JOIN nw nb ON nb.doc_id = i.b)
+      SELECT a, b, n_a, n_b, inter, cont_a_ppm, cont_b_ppm FROM f
+      WHERE greatest(cont_a_ppm, cont_b_ppm) >= 600000 ORDER BY a, b"""),
 
     // profiler replay: per-column aggregate metrics + the KMV
     // distinct estimate over md5-32 of the stringified value

@@ -290,6 +290,59 @@ object Dedup {
     (out, sigs)
   }
 
+  /** Containment near-dup pairs — the SUBSET-copy detector Jaccard
+    * LSH structurally misses: a short doc quoted whole inside a long
+    * one has J(A,B) ≤ |A|/|B| (tiny), so MinHash bands tuned to
+    * J ≥ t never collide, while containment C(A→B) = |A∩B|/|A| is
+    * 1.0. (Broder's containment sketch problem; this is the exact
+    * variant.)
+    *
+    * Candidates come from SHARED RARE WINDOWS (the
+    * [[duplicatedSpans]] census shape): every window hash with corpus
+    * doc-frequency in [2, dfCap] keys the pairs of docs containing it.
+    * Recall is exact for any pair sharing ≥ 1 such window — a
+    * contained doc shares ALL its windows, so it is missed only when
+    * every window it has is hotter than dfCap, i.e. it is boilerplate
+    * by definition (dfCap is the knob, and the census that enforces it
+    * is one partial-aggregable pass). Work bound: Σ_{df ≤ cap} df² ≤
+    * dfCap · Σ df — linear for a fixed cap, hot windows never pair.
+    *
+    * Verification runs on the PERSISTED distinct window-hash sets via
+    * `array_intersect` (the [[minhashLsh]] discipline — no per-pair
+    * string work); containments are exact integer ppm. Returns
+    * unordered pairs (a, b, n_a, n_b, inter, cont_a_ppm, cont_b_ppm)
+    * where the larger containment clears `thresholdPpm`. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, thresholdPpm: Long = 800000L,
+      dfCap: Long = 64L): DataFrame = {
+    require(thresholdPpm >= 0 && dfCap >= 2)
+    val whs = df.select(col(idCol).as("id"),
+        graft.plans.ShingleHashes.shingle_hashes(
+          split(lower(trim(col(textCol))), "\\s+"), shingleN).as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col("id"), array_distinct(col("__hs")).as("hs"))
+      .persist()
+    val ex = whs.select(col("id"), explode(col("hs")).as("h"))
+    val rare = ex.groupBy("h").agg(count(lit(1)).as("__dfc"))
+      .filter(col("__dfc") >= 2 && col("__dfc") <= dfCap)
+      .select("h")
+    val keyed = ex.join(rare, "h")
+    val pairs = keyed.select(col("h"), col("id").as("a"))
+      .join(keyed.select(col("h"), col("id").as("b")), "h")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    pairs
+      .join(whs.select(col("id").as("a"), col("hs").as("hsA")), "a")
+      .join(whs.select(col("id").as("b"), col("hs").as("hsB")), "b")
+      .withColumn("inter", size(array_intersect(col("hsA"), col("hsB"))).cast("long"))
+      .withColumn("n_a", size(col("hsA")).cast("long"))
+      .withColumn("n_b", size(col("hsB")).cast("long"))
+      .withColumn("cont_a_ppm", expr("1000000L * inter div n_a"))
+      .withColumn("cont_b_ppm", expr("1000000L * inter div n_b"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= thresholdPpm)
+      .select("a", "b", "n_a", "n_b", "inter", "cont_a_ppm", "cont_b_ppm")
+  }
+
   /** Drop near-duplicates: connected components over minhash pairs,
     * keep min id per component. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,

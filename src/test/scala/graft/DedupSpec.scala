@@ -972,4 +972,34 @@ class DedupSpec extends SparkSpec {
     val thumbs = Multimodal.thumbnails(media, side = 4)
     assert(thumbs.collect().forall(_.getAs[Array[Byte]]("thumb").length === 16))
   }
+
+  test("containmentPairs finds subset copies that Jaccard LSH misses; dfCap gates hot windows") {
+    import spark.implicits._
+    // doc 2 is a verbatim substring of doc 1: containment 2→1 = 1.0,
+    // Jaccard = 3/10 — below any useful LSH threshold
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "d e f g h"),
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        thresholdPpm = 800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got == Map((1L, 2L) -> ((10L, 3L, 3L, 300000L, 1000000L))))
+    // the Jaccard pipeline indeed misses the same pair at its threshold
+    assert(Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7).isEmpty)
+    // boilerplate gate: 6 docs sharing their ONLY window pair freely at
+    // dfCap=10 but not at dfCap=3 (df=6 exceeds the cap)
+    val boiler = (1L to 6L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(boiler, "doc_id", "text",
+      thresholdPpm = 1000000L, dfCap = 10L).count() == 15L)
+    assert(Dedup.containmentPairs(boiler, "doc_id", "text",
+      thresholdPpm = 0L, dfCap = 3L).isEmpty)
+    // partitioning invariance
+    val rep = Dedup.containmentPairs(docs.repartition(5), "doc_id", "text",
+        thresholdPpm = 800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep == Set((1L, 2L)))
+  }
 }
