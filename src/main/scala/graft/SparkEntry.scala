@@ -1667,6 +1667,14 @@ object SparkEntry {
           col("t1").as("t1_us"), col("t2").as("t2_us"))
         .orderBy("user_id")),
 
+    // W12 (engine extension, r5): hourly OHLC bars per user —
+    // deterministic open/close via (ts, event_id) struct extremes
+    // (min_by ties are unspecified; this is the replayable form)
+    "w12_bars" -> ((s, dir) =>
+      Sessions.bucketBars(tbl(s, dir, "events"), "user_id", "ts",
+          "event_id", "value", bucketSec = 3600L)
+        .orderBy("user_id", "bucket")),
+
     // W11 (engine extension, r5): weekly cohort retention over events
     "w11_cohort" -> ((s, dir) =>
       Sessions.cohortRetention(tbl(s, dir, "events"), "user_id", "ts",
@@ -3462,6 +3470,26 @@ object SparkEntry {
       FROM s0 LEFT JOIN s1 ON s1.user_id = s0.user_id
       LEFT JOIN s2 ON s2.user_id = s0.user_id
       ORDER BY s0.user_id"""),
+
+    // OHLC replay: arg-extremes via QUALIFY top-1 each way + plain
+    // min/max — the same (ts, event_id) total order
+    "w12_bars" -> ("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
+                   epoch_us(ts) // 3600000000 AS bucket
+                 FROM events WHERE ts IS NOT NULL),
+      o AS (SELECT user_id, bucket, value AS open FROM e
+            QUALIFY row_number() OVER (PARTITION BY user_id, bucket
+              ORDER BY us, event_id) = 1),
+      c AS (SELECT user_id, bucket, value AS close FROM e
+            QUALIFY row_number() OVER (PARTITION BY user_id, bucket
+              ORDER BY us DESC, event_id DESC) = 1),
+      a AS (SELECT user_id, bucket, count(*) AS n, min(value) AS lo,
+              max(value) AS hi
+            FROM e GROUP BY user_id, bucket)
+      SELECT a.user_id, a.bucket, a.n, o.open, c.close, a.lo, a.hi
+      FROM a JOIN o ON o.user_id = a.user_id AND o.bucket = a.bucket
+      JOIN c ON c.user_id = a.user_id AND c.bucket = a.bucket
+      ORDER BY a.user_id, a.bucket"""),
 
     "w11_cohort" -> ("""
       WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS b

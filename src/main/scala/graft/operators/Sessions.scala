@@ -143,6 +143,33 @@ object Sessions {
     acc
   }
 
+  /** Time-bucket bars (the OHLC roll-up): per (key, epoch-aligned
+    * bucket), event count plus the value of the FIRST and LAST event
+    * and the min/max values — the downsampling step that turns raw
+    * event streams into chartable/joinable series. Open/close are
+    * arg-extremes made DETERMINISTIC the struct way: min/max of
+    * struct(ts, ord, value) — (ts, ord) is a total order, so the value
+    * tail never decides, unlike `min_by`, whose ties are explicitly
+    * unspecified. One partial-aggregable pass, no windows. Values pass
+    * through untouched (no float arithmetic — doubles stay bit-exact
+    * cross-engine). NULL timestamps drop. */
+  def bucketBars(events: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, valueCol: String, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0)
+    val t = events
+      .withColumn("__us", epochUs(col(tsCol)))
+      .filter(col("__us").isNotNull)
+      .withColumn("__b", expr(s"__us div ${bucketSec * 1000000L}L"))
+      .withColumn("__s",
+        struct(col("__us"), col(ordCol).as("__o"), col(valueCol).as("__v")))
+    t.groupBy(col(keyCol), col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__s")).getField("__v").as("open"),
+        max(col("__s")).getField("__v").as("close"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+
   /** Cohort retention: users bucketed by their FIRST activity bucket
     * (cohort), counted in every later bucket they reappear in —
     * (cohort, bucket_off, n_users). Buckets are epoch-aligned

@@ -56,6 +56,28 @@ class CdcFunnelSpec extends SparkSpec {
       "u3" -> ((Some(us(10)), Some(us(10)), Some(us(11))))))
   }
 
+  test("bucketBars: deterministic open/close via (ts, ord) extremes") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u", t(1), 1L, 5.0), ("u", t(3), 2L, 9.0), ("u", t(3), 3L, 2.0), // same ts: ord decides close
+      ("u", t(12), 4L, 7.0),
+      ("v", t(2), 5L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Sessions.bucketBars(ev, "user_id", "ts", "event_id", "value",
+        bucketSec = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    val b0 = (1700000000L + 1) / 10
+    val b1 = (1700000000L + 12) / 10
+    assert(got == Map(
+      ("u", b0) -> ((3L, 5.0, 2.0, 2.0, 9.0)), // open id1, close id3 (ord), lo 2, hi 9
+      ("u", b1) -> ((1L, 7.0, 7.0, 7.0, 7.0)),
+      ("v", b0) -> ((1L, 1.0, 1.0, 1.0, 1.0))))
+    assert(Sessions.bucketBars(ev.repartition(5), "user_id", "ts",
+      "event_id", "value", 10L).collect().length == 3)
+  }
+
   test("cohortRetention: first-bucket cohorts, per-bucket distinct users") {
     import spark.implicits._
     val ev = Seq(
