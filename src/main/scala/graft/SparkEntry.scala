@@ -2611,6 +2611,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Group-aware (leakage-safe) splitting (engine extension, r5):
+    // split decided by the hash of the registrable DOMAIN, not the doc
+    // — near-duplicate pages from one site can never straddle
+    // train/val/test (the failure mode split_leakage AUDITS, prevented
+    // at assignment time). One row per (domain, split) is cohesion
+    // made visible: split is a function of the domain, so each domain
+    // appears exactly once.
+    "sample_groupsplit" -> ((s, dir) => {
+      val url = messyUrl(col("doc_id"))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        UrlOps.registrableDomain(UrlOps.hostOf(url)).as("domain"))
+      Sampling.assignSplit(docs, "domain", valRate = 0.1, testRate = 0.1)
+        .groupBy("domain", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    }),
+
     // per-site corpus balancing: at most 5 docs per registrable domain,
     // kept in stable md5 order — subdomains of example.com collapse to
     // one site, each uN.github.io stays its own site
@@ -5270,6 +5286,18 @@ object SparkEntry {
     // synthesized messy URLs (see UrlTwinSql)
     "url_normalize" -> (s"""WITH $UrlTwinSql
       SELECT doc_id, url, host, domain FROM dom ORDER BY doc_id"""),
+
+    // group split: domain from the shared URL replay, md5-32 threshold
+    // split exactly as assignSplit computes it ((0.1·2^32)=429496729,
+    // (0.2·2^32)=858993459, both floored like the Scala .toLong)
+    "sample_groupsplit" -> (s"""WITH $UrlTwinSql,
+      h AS (SELECT doc_id, domain, ${md532Sql("domain")} AS hv FROM dom),
+      sp AS (SELECT doc_id, domain,
+               CASE WHEN hv < 429496729 THEN 'val'
+                    WHEN hv < 858993459 THEN 'test'
+                    ELSE 'train' END AS split FROM h)
+      SELECT domain, split, count(*) AS n_docs FROM sp
+      GROUP BY domain, split ORDER BY domain"""),
 
     // per-domain quota: the quotaSample window replayed verbatim
     "url_domain_caps" -> (s"""WITH $UrlTwinSql
