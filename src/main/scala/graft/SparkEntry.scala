@@ -1920,6 +1920,33 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // KMV rollup (engine extension, r5): per-lang estimates derived by
+    // MERGING the per-(lang, source) sketches — no raw re-scan — while
+    // the twin computes per-lang bottom-k DIRECTLY from the tokens: a
+    // hash-for-hash oracle match here is the mergeability law itself
+    // verified cross-engine (sketch(∪ parts) == trim(∪ sketches)),
+    // i.e. the cube-rollup story: child sketches roll up to any
+    // coarser grouping for free
+    "kmv_rollup" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents").select(col("lang"), col("source"),
+        explode(split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+      val sk = Sketches.kmvDistinct(toks, Seq("lang", "source"), "h",
+        k = 64, spaceBits = 32).select("lang", "source", "hs")
+      sk.groupBy("lang")
+        .agg(count(lit(1)).as("n_sources"),
+          slice(array_sort(array_distinct(flatten(collect_list(col("hs"))))),
+            1, 64).as("__m"))
+        .select(col("lang"), col("n_sources"),
+          size(col("__m")).cast("long").as("n_hashes"),
+          get(col("__m"), lit(63)).as("kth_hash"),
+          when(size(col("__m")) < 64, size(col("__m")).cast("long"))
+            .otherwise(expr("270582939648L div element_at(__m, 64)"))
+            .as("est_distinct"))
+        .orderBy("lang")
+    }),
+
     // KMV overlap (engine extension, r5): pairwise lang-vocabulary
     // Jaccard + union-cardinality estimates from the SKETCHES ALONE
     // (mergeability law — no raw-token rejoin), the corpus-overlap /
@@ -3845,6 +3872,32 @@ object SparkEntry {
              ELSE (63 * 4294967296) // mx END AS est_distinct,
         hs_sig
       FROM agg ORDER BY lang"""),
+
+    // rollup twin computes per-lang bottom-64 DIRECTLY from tokens —
+    // matching the engine's merged-child-sketch derivation proves the
+    // mergeability law cross-engine
+    "kmv_rollup" -> ("""
+      WITH t AS (SELECT lang, source,
+          unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+            '\s+'), x -> x <> '')) AS w
+        FROM documents),
+      h AS (SELECT DISTINCT lang,
+          CAST(list_sum(list_transform(range(1, 9),
+            i -> (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1) *
+                 ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
+            AS BIGINT) AS hv
+        FROM t),
+      ns AS (SELECT lang, count(DISTINCT source) AS n_sources FROM t
+             GROUP BY lang),
+      keep AS (SELECT lang, hv FROM h
+               QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hv) <= 64),
+      agg AS (SELECT lang, count(*) AS n_hashes, max(hv) AS mx
+              FROM keep GROUP BY lang)
+      SELECT a.lang, ns.n_sources, a.n_hashes,
+        CASE WHEN a.n_hashes >= 64 THEN a.mx END AS kth_hash,
+        CASE WHEN a.n_hashes < 64 THEN a.n_hashes
+             ELSE 270582939648 // a.mx END AS est_distinct
+      FROM agg a JOIN ns ON ns.lang = a.lang ORDER BY a.lang"""),
 
     // sketch-only overlap replay: merged = 64 smallest of the two kept
     // lists' union; intersection membership over the kept lists; both
