@@ -626,33 +626,45 @@ object SparkEntry {
           round(col("f") * 510).cast("int").as("fval"))
         .orderBy("media_id", "dim")
     }),
+    // The user-facing ANN query, DRIVER-ORACLED end to end as of r6:
+    // the REAL materialized-index architecture (buildAnnIndexCols →
+    // (t, bucket, id) parquet partitioned by hash table, partition-
+    // pruned probe, left-semi candidate join, exact re-score), run
+    // under the md5-sign / int-exact family (see ann_lsh_oracle) so
+    // the whole pipeline — 4 hash tables × 4 sign bits — replays in
+    // DuckDB. The murmur3 float family stays as the production
+    // default in Similarity.annTopK/buildAnnIndex.
     "ann_topk" -> ((s, dir) => {
+      val bits = 4; val tables = 4
       val emb = tbl(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0).select("embedding")
-        .collect()(0).getSeq[Float](0).toArray
-      // scale path: materialized (t, bucket, id) index, partition-pruned
-      // per hash table + bucket filter pushed to row-group stats; the
-      // base table is only touched to re-score the candidate set. The
-      // index is built ONCE per (session, sf dir) — at scale it is a
-      // one-time artifact, not per-query work.
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      val base = emb.select(col("vec_id"), iembCol(col("embedding")).as("iemb"))
+      val signsT = (0 until tables).map(t =>
+        Similarity.hashSignsTable(dim, bits, t))
+      // index built ONCE per (session, sf dir) — at scale a one-time
+      // artifact, not per-query work; path keyed by (appId, dir) so a
+      // second sf dir or JVM gets its own directory, registered for
+      // JVM-exit cleanup
       val idxPath = annIndex.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-        // path derived from the memo key: a second sf dir (or another
-        // JVM sharing /tmp) gets its own directory instead of silently
-        // overwriting the first dir's index while its memo entry still
-        // points there
         val dirKey = java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-        // registered for JVM-exit cleanup like the round-trip scratch
-        // dirs — one index dir per (appId, sf dir) otherwise
-        // accumulates in /tmp across runs
         val p = registerScratch(System.getProperty("java.io.tmpdir") +
           s"/graft_ann_index_${s.sparkContext.applicationId}_$dirKey")
-        Similarity.buildAnnIndex(emb, "vec_id", "embedding", q.length, p)
+        Similarity.buildAnnIndexCols(base, "vec_id", p,
+          signsT.map(sg => signBucketCol(col("iemb"), sg)))
         p
       })
-      Similarity.annTopKIndexed(emb, idxPath, "vec_id", "embedding",
-          q.length, q, 10, "vec_id")
-        .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
+      val q = base.filter(col("vec_id") === 0).select("iemb")
+        .first().getSeq[Long](0)
+      // query buckets driver-side: the same sign fold over the one row
+      val qb = signsT.map(sg =>
+        sg.zipWithIndex.map { case (plane, b) =>
+          val dot = plane.iterator.zip(q.iterator).map(p => p._1 * p._2).sum
+          if (dot > 0) 1L << b else 0L
+        }.sum)
+      Similarity.annTopKIndexedCols(base, idxPath, "vec_id", qb,
+        icosCol(col("iemb"), typedLit(q)), 10, "vec_id")
+        .select(col("vec_id"), col("cos"))
     }),
 
     // The hyperplane-LSH ANN architecture, DRIVER-ORACLED end to end:
@@ -2339,6 +2351,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X22/A11/W7 (r6): CRF Viterbi decode (bilstm_crf_ner.py:422-461)
+    // over md5-derived fixed-point emission/transition scores — the DP
+    // itself is the system under test; the twin unrolls all 8 steps +
+    // backtrace as chained CTEs (the g11_sssp/bpe_learn discipline).
+    // Ties break to the smallest previous-label index on both sides.
+    "x22_viterbi" -> ((s, dir) => {
+      val em = crfSeqs(s, dir, nPos = 8, mod = 1000, salt = "e")
+      NerTag.viterbiDecode(em, CrfFixture.trans, CrfFixture.start,
+          CrfFixture.end)
+        .orderBy("seq_id", "pos")
+    }),
+
+    // A11 pair (r6): exact exp-domain CRF partition function
+    // (bilstm_crf_ner.py:365-391) — Z = Σ_paths 2^score as an exact
+    // integer, so the reference's logsumexp replays with no floats.
+    // Scores are masked to {0..3} and seq_len to 6 so Z < 2^53.
+    "x23_crf_forward" -> ((s, dir) => {
+      val em = crfSeqs(s, dir, nPos = 6, mod = 4, salt = "f")
+      NerTag.forwardPartition(em, CrfFixture.ftrans, CrfFixture.fstart,
+          CrfFixture.fend)
+        .orderBy("seq_id")
+    }),
+
     "text_langid" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_id")).orderBy("doc_id")),
@@ -2795,6 +2830,51 @@ object SparkEntry {
     when(i % 6 === 0, lit("&")).otherwise(lit("")),
     when(i % 2 === 0, lit("#sec")).otherwise(lit("")))
 
+  /** JVM twin of [[md532Sql]]: first 8 md5 hex digits as int64 —
+    * used to derive the CRF fixture parameters identically to the
+    * DuckDB twin (which derives them in SQL from the same strings). */
+  private[graft] def md532Local(s0: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  /** Deterministic CRF fixture: L=5 labels; emissions/transitions/
+    * start/end all md5₃₂(salted string) mod `mod`, so Spark, the
+    * kernel, and DuckDB derive the identical model from pure strings.
+    * Sequences are the `o_orderkey % 97 = 0` subset of orders. */
+  private[graft] object CrfFixture {
+    val L = 5
+    def mat(salt: String, mod: Int): Array[Array[Long]] =
+      Array.tabulate(L, L)((p, c) => md532Local(s"$salt|$p|$c") % mod)
+    def vec(salt: String, mod: Int): Array[Long] =
+      Array.tabulate(L)(l => md532Local(s"$salt|$l") % mod)
+    // x22_viterbi parameters (scores in 0..999)
+    val trans: Array[Array[Long]] = mat("t", 1000)
+    val start: Array[Long] = vec("s", 1000)
+    val end: Array[Long] = vec("n", 1000)
+    // x23_crf_forward parameters (scores in 0..3 — exp-domain bound)
+    val ftrans: Array[Array[Long]] = mat("ft", 4)
+    val fstart: Array[Long] = vec("fs", 4)
+    val fend: Array[Long] = vec("fn", 4)
+  }
+
+  /** (seq_id, emissions) fixture rows for the CRF queries: emission
+    * score at (pos, label) = md5₃₂("salt|seq|pos|label") mod `mod`. */
+  private def crfSeqs(s: SparkSession, dir: String, nPos: Int, mod: Int,
+      salt: String): DataFrame = {
+    def h32(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    tbl(s, dir, "orders")
+      .where(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(col("o_orderkey").cast("long").as("seq_id"))
+      .withColumn("emissions",
+        transform(sequence(lit(0), lit(nPos - 1)), p =>
+          transform(sequence(lit(0), lit(CrfFixture.L - 1)), l =>
+            pmod(h32(concat_ws("|", lit(salt), col("seq_id"), p, l)),
+              lit(mod)))))
+  }
+
   /** DuckDB snippet: first 8 md5 hex digits of `e` as int64 — the
     * literal-power idiom of the LSH architecture oracles. */
   private def md532Sql(e: String): String =
@@ -2802,6 +2882,107 @@ object SparkEntry {
        |  i -> (strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1) *
        |       ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]))
        |  AS BIGINT)""".stripMargin
+
+  /** Shared CRF twin prefix: the fixture sequences + label domain. */
+  private val CrfCommonSql: String = """
+    seqs AS (SELECT CAST(o_orderkey AS BIGINT) AS seq_id FROM orders
+             WHERE o_orderkey % 97 = 0),
+    lbl AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4)) l(lb))"""
+
+  /** x22_viterbi twin: the Viterbi DP (bilstm_crf_ner.py:422-461)
+    * unrolled — per step a max CTE (new scores), a backpointer CTE
+    * (min prev among maximal — the kernel's tie rule), then the
+    * backtrace unrolled from the best final label. */
+  private val ViterbiTwinSql: String = {
+    val steps = (1 to 7).map { i =>
+      s"""
+      m$i AS (SELECT v.seq_id, tr.cl AS lb, max(v.score + tr.t) AS best
+              FROM v${i - 1} v JOIN tr ON tr.pl = v.lb
+              GROUP BY v.seq_id, tr.cl),
+      b$i AS (SELECT v.seq_id, tr.cl AS lb, min(v.lb) AS bp
+              FROM v${i - 1} v JOIN tr ON tr.pl = v.lb
+              JOIN m$i m ON m.seq_id = v.seq_id AND m.lb = tr.cl
+                AND v.score + tr.t = m.best
+              GROUP BY v.seq_id, tr.cl),
+      v$i AS (SELECT m.seq_id, m.lb, m.best + e.e AS score
+              FROM m$i m JOIN em e ON e.seq_id = m.seq_id
+                AND e.lb = m.lb AND e.ps = $i)"""
+    }.mkString(",")
+    val back = (7 to 1 by -1).map { i =>
+      s"""
+      p${i - 1} AS (SELECT p.seq_id, b.bp AS tag, p.best
+              FROM p$i p JOIN b$i b ON b.seq_id = p.seq_id
+                AND b.lb = p.tag)"""
+    }.mkString(",")
+    val out = (0 to 7).map(i =>
+      s"SELECT seq_id, $i AS pos, tag, best FROM p$i")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH $CrfCommonSql,
+      ps AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) p(ps)),
+      em AS (SELECT seq_id, ps, lb,
+               ${md532Sql("'e|' || seq_id || '|' || ps || '|' || lb")}
+                 % 1000 AS e
+             FROM seqs, ps, lbl),
+      tr AS (SELECT p.lb AS pl, c.lb AS cl,
+               ${md532Sql("'t|' || p.lb || '|' || c.lb")} % 1000 AS t
+             FROM lbl p, lbl c),
+      st AS (SELECT lb, ${md532Sql("'s|' || lb")} % 1000 AS sc FROM lbl),
+      en AS (SELECT lb, ${md532Sql("'n|' || lb")} % 1000 AS sc FROM lbl),
+      v0 AS (SELECT e.seq_id, e.lb, st.sc + e.e AS score
+             FROM em e JOIN st ON st.lb = e.lb WHERE e.ps = 0),
+      $steps,
+      fin AS (SELECT v.seq_id, v.lb, v.score + en.sc AS score
+              FROM v7 v JOIN en ON en.lb = v.lb),
+      fb AS (SELECT seq_id, max(score) AS best FROM fin GROUP BY seq_id),
+      p7 AS (SELECT f.seq_id, min(f.lb) AS tag, fb.best
+             FROM fin f JOIN fb ON fb.seq_id = f.seq_id
+               AND f.score = fb.best
+             GROUP BY f.seq_id, fb.best),
+      $back
+      SELECT seq_id, CAST(pos AS INTEGER) AS pos,
+             CAST(tag AS INTEGER) AS tag, CAST(best AS BIGINT) AS best
+      FROM ($out)
+      ORDER BY seq_id, pos"""
+  }
+
+  /** x23_crf_forward twin: the forward algorithm
+    * (bilstm_crf_ner.py:365-391) in the exact exp domain — alpha
+    * carries Σ 2^score as BIGINT, logsumexp becomes integer sums of
+    * shifted products. */
+  private val CrfForwardTwinSql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""
+      a$i AS (SELECT p.seq_id, tr.cl AS lb,
+                CAST(sum(p.a * ((CAST(1 AS BIGINT) << tr.t) *
+                                (CAST(1 AS BIGINT) << e.e))) AS BIGINT) AS a
+              FROM a${i - 1} p JOIN tr ON tr.pl = p.lb
+              JOIN em e ON e.seq_id = p.seq_id AND e.lb = tr.cl
+                AND e.ps = $i
+              GROUP BY p.seq_id, tr.cl)"""
+    }.mkString(",")
+    s"""
+      WITH $CrfCommonSql,
+      ps AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5)) p(ps)),
+      em AS (SELECT seq_id, ps, lb,
+               ${md532Sql("'f|' || seq_id || '|' || ps || '|' || lb")}
+                 % 4 AS e
+             FROM seqs, ps, lbl),
+      tr AS (SELECT p.lb AS pl, c.lb AS cl,
+               ${md532Sql("'ft|' || p.lb || '|' || c.lb")} % 4 AS t
+             FROM lbl p, lbl c),
+      st AS (SELECT lb, ${md532Sql("'fs|' || lb")} % 4 AS sc FROM lbl),
+      en AS (SELECT lb, ${md532Sql("'fn|' || lb")} % 4 AS sc FROM lbl),
+      a0 AS (SELECT e.seq_id, e.lb,
+               CAST(1 AS BIGINT) << (st.sc + e.e) AS a
+             FROM em e JOIN st ON st.lb = e.lb WHERE e.ps = 0),
+      $steps
+      SELECT a.seq_id,
+             CAST(sum(a.a * (CAST(1 AS BIGINT) << en.sc)) AS BIGINT) AS z
+      FROM a5 a JOIN en ON en.lb = a.lb
+      GROUP BY a.seq_id
+      ORDER BY seq_id"""
+  }
 
   /** Derandomized random-walk replay shared by g12_walks/g13_sgpairs:
     * the customer—nation—region symmetric closure, dst-sorted neighbor
@@ -3699,6 +3880,10 @@ object SparkEntry {
         count(*) AS n_facts
       FROM e GROUP BY src ORDER BY src"""),
 
+    "x22_viterbi" -> ViterbiTwinSql,
+
+    "x23_crf_forward" -> CrfForwardTwinSql,
+
     "x21_nfc" -> ("""
       WITH t AS (SELECT doc_id, coalesce(text, '')
           || CASE WHEN doc_id % 4 = 1
@@ -4581,6 +4766,39 @@ object SparkEntry {
 
     // hyperplane-LSH ANN: signed integer projections -> sign-packed
     // bucket -> bucket-equality candidates -> exact cosine -> top-k
+    // the materialized-index ANN query: 4 tables × 4 md5-sign bits,
+    // candidates = rows sharing the query's bucket in ANY table
+    // (distinct), exact int-cosine re-score, top 10
+    "ann_topk" -> ("""
+      WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                        unnest(range(1, len(embedding) + 1)) AS d
+                 FROM embeddings),
+      ie AS (SELECT vec_id, CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv, d
+             FROM e),
+      s AS (SELECT tt.t, bb.b, dd.d,
+              CASE WHEN strpos('89abcdef',
+                     substr(md5(tt.t || '|' || bb.b || '|' || (dd.d - 1)), 1, 1)) > 0
+                   THEN 1 ELSE -1 END AS sgn
+            FROM range(0, 4) tt(t) CROSS JOIN range(0, 4) bb(b)
+            CROSS JOIN (SELECT DISTINCT d FROM ie) dd),
+      dots AS (SELECT vec_id, t, b, sum(iv * sgn) AS dot
+               FROM ie JOIN s USING (d) GROUP BY vec_id, t, b),
+      bk AS (SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b)
+                                        ELSE 0 END) AS bucket
+             FROM dots GROUP BY vec_id, t),
+      iv2 AS (SELECT vec_id, list(iv ORDER BY d) AS iemb FROM ie GROUP BY vec_id),
+      qb AS (SELECT t, bucket FROM bk WHERE vec_id = 0),
+      cand AS (SELECT DISTINCT b.vec_id
+               FROM bk b JOIN qb ON qb.t = b.t AND qb.bucket = b.bucket),
+      qe AS (SELECT iemb AS qemb FROM iv2 WHERE vec_id = 0),
+      sc AS (SELECT v.vec_id,
+               CAST(list_sum(list_transform(range(1, len(v.iemb) + 1),
+                 j -> v.iemb[j] * qemb[j])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(v.iemb, x -> x * x)) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(qemb, x -> x * x)) AS DOUBLE))) AS cos
+             FROM iv2 v JOIN cand c ON c.vec_id = v.vec_id, qe)
+      SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT 10"""),
+
     "ann_lsh_oracle" -> ("""
       WITH e AS (SELECT vec_id, unnest(embedding) AS v,
                         unnest(range(1, len(embedding) + 1)) AS d

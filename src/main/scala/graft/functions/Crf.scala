@@ -1,0 +1,166 @@
+package graft.functions
+
+/** CRF inference kernels over integer fixed-point scores.
+  *
+  * Replicates the reference's CRF layer deterministically
+  * (/root/reference/NER-model/bilstm_crf_ner.py): Viterbi decode
+  * (`_viterbi_decode`, bilstm_crf_ner.py:422-461), the forward
+  * algorithm's partition function (`_forward_alg`,
+  * bilstm_crf_ner.py:365-391) and the gold-path score
+  * (`_score_sentence`, bilstm_crf_ner.py:392-420). The reference runs
+  * these in float32 torch; the engine runs the SAME recurrences in
+  * integer fixed point so every value replays bit-exactly in a DuckDB
+  * oracle (the established g11_sssp / bpe_learn twin discipline).
+  *
+  * Index conventions follow the reference's actual arithmetic (not its
+  * comment): both `_forward_alg` and `_viterbi_decode` combine
+  * `v[prev] + transitions[prev][cur]`, while `_score_sentence` reads
+  * `transitions[tags[i]][tags[i-1]]` — i.e. the transposed matrix.
+  * That asymmetry is a reference quirk affecting only the training
+  * loss, and both orientations are kept faithfully here.
+  *
+  * Determinization: torch.argmax tie order is unspecified; this kernel
+  * fixes ties to the SMALLEST previous-label index. Real float scores
+  * almost never tie, so this is a faithful determinization, and it is
+  * what the SQL twin replays (`min(prev) FILTER (score = max)`).
+  *
+  * The forward pass needs logsumexp, which has no exact fixed-point
+  * form — so [[forwardPartition]] works in the EXP DOMAIN exactly:
+  * with integer scores s, each path contributes weight 2^s and the
+  * partition function Z = Σ_paths 2^score is an exact integer
+  * (log2 Z is the reference's logsumexp result up to the base). The
+  * caller must keep scores small enough that Z fits in a Long:
+  * maxScore + log2(numLabels^seqLen) < 63.
+  */
+object Crf {
+
+  /** Viterbi decode (bilstm_crf_ner.py:422-461, mask ≡ 1).
+    *
+    * @param emissions seqLen × numLabels fixed-point emission scores
+    * @param trans     numLabels × numLabels; trans(prev)(cur) as used
+    *                  by the decode recurrence
+    * @param start     transition score from START to each label
+    * @param end       transition score from each label to END
+    * @return (best path score, best path label indices)
+    */
+  def viterbi(emissions: Array[Array[Long]], trans: Array[Array[Long]],
+      start: Array[Long], end: Array[Long]): (Long, Array[Int]) = {
+    val n = emissions.length
+    val L = start.length
+    require(n > 0, "empty sequence")
+    // viterbi init: start_transitions + feats[:, 0]
+    var v = Array.tabulate(L)(l => start(l) + emissions(0)(l))
+    val bp = Array.ofDim[Int](n, L)
+    var i = 1
+    while (i < n) {
+      val nv = new Array[Long](L)
+      var cur = 0
+      while (cur < L) {
+        // argmax over prev of v(prev) + trans(prev)(cur); ties → min prev
+        var bestP = 0
+        var bestS = v(0) + trans(0)(cur)
+        var p = 1
+        while (p < L) {
+          val s = v(p) + trans(p)(cur)
+          if (s > bestS) { bestS = s; bestP = p }
+          p += 1
+        }
+        bp(i)(cur) = bestP
+        nv(cur) = bestS + emissions(i)(cur)
+        cur += 1
+      }
+      v = nv
+      i += 1
+    }
+    // transition to END, pick best final label (ties → min index)
+    var bestL = 0
+    var bestScore = v(0) + end(0)
+    var l = 1
+    while (l < L) {
+      val s = v(l) + end(l)
+      if (s > bestScore) { bestScore = s; bestL = l }
+      l += 1
+    }
+    // backtrace (bilstm_crf_ner.py:453-459)
+    val path = new Array[Int](n)
+    path(n - 1) = bestL
+    var t = n - 1
+    while (t > 0) {
+      path(t - 1) = bp(t)(path(t))
+      t -= 1
+    }
+    (bestScore, path)
+  }
+
+  /** Exact exp-domain partition function Z = Σ_paths 2^pathScore
+    * (bilstm_crf_ner.py:365-391 with exp base 2; mask ≡ 1). The
+    * reference returns logsumexp = log Z; the engine returns Z itself
+    * so the value is an exact integer both here and in the SQL twin.
+    * Caller contract: maxPathScore + seqLen·log2(L) < 63 (enforced
+    * only by overflow discipline — scores are masked small upstream).
+    */
+  def forwardPartition(emissions: Array[Array[Long]],
+      trans: Array[Array[Long]], start: Array[Long],
+      end: Array[Long]): Long = {
+    val n = emissions.length
+    val L = start.length
+    require(n > 0, "empty sequence")
+    // alpha[l] = Σ_{paths ending at l} 2^score
+    var alpha = Array.tabulate(L)(l => 1L << (start(l) + emissions(0)(l)))
+    var i = 1
+    while (i < n) {
+      val na = new Array[Long](L)
+      var cur = 0
+      while (cur < L) {
+        var acc = 0L
+        var p = 0
+        while (p < L) {
+          acc += alpha(p) << (trans(p)(cur) + emissions(i)(cur))
+          p += 1
+        }
+        na(cur) = acc
+        cur += 1
+      }
+      alpha = na
+      i += 1
+    }
+    var z = 0L
+    var l = 0
+    while (l < L) { z += alpha(l) << end(l); l += 1 }
+    z
+  }
+
+  /** Gold-path score exactly as `_score_sentence`
+    * (bilstm_crf_ner.py:392-420, mask ≡ 1) — note the reference reads
+    * `transitions[tags[i]][tags[i-1]]`, i.e. trans(cur)(prev): the
+    * TRANSPOSE of the decode recurrence. Kept faithfully. */
+  def scoreSentence(emissions: Array[Array[Long]], tags: Array[Int],
+      trans: Array[Array[Long]], start: Array[Long],
+      end: Array[Long]): Long = {
+    val n = emissions.length
+    var s = start(tags(0)) + emissions(0)(tags(0))
+    var i = 1
+    while (i < n) {
+      s += trans(tags(i))(tags(i - 1)) + emissions(i)(tags(i))
+      i += 1
+    }
+    s + end(tags(n - 1))
+  }
+
+  /** Path score under the DECODE orientation trans(prev)(cur) — the
+    * quantity Viterbi maximizes; used by specs to assert optimality
+    * (viterbi score == pathScore of the decoded path ≥ pathScore of
+    * any other path). */
+  def pathScore(emissions: Array[Array[Long]], tags: Array[Int],
+      trans: Array[Array[Long]], start: Array[Long],
+      end: Array[Long]): Long = {
+    val n = emissions.length
+    var s = start(tags(0)) + emissions(0)(tags(0))
+    var i = 1
+    while (i < n) {
+      s += trans(tags(i - 1))(tags(i)) + emissions(i)(tags(i))
+      i += 1
+    }
+    s + end(tags(n - 1))
+  }
+}

@@ -96,6 +96,86 @@ object NerTag {
       transform(split(col(textCol), ""),
         c => coalesce(element_at(typedLit(vocab), c), lit(unkId))))
 
+  /** X22/A11/W7: batched CRF Viterbi decode
+    * (bilstm_crf_ner.py:422-461) as a mapPartitions kernel. Input
+    * rows (seq_id: bigint, emissions: array<array<bigint>>); the
+    * model parameters (L×L transitions + start/end vectors — a few
+    * hundred longs) are broadcast once, the Spark analogue of the
+    * reference shipping the CRF layer to each inference worker.
+    * Output one row per (seq_id, pos): the decoded label index plus
+    * the per-sequence best path score. Embarrassingly parallel — no
+    * shuffle; at 100 TB this decodes partition-local with the model
+    * broadcast, exactly the shape the north_star prescribes. */
+  def viterbiDecode(df: DataFrame, trans: Array[Array[Long]],
+      start: Array[Long], end: Array[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((trans, start, end))
+    df.select(col("seq_id").cast("long"), col("emissions"))
+      .as[(Long, Seq[Seq[Long]])]
+      .mapPartitions { it =>
+        val (t, s, e) = bc.value
+        it.flatMap { case (id, em) =>
+          val m = em.iterator.map(_.toArray).toArray
+          val (best, path) = graft.functions.Crf.viterbi(m, t, s, e)
+          path.iterator.zipWithIndex.map { case (lb, pos) =>
+            (id, pos, lb, best)
+          }
+        }
+      }
+      .toDF("seq_id", "pos", "tag", "best")
+  }
+
+  /** Exact exp-domain CRF partition function per sequence
+    * (bilstm_crf_ner.py:365-391; see Crf.forwardPartition for the
+    * base-2 exp-domain contract). Same broadcast/mapPartitions shape
+    * as [[viterbiDecode]]. */
+  def forwardPartition(df: DataFrame, trans: Array[Array[Long]],
+      start: Array[Long], end: Array[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((trans, start, end))
+    df.select(col("seq_id").cast("long"), col("emissions"))
+      .as[(Long, Seq[Seq[Long]])]
+      .mapPartitions { it =>
+        val (t, s, e) = bc.value
+        it.map { case (id, em) =>
+          val m = em.iterator.map(_.toArray).toArray
+          (id, graft.functions.Crf.forwardPartition(m, t, s, e))
+        }
+      }
+      .toDF("seq_id", "z")
+  }
+
+  /** End-to-end NER head: emission scores → Viterbi → BIOES decode →
+    * mentions — the full reference inference path
+    * (bilstm_crf_ner.py:479-506 predict → 599-628 extract_entities),
+    * with the label-index→string vocabulary broadcast alongside the
+    * CRF parameters. Input rows (conv_id, turn_idx, text, emissions);
+    * emissions rows must align 1:1 with text chars. */
+  def viterbiMentions(df: DataFrame, labels: IndexedSeq[String],
+      trans: Array[Array[Long]], start: Array[Long],
+      end: Array[Long]): Dataset[Mention] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((labels, trans, start, end))
+    df.select(col("conv_id"), col("turn_idx"), col("text"), col("emissions"))
+      .as[(String, Int, String, Seq[Seq[Long]])]
+      .mapPartitions { it =>
+        val (vocab, t, s, e) = bc.value
+        it.flatMap { case (conv, turn, text, em) =>
+          if (em.isEmpty) Iterator.empty
+          else {
+            val m = em.iterator.map(_.toArray).toArray
+            val (_, path) = graft.functions.Crf.viterbi(m, t, s, e)
+            val tags = path.toIndexedSeq.map(vocab)
+            Bioes.decode(text, tags).iterator.map(sp =>
+              Mention(conv, turn, sp.text, sp.mtype, sp.begin, sp.end))
+          }
+        }
+      }
+  }
+
   /** Default fixture dictionary: the reference's golden sample entities
     * (NER-model/data/ner_sample.json) + fixture vocabulary. */
   val goldenDict: Map[String, String] = Map(

@@ -137,6 +137,56 @@ object Similarity {
       idx.filter(col("t") === t && col("bucket") === b).select("id")
     }.reduce(_ union _).distinct()
 
+  /** Deterministic ±1 hyperplane family with a TABLE salt —
+    * [[hashSigns]] generalized to multiple hash tables so the
+    * materialized-index architecture itself can run under the
+    * md5-derived family (sign(t,b,d) from md5("t|b|d")) and be
+    * replayed verbatim by a DuckDB twin. */
+  private[graft] def hashSignsTable(dim: Int, bits: Int, table: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until bits).map { b =>
+      (0 until dim).map { d =>
+        md.reset()
+        val first = (md.digest(s"$table|$b|$d".getBytes("UTF-8"))(0) >> 4) & 0xF
+        if (first >= 8) 1L else -1L
+      }
+    }
+  }
+
+  /** [[buildAnnIndex]] generalized over the bucket family: caller
+    * supplies one bucket Column per hash table (e.g. the md5-sign
+    * fold for the driver-oracled family, or [[lshBucketTable]] for
+    * the production murmur3 family). Same index layout: (t, bucket,
+    * id) partitioned by t, sorted by bucket within partitions. */
+  def buildAnnIndexCols(df: DataFrame, idCol: String, path: String,
+      buckets: Seq[Column]): Unit = {
+    df.select(col(idCol).as("id"),
+        explode(array(buckets.zipWithIndex.map { case (b, t) =>
+          struct(lit(t).as("t"), b.cast("long").as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"), col("id"))
+      .repartition(col("t"))
+      .sortWithinPartitions("t", "bucket")
+      .write.mode("overwrite").partitionBy("t").parquet(path)
+  }
+
+  /** [[annTopKIndexed]] generalized: pre-computed query buckets + a
+    * caller-supplied exact score Column over the candidate rows. The
+    * plan shape is identical — partition-pruned index lookups →
+    * distinct candidate ids → left-semi join → re-score top-k. */
+  def annTopKIndexedCols(base: DataFrame, indexPath: String, idCol: String,
+      qb: Seq[Long], score: Column, k: Int, tieBreak: String): DataFrame = {
+    val spark = base.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val candidates = qb.zipWithIndex.map { case (b, t) =>
+      idx.filter(col("t") === t && col("bucket") === b).select("id")
+    }.reduce(_ union _).distinct()
+    base.join(candidates.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+      .withColumn("cos", score)
+      .orderBy(col("cos").desc, col(tieBreak))
+      .limit(k)
+  }
+
 
   /** IVF-style coarse quantization: assign each row to the nearest of
     * `centroids` (broadcast), cluster by cell; queries probe the

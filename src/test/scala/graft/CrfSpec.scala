@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.Crf
+import graft.operators.NerTag
+
+/** CRF inference kernels (bilstm_crf_ner.py:365-461): hand-traced
+  * Viterbi goldens, brute-force optimality/partition properties over
+  * enumerated paths, the _score_sentence transposed-transitions quirk,
+  * and the end-to-end scores → Viterbi → BIOES → mentions path on the
+  * reference's golden sample (NER-model/data/ner_sample.json). */
+class CrfSpec extends SparkSpec {
+
+  // ---- hand-traced golden (L=2, n=3) --------------------------------
+  private val hStart = Array(1L, 0L)
+  private val hEnd = Array(0L, 2L)
+  private val hTrans = Array(Array(0L, 3L), Array(4L, 0L)) // trans(prev)(cur)
+  private val hEm = Array(Array(5L, 1L), Array(0L, 2L), Array(3L, 3L))
+
+  test("viterbi hand-traced golden: score 18, path [0,1,0]") {
+    // v0=(6,1); v1=(6,11) bp=(0,0); v2=(18,14) bp=(1,1); +end=(18,16)
+    val (score, path) = Crf.viterbi(hEm, hTrans, hStart, hEnd)
+    assert(score === 18L)
+    assert(path.toSeq === Seq(0, 1, 0))
+  }
+
+  test("viterbi tie-break: all-zero scores decode to the all-0 path") {
+    val z = Array.fill(4, 3)(0L)
+    val (score, path) = Crf.viterbi(z, Array.fill(3, 3)(0L),
+      Array.fill(3)(0L), Array.fill(3)(0L))
+    assert(score === 0L)
+    assert(path.toSeq === Seq(0, 0, 0, 0))
+  }
+
+  test("scoreSentence uses the TRANSPOSED transitions (reference quirk)") {
+    // path [0,1]: decode orientation adds trans(0)(1)=3;
+    // _score_sentence adds transitions[tags[1]][tags[0]] = trans(1)(0)=4
+    val em = Array(Array(0L, 0L), Array(0L, 0L))
+    val tags = Array(0, 1)
+    assert(Crf.pathScore(em, tags, hTrans, Array(0L, 0L), Array(0L, 0L)) === 3L)
+    assert(Crf.scoreSentence(em, tags, hTrans, Array(0L, 0L), Array(0L, 0L)) === 4L)
+  }
+
+  // ---- brute-force properties over enumerated paths -----------------
+  private def allPaths(n: Int, l: Int): Iterator[Array[Int]] =
+    Iterator.fill(0)(Array.empty[Int]) ++ {
+      def go(k: Int): Iterator[List[Int]] =
+        if (k == 0) Iterator(Nil)
+        else go(k - 1).flatMap(p => (0 until l).iterator.map(_ :: p))
+      go(n).map(_.toArray)
+    }
+
+  test("viterbi == brute-force max over all paths (seeded random instances)") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val n = 1 + rng.nextInt(5)
+      val l = 2 + rng.nextInt(3)
+      val em = Array.fill(n, l)(rng.nextInt(1000).toLong)
+      val tr = Array.fill(l, l)(rng.nextInt(1000).toLong)
+      val st = Array.fill(l)(rng.nextInt(1000).toLong)
+      val en = Array.fill(l)(rng.nextInt(1000).toLong)
+      val (score, path) = Crf.viterbi(em, tr, st, en)
+      val best = allPaths(n, l).map(p => Crf.pathScore(em, p, tr, st, en)).max
+      assert(score === best)
+      assert(Crf.pathScore(em, path, tr, st, en) === score)
+    }
+  }
+
+  test("forwardPartition == Σ over all paths of 2^pathScore") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 25) {
+      val n = 1 + rng.nextInt(4)
+      val l = 2 + rng.nextInt(3)
+      val em = Array.fill(n, l)(rng.nextInt(4).toLong)
+      val tr = Array.fill(l, l)(rng.nextInt(4).toLong)
+      val st = Array.fill(l)(rng.nextInt(4).toLong)
+      val en = Array.fill(l)(rng.nextInt(4).toLong)
+      val z = Crf.forwardPartition(em, tr, st, en)
+      val brute = allPaths(n, l)
+        .map(p => 1L << Crf.pathScore(em, p, tr, st, en)).sum
+      assert(z === brute)
+    }
+  }
+
+  // ---- distributed operator == local kernel -------------------------
+  test("viterbiDecode (mapPartitions) matches the local kernel per sequence") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val l = 4
+    val tr = Array.fill(l, l)(rng.nextInt(500).toLong)
+    val st = Array.fill(l)(rng.nextInt(500).toLong)
+    val en = Array.fill(l)(rng.nextInt(500).toLong)
+    val seqs = (1L to 20L).map { id =>
+      val n = 1 + (id % 6).toInt
+      (id, Seq.fill(n, l)(rng.nextInt(500).toLong).map(_.toSeq))
+    }
+    val df = seqs.toDF("seq_id", "emissions").repartition(4)
+    val got = NerTag.viterbiDecode(df, tr, st, en)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3))).toMap
+    for ((id, em) <- seqs) {
+      val m = em.map(_.toArray).toArray
+      val (best, path) = Crf.viterbi(m, tr, st, en)
+      for ((lb, pos) <- path.zipWithIndex)
+        assert(got((id, pos)) === ((lb, best)), s"seq $id pos $pos")
+    }
+  }
+
+  // ---- end-to-end: scores → Viterbi → BIOES → mentions --------------
+  test("viterbiMentions recovers the golden sample entities") {
+    import spark.implicits._
+    // ner_sample.json sentence 2: 李明在清华大学读书
+    val text = "李明在清华大学读书"
+    val gold = Seq("B-PER", "I-PER", "O", "B-ORG", "I-ORG", "I-ORG",
+      "I-ORG", "O", "O")
+    val vocab = Vector("O", "B-PER", "I-PER", "B-ORG", "I-ORG")
+    val em: Seq[Seq[Long]] =
+      gold.map(g => vocab.map(v => if (v == g) 10L else 0L))
+    val df = Seq(("c1", 0, text, em))
+      .toDF("conv_id", "turn_idx", "text", "emissions")
+    val l = vocab.length
+    val ms = NerTag.viterbiMentions(df, vocab, Array.fill(l, l)(0L),
+      Array.fill(l)(0L), Array.fill(l)(0L)).collect()
+    assert(ms.map(m => (m.text, m.mtype)).toSet ===
+      Set(("李明", "PER"), ("清华大学", "ORG")))
+  }
+}
