@@ -254,6 +254,20 @@ object TripleExtract {
 
   private val Reset = "\u0000RESET"
 
+  /** Memoized persisted parse+window stage per (app, input plan): the
+    * nodes path consumes it via THREE branches (defs, prop events,
+    * their join) and the edges path via a fourth; per-branch column
+    * pruning makes the conv_id exchanges canonically different, so
+    * Catalyst cannot ReusedExchange them and the regex parse + three
+    * windows replay once per branch (measured 3× in the
+    * kg_nodes_relational physical plan). Persisting the windowed
+    * parse runs it exactly once — the same "materialize the parsed
+    * table once, many consumers" shape a 100-TB run would use as an
+    * explicit checkpoint stage. Bounded: one entry per distinct
+    * transcript input per app (the driver batteries use ≤3). */
+  private val parsedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+
   def extractRelational(transcripts: DataFrame): (Dataset[Node], Dataset[Edge]) = {
     val spark = transcripts.sparkSession
     import spark.implicits._
@@ -261,7 +275,9 @@ object TripleExtract {
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     val wCur = w.rowsBetween(Window.unboundedPreceding, 0)
 
-    val p = parsed(transcripts)
+    val pKey = (spark.sparkContext.applicationId,
+      transcripts.queryExecution.analyzed.semanticHash())
+    val p = parsedCache.getOrElseUpdate(pKey, parsed(transcripts)
       .withColumn("ord", row_number().over(w))
       .withColumn("marker",
         when(col("isHeader"), lit(Reset))
@@ -272,6 +288,7 @@ object TripleExtract {
       .withColumn("ccAfter", last(col("marker"), ignoreNulls = true).over(wCur))
       .withColumn("ccBefore", when(col("ccBefore") === Reset, lit(null)).otherwise(col("ccBefore")))
       .withColumn("ccAfter", when(col("ccAfter") === Reset, lit(null)).otherwise(col("ccAfter")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val defs = p.filter(col("cIndent") > 0)
       .select(col("conv_id"), col("cid"), col("cName"), col("cType"),
