@@ -144,6 +144,20 @@ object SparkEntry {
       val (nodes, _, _) = KgPipeline.runLite(t)
       nodes.withColumn("props", to_json(col("props")))
     }),
+    // The fixture corpus itself, dumped so the kg_mentions twin can
+    // read the SAME input from DuckDB (__GRAFT_OUT__ substitution in
+    // Verify) — DuckDB cannot re-run the xorshift synthesizer, but it
+    // can independently re-derive mentions from the raw text.
+    "kg_transcripts" -> ((s, dir) => {
+      val t = transcripts(s, math.min(TranscriptGen.convsForSfDir(dir), 500L))
+      t.select(col("conv_id"), col("turn_idx"), col("text"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+    // DuckDB-oracled as of r6: the twin replays the greedy
+    // leftmost-longest dictionary tagger (tag → BIOES → decode
+    // collapses to exactly the greedy match set) over kg_transcripts
+    // via a recursive scan — next mention = min start ≥ scan position,
+    // longest surface at that start.
     "kg_mentions" -> ((s, dir) => {
       val t = transcripts(s, math.min(TranscriptGen.convsForSfDir(dir), 500L))
       NerTag.mentions(t.toDF(), NerTag.fixtureDict).toDF()
@@ -2984,6 +2998,55 @@ object SparkEntry {
       ORDER BY seq_id"""
   }
 
+  /** kg_mentions twin: the greedy leftmost-longest dictionary tagger
+    * (NerTag.tag → BIOES → decode collapses to exactly the greedy
+    * match set) replayed over the kg_transcripts input dump. The
+    * dictionary VALUES are generated from NerTag.fixtureDict (single
+    * source); candidate occurrences are enumerated at EVERY position
+    * (split-based enumeration would miss self-overlapping repeats);
+    * the scan itself is a recursive CTE — next mention = candidate
+    * with min start ≥ scan position, longest surface at that start. */
+  private val KgMentionsTwinSql: String = {
+    val dictVals = graft.operators.NerTag.fixtureDict.toSeq.sorted
+      .map { case (e, t) => s"('${e.replace("'", "''")}','$t')" }
+      .mkString(",\n        ")
+    s"""
+      WITH turns AS (SELECT conv_id, turn_idx, text
+                     FROM read_parquet('__GRAFT_OUT__/kg_transcripts/*.parquet')),
+      ent AS (SELECT * FROM (VALUES
+        $dictVals) e(surf, typ)),
+      pairs AS (
+        SELECT t.conv_id, t.turn_idx, t.text, e.surf, e.typ,
+               length(e.surf) AS elen
+        FROM turns t JOIN ent e ON strpos(t.text, e.surf) > 0),
+      occ AS (
+        SELECT p.conv_id, p.turn_idx, p.surf, p.typ, p.elen, u.pos
+        FROM pairs p,
+             unnest(range(1, length(p.text) - p.elen + 2)) AS u(pos)
+        WHERE substr(p.text, CAST(u.pos AS INTEGER), p.elen) = p.surf),
+      base AS (SELECT DISTINCT conv_id, turn_idx FROM occ),
+      sel AS (
+        WITH RECURSIVE r AS (
+          SELECT conv_id, turn_idx, CAST(1 AS BIGINT) AS scanpos,
+                 CAST(NULL AS VARCHAR) AS surf, CAST(NULL AS VARCHAR) AS typ,
+                 CAST(0 AS BIGINT) AS startpos, 0 AS elen
+          FROM base
+          UNION ALL
+          SELECT r.conv_id, r.turn_idx, n.pos + n.elen, n.surf, n.typ,
+                 n.pos, n.elen
+          FROM r, LATERAL (
+            SELECT o.surf, o.typ, o.pos, o.elen FROM occ o
+            WHERE o.conv_id = r.conv_id AND o.turn_idx = r.turn_idx
+              AND o.pos >= r.scanpos
+            ORDER BY o.pos, o.elen DESC LIMIT 1) n)
+        SELECT * FROM r WHERE surf IS NOT NULL)
+      SELECT conv_id, turn_idx, surf AS text, typ AS mtype,
+             CAST(startpos - 1 AS INTEGER) AS begin,
+             CAST(startpos - 1 + elen AS INTEGER) AS "end"
+      FROM sel
+      ORDER BY conv_id, turn_idx, begin"""
+  }
+
   /** Derandomized random-walk replay shared by g12_walks/g13_sgpairs:
     * the customer—nation—region symmetric closure, dst-sorted neighbor
     * index, and 3 unrolled steps picking neighbor
@@ -3879,6 +3942,8 @@ object SparkEntry {
           ORDER BY rel, dst) AS text,
         count(*) AS n_facts
       FROM e GROUP BY src ORDER BY src"""),
+
+    "kg_mentions" -> KgMentionsTwinSql,
 
     "x22_viterbi" -> ViterbiTwinSql,
 
@@ -5278,6 +5343,67 @@ object SparkEntry {
         least(stop_hits / greatest(nw * 0.05, 1.0), 1.0) * 0.1 +
         ndw / greatest(nw, 1.0) * 0.2, 4) AS quality
       FROM c ORDER BY doc_id"""),
+
+    // text_chunks (r6): the tolerance-window splitter replayed exactly
+    // for the synthesized input class. The fixture markdown has NO
+    // newlines inside text/source/lang, so MdPattern finds exactly
+    // three structural matches — M1 "\n\n" after the heading (priority
+    // 1), M2 "\n-" at the list line (priority 0 — the reference's
+    // get_priority quirk: every match starts with \n so the anchored
+    // probes never fire), M3 "\n\n" before the ordered list (priority
+    // 1) — at char positions computable from field lengths. The
+    // kernel's per-match state machine (split if bytes>250; reverse
+    // tolerance-window scan gated by the hierarchy top, which is [1]
+    // at M2 — skipping M2 itself — and [0] at M3) then unrolls to
+    // closed-form CASE logic: step 2 splits at p1 if it is inside the
+    // window and within maxLen chars, else at e2; step 3 at p2 if
+    // inside the window, else p3 (bounded by maxLen), else e3. Byte
+    // lengths via octet_length(encode(...)) = utf8Len; window
+    // arithmetic in CHARS (the reference's bytes/chars mixing, kept).
+    "text_chunks" -> ("""
+      WITH d AS (SELECT doc_id,
+          '## ' || '文档' || doc_id || chr(10) || chr(10) || text ||
+            chr(10) || '- source ' || source || chr(10) || chr(10) ||
+            '1. lang ' || lang || chr(10) AS c,
+          length('## ' || '文档' || doc_id) AS p1,
+          length(text) AS ct, length(source) AS cs, length(lang) AS cl
+        FROM documents),
+      pos AS (SELECT doc_id, c, p1,
+          p1 + 2 + ct AS p2, p1 + 4 + ct AS e2,
+          p1 + 12 + ct + cs AS p3, p1 + 14 + ct + cs AS e3,
+          p1 + 23 + ct + cs + cl AS llen
+        FROM d),
+      s2c AS (SELECT *,
+          CASE WHEN octet_length(encode(substr(c, 1, e2))) > 250 THEN
+            CASE WHEN p1 >= greatest(0, e2 - 250) AND e2 - p1 <= 200
+                 THEN p1 ELSE e2 END
+          END AS s2
+        FROM pos),
+      l2c AS (SELECT *, coalesce(s2, 0) AS last2 FROM s2c),
+      b3c AS (SELECT *,
+          CASE WHEN p2 >= greatest(last2, e3 - 250) THEN p2 ELSE p3 END
+            AS best3
+        FROM l2c),
+      s3c AS (SELECT *,
+          CASE WHEN octet_length(encode(substr(c, last2 + 1, e3 - last2)))
+                    > 250 THEN
+            CASE WHEN e3 - best3 <= 200 THEN best3 ELSE e3 END
+          END AS s3
+        FROM b3c),
+      fin AS (SELECT *, coalesce(s3, last2) AS last3 FROM s3c),
+      chunks AS (
+        SELECT doc_id, 0 AS st, s2 AS en, c FROM fin WHERE s2 IS NOT NULL
+        UNION ALL
+        SELECT doc_id, coalesce(s2, 0), s3, c FROM fin WHERE s3 IS NOT NULL
+        UNION ALL
+        SELECT doc_id, last3, llen, c FROM fin)
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1
+          AS INTEGER) AS chunk_idx,
+        length(substr(c, st + 1, en - st)) AS chunk_chars,
+        md5(substr(c, st + 1, en - st)) AS chunk_md5
+      FROM chunks
+      ORDER BY doc_id, chunk_idx"""),
 
     "w4_chunk_split" -> ("""
       WITH c AS (SELECT lang, doc_id,

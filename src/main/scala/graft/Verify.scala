@@ -43,9 +43,15 @@ object Verify {
     // when a query filter is active, dump only the matching oracles —
     // the full map would make the compare error on (or worse, silently
     // reuse stale parquet for) the queries that didn't run
+    // __GRAFT_OUT__ lets an oracle read an INPUT dump written by this
+    // run (e.g. kg_transcripts — the fixture corpus DuckDB can't
+    // synthesize itself); substituted with the actual out dir so the
+    // driver's DuckDB sees an absolute path
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
