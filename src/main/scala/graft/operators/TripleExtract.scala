@@ -277,7 +277,7 @@ object TripleExtract {
 
     val pKey = (spark.sparkContext.applicationId,
       transcripts.queryExecution.analyzed.semanticHash())
-    val p = parsedCache.getOrElseUpdate(pKey, parsed(transcripts)
+    val p0 = parsedCache.getOrElseUpdate(pKey, parsed(transcripts)
       .withColumn("ord", row_number().over(w))
       .withColumn("marker",
         when(col("isHeader"), lit(Reset))
@@ -289,6 +289,14 @@ object TripleExtract {
       .withColumn("ccBefore", when(col("ccBefore") === Reset, lit(null)).otherwise(col("ccBefore")))
       .withColumn("ccAfter", when(col("ccAfter") === Reset, lit(null)).otherwise(col("ccAfter")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // self-healing re-mark: a harness clearCache() between queries
+    // evicts the entry; without the persist marker the 3 consumer
+    // branches would silently replay the parse per branch again
+    val p = {
+      if (p0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p0
+    }
 
     val defs = p.filter(col("cIndent") > 0)
       .select(col("conv_id"), col("cid"), col("cName"), col("cType"),
