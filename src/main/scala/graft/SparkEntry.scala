@@ -2344,6 +2344,69 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exactly-once RESUMABLE curation (r6): the same injected corpus
+    // through Curation.curateResumable — full run, then an injected
+    // partial failure (two bucket markers deleted, one bucket's data
+    // dir destroyed), then resume. The resumed output must equal the
+    // one-shot pipeline exactly (the DuckDB twin recomputes it from
+    // scratch), with per-bucket lineage markers matching the
+    // committed data.
+    "curate_resume" -> ((s, dir) => {
+      val out = scratchPath(s, dir, s"curres_${streamSeq.incrementAndGet()}")
+      val base = when(pmod(col("doc_id"), lit(97)) === 0,
+          repeat(lit("x"), 20001))
+        .when(pmod(col("doc_id"), lit(83)) === 0,
+          lit("duplicate corpus payload text here verbatim"))
+        .otherwise(coalesce(col("text"), lit("")))
+      val injected = concat(base,
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nSHARED NAV boilerplate - subscribe now")).otherwise(lit("")))
+      val docs = tbl(s, dir, "documents").withColumn("text", injected)
+        .select(col("doc_id"), col("text"))
+      val B = 8
+      val byId = (key: Column, b: Int) => pmod(key, lit(b))
+      Curation.curateResumable(docs, "doc_id", "text", out,
+        buckets = B, groupSize = 2, bucketOf = byId).count()
+      val done1 = graft.sources.Checkpoint.doneBuckets(s, s"$out/out")
+      require(done1 == (0 until B).toSet, s"phase1 committed $done1")
+      // injected kill: markers for buckets 2 and 6 gone, bucket 6's
+      // data destroyed mid-write
+      val root = new java.io.File(out, "out")
+      Seq(2, 6).foreach(b =>
+        new java.io.File(root, s"_done_$b.json").delete(): Unit)
+      def rmr(fl: java.io.File): Unit = {
+        val sub = fl.listFiles
+        if (sub != null) sub.foreach(rmr)
+        fl.delete(): Unit
+      }
+      rmr(new java.io.File(root, "data/bucket=6"))
+      require(graft.sources.Checkpoint.doneBuckets(s, s"$out/out") ==
+        Set(0, 1, 3, 4, 5, 7), "kill injection failed")
+      // resume: must rebuild exactly buckets 2 and 6, reusing the
+      // phase-A artifacts (their marker survived the kill)
+      Curation.curateResumable(docs, "doc_id", "text", out,
+        buckets = B, groupSize = 2, bucketOf = byId)
+      val done2 = graft.sources.Checkpoint.doneBuckets(s, s"$out/out")
+      require(done2 == (0 until B).toSet, s"resume committed $done2")
+      val committed = graft.sources.Checkpoint.readCommitted(s, s"$out/out")
+      // marker counters must equal the committed data, bucket by bucket
+      val fromData = committed
+        .groupBy(pmod(col("doc_id"), lit(B)).cast("int").as("b"))
+        .agg(count(lit(1)).as("cnt")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val fromMarkers = graft.sources.Checkpoint.counters(s, s"$out/out")
+      val padded = fromMarkers.map { case (b, _) =>
+        b -> fromData.getOrElse(b, 0L) }
+      require(fromMarkers == padded,
+        s"marker counters $fromMarkers diverge from data $fromData")
+      committed.select(col("doc_id"), md5(col("text")).as("final_md5"),
+          pmod(col("doc_id"), lit(B)).cast("int").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // the curation AUDIT: per-stage shrink counts over the same
     // injected corpus as curate_pipeline — six lazy aggregates, no
     // cross join, every count CTE-replayable
@@ -4655,6 +4718,46 @@ object SparkEntry {
       clean AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS text
                 FROM kept GROUP BY doc_id)
       SELECT doc_id, md5(text) AS final_md5 FROM clean
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      ORDER BY doc_id"""),
+
+    // the one-shot pipeline recomputed from scratch + the bucket
+    // assignment — the kill/resume output must equal it exactly
+    "curate_resume" -> ("""
+      WITH inj AS (SELECT doc_id,
+          CASE WHEN doc_id % 97 = 0 THEN repeat('x', 20001)
+               WHEN doc_id % 83 = 0
+                 THEN 'duplicate corpus payload text here verbatim'
+               ELSE coalesce(text, '') END
+          || CASE WHEN doc_id % 5 = 0
+               THEN ' contact u' || doc_id::VARCHAR || '@example.com'
+               ELSE '' END
+          || CASE WHEN doc_id % 2 = 0
+               THEN chr(10) || 'SHARED NAV boilerplate - subscribe now'
+               ELSE '' END AS text
+        FROM documents),
+      gated AS (SELECT doc_id, text FROM inj
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+          AND length(text) <= 20000),
+      red AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+            '\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}', '[PHONE]', 'g') AS text
+        FROM gated),
+      lines AS (SELECT doc_id,
+          unnest(string_split(text, chr(10))) AS l,
+          generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM red),
+      hot AS (SELECT md5(trim(l)) AS h FROM lines WHERE trim(l) <> ''
+              GROUP BY md5(trim(l)) HAVING count(DISTINCT doc_id) > 50),
+      kept AS (SELECT doc_id, l, pos FROM lines
+               WHERE trim(l) = '' OR md5(trim(l)) NOT IN (SELECT h FROM hot)),
+      clean AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id)
+      SELECT doc_id, md5(text) AS final_md5,
+             CAST(doc_id % 8 AS INT) AS bucket
+      FROM clean
       QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
       ORDER BY doc_id"""),
 

@@ -218,4 +218,97 @@ object Curation {
     (urlMetrics ++ Seq(rowMetrics, hotMetric, cleanMetrics))
       .reduce(_ union _)
   }
+
+  /** Exactly-once RESUMABLE curation (default stages: gates → PII →
+    * boilerplate → exact dedup) — the operational gap a 100-TB run
+    * actually hits: a mid-corpus kill must not re-clean finished
+    * buckets. Two phases, both idempotent:
+    *
+    *   Phase A — corpus-global ARTIFACTS, committed once behind an
+    *   atomic `_artifacts_done.json` marker: the boilerplate hot-line
+    *   census (md5 of hot trimmed lines) and the exact-dup SURVIVOR id
+    *   set (min id per md5(clean text) — [[Dedup.exactGroups]]' rule,
+    *   identical to [[Dedup.exact]]). These are the only stages that
+    *   need the whole corpus; they are two aggregation jobs over one
+    *   logical scan, and a kill inside them just reruns them.
+    *
+    *   Phase B — per-BUCKET rewrite through
+    *   [[graft.sources.Checkpoint.runResumable]]: each id-bucket
+    *   re-derives gate + redaction + hot-line removal locally (pure
+    *   per-row work, no shuffle beyond the reassembly groupBy) and
+    *   left-semi joins the survivor artifact; buckets commit with
+    *   per-bucket done markers + row-count lineage, so resume skips
+    *   finished buckets exactly-once.
+    *
+    * Output = committed buckets (== [[curate]] with default options,
+    * modulo the extra `bucket` lineage column). Counters recomputed
+    * from markers via [[graft.sources.Checkpoint.counters]]. */
+  def curateResumable(df: DataFrame, idCol: String, textCol: String,
+      outDir: String, buckets: Int = 16, groupSize: Int = 4,
+      minTokens: Int = 5, maxChars: Int = 20000,
+      boilerplateMaxDocs: Long = 50L,
+      bucketOf: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        graft.sources.Checkpoint.hashBucket): DataFrame = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+
+    def gatedRedacted(d: DataFrame): DataFrame = d
+      .filter(
+        TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))) >= minTokens &&
+        length(coalesce(col(textCol), lit(""))) <= maxChars)
+      .withColumn(textCol, Pii.redact(col(textCol)))
+    def linesOf(d: DataFrame, extra: Seq[String]): DataFrame = d
+      .select(col(idCol) +: extra.map(col) :+
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "l")): _*)
+      .withColumn("h", when(trim(col("l")) =!= "", md5(trim(col("l")))))
+
+    val hotPath = s"$outDir/hot_lines"
+    val survPath = s"$outDir/survivors"
+    val artMarker = new org.apache.hadoop.fs.Path(s"$outDir/_artifacts_done.json")
+    if (!fs.exists(artMarker)) {
+      val lines = linesOf(gatedRedacted(df), Nil)
+      lines.filter(col("h").isNotNull)
+        .select(col("h"), col(idCol)).distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > boilerplateMaxDocs)
+        .select(col("h"))
+        .write.mode("overwrite").parquet(hotPath)
+      val hot = spark.read.parquet(hotPath)
+        .withColumnRenamed("h", "_hoth")
+      val clean = lines.join(hot, col("h") === col("_hoth"), "left_anti")
+        .groupBy(idCol).agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("l")))),
+            s => s.getField("l")), "\n").as("_ct"))
+      Dedup.exactGroups(clean, idCol, "_ct")
+        .select(col("keep").as(idCol))
+        .write.mode("overwrite").parquet(survPath)
+      // atomic-ish commit: write marker last (same discipline as the
+      // per-bucket markers)
+      val tmp = new org.apache.hadoop.fs.Path(s"$outDir/._artifacts.tmp")
+      val os = fs.create(tmp, true)
+      os.write(s"""{"artifacts":["hot_lines","survivors"]}""".getBytes("UTF-8"))
+      os.close()
+      fs.rename(tmp, artMarker)
+    }
+    val hot = spark.read.parquet(hotPath).withColumnRenamed("h", "_hoth")
+    val surv = spark.read.parquet(survPath)
+
+    graft.sources.Checkpoint.runResumable(
+      df,
+      slice => {
+        val kept = linesOf(gatedRedacted(slice), Seq("bucket"))
+          .join(hot, col("h") === col("_hoth"), "left_anti")
+          .groupBy(col(idCol), col("bucket")).agg(
+            array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("l")))),
+              s => s.getField("l")), "\n").as(textCol))
+        kept.join(surv, Seq(idCol), "left_semi")
+      },
+      s"$outDir/out", buckets, groupSize, keyCol = idCol, bucketOf = bucketOf)
+    graft.sources.Checkpoint.readCommitted(spark, s"$outDir/out")
+  }
 }
