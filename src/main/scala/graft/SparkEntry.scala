@@ -2522,6 +2522,18 @@ object SparkEntry {
         .orderBy("a")
     }),
 
+    // edit-distance near-dup (r6): sorted-neighborhood candidates on
+    // the text prefix, thresholded-Levenshtein verify; doc_id%3 rows
+    // get a one-char suffix so genuine distance-1 neighbor pairs exist
+    "dedup_editdist" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(substring(coalesce(col("text"), lit("")), 1, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("x"))
+            .otherwise(lit(""))).as("t"))
+      Dedup.editDistancePairs(d, "doc_id", "t", window = 4, maxDist = 2)
+        .orderBy("a", "b")
+    }),
+
     // W4 full semantics: structure-aware tolerance-window splitter
     // (read_instruct.py:58-139 faithful kernel; Python-parity via the
     // chunk_golden fixture test). Markdown synthesized per doc so the
@@ -4045,6 +4057,19 @@ object SparkEntry {
       FROM e GROUP BY src ORDER BY src"""),
 
     "kg_mentions" -> KgMentionsTwinSql,
+
+    // sorted-neighborhood rank + window-4 probe + Levenshtein verify
+    "dedup_editdist" -> ("""
+      WITH d AS (SELECT doc_id, substr(coalesce(text, ''), 1, 40) ||
+          CASE WHEN doc_id % 3 = 0 THEN 'x' ELSE '' END AS t
+        FROM documents),
+      r AS (SELECT doc_id, t,
+          row_number() OVER (ORDER BY t, doc_id) - 1 AS rk FROM d),
+      p AS (SELECT a.doc_id AS a, a.t AS ta, b.doc_id AS b, b.t AS tb
+            FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3)
+      SELECT a, b, levenshtein(ta, tb) AS dist FROM p
+      WHERE levenshtein(ta, tb) <= 2
+      ORDER BY a, b"""),
 
     "x22_viterbi" -> ViterbiTwinSql,
 

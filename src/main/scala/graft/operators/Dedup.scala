@@ -900,4 +900,23 @@ object Dedup {
       .join(dropped, Seq(idCol), "left_anti")
     out
   }
+
+  /** Bounded edit-distance near-dup pairs (engine extension, r6) —
+    * the typo-class complement of the Jaccard/MinHash family: token
+    * sets miss single-character edits inside long tokens, Levenshtein
+    * catches them. Candidates come from sorted-neighborhood blocking
+    * on the text itself ([[Blocking.sortedNeighborhood]] — near-miss
+    * strings are lexicographic neighbors), verified with the
+    * THRESHOLDED Levenshtein kernel: `levenshtein(a, b, maxDist)`
+    * early-exits above the band, O(maxDist·len) per pair instead of
+    * O(len²), and never materializes a full DP matrix per candidate.
+    * Work is exactly n·(window−1) verify pairs — no all-pairs join. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int, maxDist: Int): DataFrame =
+    Blocking.sortedNeighborhood(df, idCol, textCol, window)
+      .withColumn("dist",
+        levenshtein(col(s"${textCol}_a"), col(s"${textCol}_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col(s"${idCol}_a").as("a"), col(s"${idCol}_b").as("b"),
+        col("dist"))
 }

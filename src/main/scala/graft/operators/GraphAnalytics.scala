@@ -46,8 +46,9 @@ object GraphAnalytics {
     * One eager `count()` (N) before the loop; per round, one join on
     * `src` + one aggregate on `dst`, nothing driver-side. */
   def pageRank(edges: DataFrame, iterations: Int = 3, dampingPct: Int = 85,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    require(checkpointEvery >= 1)
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
     val ed = e.join(deg, "src").persist()
@@ -58,15 +59,21 @@ object GraphAnalytics {
     val base = ((100L - dampingPct) * init) / 100L
     var ranks = verts.withColumn("rank", lit(init))
       .localCheckpoint(eager = true)
-    for (_ <- 0 until iterations) {
+    for (i <- 0 until iterations) {
       val sums = ed.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rank div od").as("contrib"))
         .groupBy("id").agg(sum("contrib").as("m"))
-      ranks = verts.join(sums, Seq("id"), "left")
+      val next = verts.join(sums, Seq("id"), "left")
         .select(col("id"),
           expr(s"${base}L + (${dampingPct}L * coalesce(m, 0L)) div 100L")
             .as("rank"))
-        .localCheckpoint(eager = true)
+      // lineage cut every `checkpointEvery` rounds (and always on the
+      // last): the checkpoint is a pure materialization, so any
+      // cadence is bit-identical — a sparser cadence trades one extra
+      // in-job recompute of the skipped round for one fewer
+      // materialization job (measured in tools.PrCadence)
+      ranks = if ((i + 1) % checkpointEvery == 0 || i == iterations - 1)
+        next.localCheckpoint(eager = true) else next
     }
     e.unpersist(); ed.unpersist(); verts.unpersist()
     ranks

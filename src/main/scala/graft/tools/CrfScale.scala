@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.fixtures.TranscriptGen
+import graft.operators.NerTag
+
+/** Scale + identity proof for the CRF Viterbi decode kernel
+  * (bilstm_crf_ner.py:422-461 → functions.Crf / NerTag.viterbiDecode):
+  * `n` synthetic sequences (L=5 labels × 16 steps, emissions from the
+  * per-block xorshift stream), decoded through the REAL broadcast-model
+  * mapPartitions operator, verified two ways —
+  *
+  *   (a) ANALYTIC block identity: sequences come in 4096 emission
+  *       blocks (seq i uses block i mod 4096), so the decoded path of
+  *       every sequence must equal its block's path — the whole output
+  *       collapses to exactly 4096 distinct (block, path-hash) rows, a
+  *       full-output correctness check with no reference run;
+  *   (b) cross-parallelism identity: an order-independent checksum of
+  *       all (seq_id, pos, tag, best) rows, printed so local[8] and
+  *       local[32] runs of the same input diff BITWISE (integer
+  *       arithmetic — the GraphScale/CurateScale discipline).
+  *
+  * Usage: graft.tools.CrfScale [nSeqs]   (default 1,000,000 → 16M
+  * decoded positions)
+  */
+object CrfScale {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-crf-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val L = 5
+    val len = 16
+    val blocks = 4096L
+    // fixed integer model (deterministic, engine-independent)
+    val trans = Array.tabulate(L, L)((p, c) => ((p * 31 + c * 17) % 97).toLong)
+    val start = Array.tabulate(L)(l => ((l * 13) % 41).toLong)
+    val end = Array.tabulate(L)(l => ((l * 7) % 29).toLong)
+
+    val seqs = spark.range(n).map { id =>
+      val r = new TranscriptGen.Rng((id % blocks) * 0x9E3779B97F4A7C15L + 1)
+      (id, Seq.fill(len)(Seq.fill(L)((r.nextLong() >>> 44))))
+    }.toDF("seq_id", "emissions")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSeqs = seqs.count() // input materialized outside the timed decode
+
+    val t0 = System.nanoTime()
+    val out = NerTag.viterbiDecode(seqs, trans, start, end)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val row = out.agg(
+      count(lit(1)).as("rows"),
+      expr("bit_xor(xxhash64(seq_id, pos, tag, best))").as("checksum")).collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rows = row.getLong(0)
+    val checksum = row.getLong(1)
+
+    // (a) block identity: one distinct path per emission block
+    val distinctPaths = out
+      .groupBy(col("seq_id"))
+      .agg(expr("bit_xor(xxhash64(pos, tag))").as("ph"),
+        first(col("best")).as("b"))
+      .select(pmod(col("seq_id"), lit(blocks)).as("blk"), col("ph"), col("b"))
+      .distinct().count()
+    require(distinctPaths == math.min(blocks, n),
+      s"block identity violated: $distinctPaths distinct (block, path) rows")
+
+    println(s"""{"tool":"CrfScale","n_seqs":$nSeqs,"rows":$rows,""" +
+      s""""decode_sec":$sec,"seqs_per_sec":${nSeqs / sec},""" +
+      s""""checksum":$checksum,"distinct_block_paths":$distinctPaths,""" +
+      s""""cpus":$cpus}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.GraphAnalytics
+
+/** Checkpoint-cadence experiment for the iterative graph family
+  * (VERDICT r5 #10): the same 7M-edge motif graph (GraphScale's
+  * 6-cycle+chord groups) through pageRank at lineage-cut cadence 1
+  * (every round) vs 2 (every second round), 3 iterations each. The
+  * localCheckpoint is a pure materialization, so the outputs MUST be
+  * bit-identical (asserted on order-independent checksums); the
+  * experiment measures whether skipping materializations — at the
+  * cost of recomputing the skipped round inside the next job — saves
+  * wall clock.
+  *
+  * Usage: graft.tools.PrCadence [groups] [reps]   (default 1,000,000
+  * groups → 7M edges; 2 interleaved reps per cadence — this box's
+  * steal windows make single timings meaningless)
+  */
+object PrCadence {
+  def main(args: Array[String]): Unit = {
+    val groups = if (args.length > 0) args(0).toLong else 1000000L
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pr-cadence")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def vid(c: org.apache.spark.sql.Column) = format_string("v%09d", c)
+    val edges = spark.range(groups * 7).select(
+        (col("id") / 7).cast("long").as("g"), pmod(col("id"), lit(7)).as("o"))
+      .select(
+        vid(col("g") * 6 + when(col("o") < 6, col("o")).otherwise(lit(0)))
+          .as("src"),
+        vid(col("g") * 6 + when(col("o") < 6, pmod(col("o") + 1, lit(6)))
+          .otherwise(lit(3))).as("dst"))
+      .persist()
+    val nEdges = edges.count()
+
+    def run(cadence: Int): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val pr = GraphAnalytics.pageRank(edges, iterations = 3,
+        checkpointEvery = cadence)
+      val cs = pr.select(expr("bit_xor(xxhash64(id, rank))")).collect()(0)
+        .getLong(0)
+      ((System.nanoTime() - t0) / 1e9, cs)
+    }
+    // interleaved reps: c1, c2, c1, c2, … so a steal-window flip hits
+    // both cadences symmetrically
+    val runs = (1 to reps).flatMap(_ => Seq(1 -> run(1), 2 -> run(2)))
+    val cs = runs.map(_._2._2).distinct
+    require(cs.size == 1,
+      s"cadence changed the output: checksums $cs — must be bit-identical")
+    def secs(c: Int) = runs.collect { case (`c`, (s, _)) => s }
+    val j = (c: Int) => secs(c).map(s => f"$s%.2f").mkString("[", ",", "]")
+    println(s"""{"tool":"PrCadence","edges":$nEdges,"reps":$reps,""" +
+      s""""checksum":${cs.head},"cadence1_sec":${j(1)},""" +
+      s""""cadence2_sec":${j(2)},""" +
+      s""""cadence1_min":${secs(1).min},"cadence2_min":${secs(2).min},""" +
+      s""""cpus":$cpus}""")
+    spark.stop()
+  }
+}

@@ -1002,4 +1002,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rep == Set((1L, 2L)))
   }
+
+  test("editDistancePairs: SNM candidates, thresholded Levenshtein verify") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "kitten sat here"),   // dist 1 from 2 (typo class)
+      (2L, "mitten sat here"),
+      (3L, "mitten sat hereXYZ"), // dist 3 from 2 — above band
+      (4L, "zzz completely different"),
+      (5L, "kitten sat hers")    // dist 2 from 1
+    ).toDF("doc_id", "t")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "t",
+        window = 5, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // sorted order: 1 < 5 < 2 < 3 < 4; verified at ≤2 edits:
+    // (1,5)=1 (here→hers), (1,2)=1 (k→m), (5,2)=2 (k→m + s→e);
+    // (2,3)=3 (XYZ suffix) excluded, everything with 4 is far
+    assert(pairs === Set((1L, 5L, 1), (1L, 2L, 1), (5L, 2L, 2)))
+    // partitioning invariance (the SNM rank is total-order stable)
+    val rep = Dedup.editDistancePairs(docs.repartition(4), "doc_id", "t",
+        window = 5, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rep == pairs)
+  }
 }
