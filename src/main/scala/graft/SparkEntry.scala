@@ -180,14 +180,20 @@ object SparkEntry {
     "kg_canonical" -> ((s, dir) => {
       val t = transcripts(s, math.min(TranscriptGen.convsForSfDir(dir), 500L))
       val (nodes, _, _) = KgPipeline.runLite(t)
-      nodes.withColumn("props", to_json(col("props")))
+      // canonical serialization: entries sorted by key, so the props
+      // column is deterministic (the kernel's Map iteration order is
+      // engine-specific beyond 4 entries) and DuckDB-comparable
+      nodes.withColumn("props",
+        to_json(map_from_entries(array_sort(map_entries(col("props"))))))
     }),
-    // The fixture corpus itself, dumped so the kg_mentions twin can
-    // read the SAME input from DuckDB (__GRAFT_OUT__ substitution in
-    // Verify) — DuckDB cannot re-run the xorshift synthesizer, but it
-    // can independently re-derive mentions from the raw text.
+    // The fixture corpus itself, dumped so the kg_* text-level twins
+    // can read the SAME input from DuckDB (__GRAFT_OUT__ substitution
+    // in Verify) — DuckDB cannot re-run the xorshift synthesizer, but
+    // it can independently re-parse the raw text. FULL fixture set at
+    // this sf (not capped): kg_triples consumes every conversation;
+    // the capped twins filter by numeric conv index.
     "kg_transcripts" -> ((s, dir) => {
-      val t = transcripts(s, math.min(TranscriptGen.convsForSfDir(dir), 500L))
+      val t = transcripts(s, TranscriptGen.convsForSfDir(dir))
       t.select(col("conv_id"), col("turn_idx"), col("text"))
         .orderBy("conv_id", "turn_idx")
     }),
@@ -222,11 +228,16 @@ object SparkEntry {
       graft.sources.Exporters.ttlLines(
         nodes.as[graft.model.Node], edges.as[graft.model.Edge])
     }),
+    // DuckDB-oracled as of r6 via the canonical serialization
+    // (jsonldSorted: key-sorted prop entries, deterministic field
+    // order) — the plain map-serialization variant `jsonld` differs
+    // only in the to_json shape (same joins/groupBys) and stays
+    // covered by PipelineSpec.
     "kg_jsonld" -> ((s, dir) => {
       import s.implicits._
       val t = transcripts(s, math.min(TranscriptGen.convsForSfDir(dir), 300L))
       val (nodes, edges, _) = KgPipeline.runLite(t)
-      graft.sources.Exporters.jsonld(
+      graft.sources.Exporters.jsonldSorted(
         nodes.as[graft.model.Node], edges.as[graft.model.Edge])
     }),
     // north-rule P/R gate, self-reported: engine triples vs the
@@ -3125,7 +3136,8 @@ object SparkEntry {
       .mkString(",\n        ")
     s"""
       WITH turns AS (SELECT conv_id, turn_idx, text
-                     FROM read_parquet('__GRAFT_OUT__/kg_transcripts/*.parquet')),
+                     FROM read_parquet('__GRAFT_OUT__/kg_transcripts/*.parquet')
+                     WHERE CAST(substr(conv_id, 2) AS BIGINT) < 500),
       ent AS (SELECT * FROM (VALUES
         $dictVals) e(surf, typ)),
       pairs AS (
@@ -3159,6 +3171,272 @@ object SparkEntry {
       FROM sel
       ORDER BY conv_id, turn_idx, begin"""
   }
+
+  /** Text-level replay of the md2csv fold over the kg_transcripts dump
+    * (__GRAFT_OUT__ substitution): DuckDB re-parses every transcript
+    * line with the RE2 form of the reference grammar (`\w` →
+    * `[\p{L}\p{N}_]`; Java's `(?U)` flag does not exist in RE2),
+    * replays the current-concept carry-forward as a sentinel
+    * `last_value IGNORE NULLS` window, last-wins concept upserts with
+    * prop reset on redefinition (survivors = events at/after the last
+    * definition), per-line relation props with the fixed-key
+    * `relation.update()` override, and the truncated-quote unquote
+    * quirk — fully independent of the engine's Catalyst expressions
+    * and mapPartitions fold. Input-class assumption (documented, holds
+    * for TranscriptGen): whitespace in the text is ASCII, so RE2's
+    * ASCII `\s` equals Python's Unicode `\s` here.
+    * `cap` filters to the conv subset the Spark query consumes
+    * (None = the full dump; conv ids are `c%08d`). */
+  private def transcriptFoldSql(cap: Option[Int]): String = {
+    val where =
+      cap.map(c => s"WHERE CAST(substr(conv_id, 2) AS BIGINT) < $c").getOrElse("")
+    raw"""
+      WITH turns AS (
+        SELECT conv_id, turn_idx, text
+        FROM read_parquet('__GRAFT_OUT__/kg_transcripts/*.parquet') $where),
+      sp AS (SELECT conv_id, turn_idx, string_split(text, chr(10)) AS ls FROM turns),
+      rawl AS (
+        SELECT conv_id, turn_idx, CAST(u.i AS INT) AS pos,
+               regexp_replace(ls[CAST(u.i AS INT) + 1], '^\s+|\s+$$', '', 'g') AS line
+        FROM sp, unnest(range(0, len(ls))) u(i)),
+      lx AS (
+        SELECT conv_id, turn_idx, pos, line,
+          starts_with(line, '## 【核心概念】') AS is_header,
+          regexp_matches(line, '^(-+)\s*(.*?)\s*@([\p{L}\p{N}_]+)') AS cm_ok,
+          regexp_extract(line, '^(-+)\s*(.*?)\s*@([\p{L}\p{N}_]+)',
+                         ['g1','g2','g3']) AS cm,
+          regexp_matches(line, '^-+\s*(.*?)\s*-->\s*(.*?)\s*:\s*([^\s]+)(?:\s+(.*))?$$') AS rm_ok,
+          regexp_extract(line, '^-+\s*(.*?)\s*-->\s*(.*?)\s*:\s*([^\s]+)(?:\s+(.*))?$$',
+                         ['g1','g2','g3','g4']) AS rm,
+          regexp_extract_all(line, '([\p{L}\p{N}_]+)\s*=\s*([^\s=]+|"[^"]+")', 1) AS pk,
+          regexp_extract_all(line, '([\p{L}\p{N}_]+)\s*=\s*([^\s=]+|"[^"]+")', 2) AS pv
+        FROM rawl),
+      px AS (
+        SELECT *,
+          CASE WHEN cm_ok THEN length(cm.g1) ELSE 0 END AS c_ind,
+          CASE WHEN cm_ok THEN regexp_replace(cm.g2, '^\s+|\s+$$', '', 'g') ELSE '' END AS c_name,
+          CASE WHEN cm_ok THEN cm.g3 ELSE '' END AS c_type,
+          CASE WHEN rm_ok THEN regexp_replace(regexp_replace(
+                 regexp_replace(rm.g1, '^\s+|\s+$$', '', 'g'), '^[\s-]+', ''),
+                 '^\s+|\s+$$', '', 'g') ELSE '' END AS rel_src,
+          CASE WHEN rm_ok THEN regexp_replace(rm.g2, '^\s+|\s+$$', '', 'g') ELSE '' END AS rel_dst,
+          CASE WHEN rm_ok THEN
+            CASE WHEN regexp_matches(rm.g3, '^类型\s*=\s*(.+)')
+                 THEN regexp_extract(rm.g3, '^类型\s*=\s*(.+)', 1)
+                 ELSE rm.g3 END
+          ELSE '' END AS rel_type,
+          CASE WHEN rm_ok THEN regexp_extract_all(rm.g4, '([\p{L}\p{N}_]+)\s*=\s*([^\s=]+|"[^"]+")', 1)
+               ELSE [] END AS rp_k,
+          CASE WHEN rm_ok THEN regexp_extract_all(rm.g4, '([\p{L}\p{N}_]+)\s*=\s*([^\s=]+|"[^"]+")', 2)
+               ELSE [] END AS rp_v
+        FROM lx),
+      og AS (
+        SELECT *, substr(md5(c_name), 1, 8) AS cid,
+          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, pos) AS ord
+        FROM px),
+      mk AS (
+        SELECT *, CASE WHEN is_header THEN '#RESET#'
+                       WHEN c_ind = 1 THEN cid END AS marker
+        FROM og),
+      cf AS (
+        SELECT *,
+          last_value(marker IGNORE NULLS) OVER
+            (PARTITION BY conv_id ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ccb0,
+          last_value(marker IGNORE NULLS) OVER
+            (PARTITION BY conv_id ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca0
+        FROM mk),
+      lines AS (
+        SELECT * EXCLUDE (ccb0, cca0),
+          CASE WHEN ccb0 = '#RESET#' THEN NULL ELSE ccb0 END AS ccb,
+          CASE WHEN cca0 = '#RESET#' THEN NULL ELSE cca0 END AS cca
+        FROM cf),
+      last_defs AS (
+        SELECT conv_id, cid, c_name AS name, c_type AS ntype, ccb AS parent,
+               ord AS def_ord
+        FROM lines WHERE c_ind > 0
+        QUALIFY row_number() OVER (PARTITION BY conv_id, cid ORDER BY ord DESC) = 1),
+      prop_ev AS (
+        SELECT l.conv_id, l.cca AS owner, l.ord, CAST(u.i AS INT) AS pair_idx,
+               l.pk[CAST(u.i AS INT) + 1] AS k,
+               regexp_replace(
+                 CASE WHEN starts_with(l.pv[CAST(u.i AS INT) + 1], '"')
+                       AND ends_with(l.pv[CAST(u.i AS INT) + 1], '"')
+                      THEN substr(l.pv[CAST(u.i AS INT) + 1], 2,
+                                  greatest(length(l.pv[CAST(u.i AS INT) + 1]) - 2, 0))
+                      ELSE l.pv[CAST(u.i AS INT) + 1] END,
+                 '^\s+|\s+$$', '', 'g') AS v
+        FROM lines l, unnest(range(0, len(l.pk))) u(i)
+        WHERE l.cca IS NOT NULL),
+      props_last AS (
+        SELECT e.conv_id, e.owner, e.k, e.v
+        FROM prop_ev e JOIN last_defs d
+          ON d.conv_id = e.conv_id AND d.cid = e.owner
+        WHERE e.ord >= d.def_ord
+        QUALIFY row_number() OVER (PARTITION BY e.conv_id, e.owner, e.k
+                                   ORDER BY e.ord DESC, e.pair_idx DESC) = 1),
+      props_json AS (
+        SELECT conv_id, owner AS cid,
+               '{' || string_agg(to_json(k) || ':' || to_json(v), ',' ORDER BY k) || '}' AS props
+        FROM props_last GROUP BY conv_id, owner),
+      raw_nodes AS (
+        SELECT d.conv_id, d.cid AS id, d.name, d.ntype, d.parent,
+               coalesce(pj.props, '{}') AS props
+        FROM last_defs d LEFT JOIN props_json pj
+          ON pj.conv_id = d.conv_id AND pj.cid = d.cid),
+      rel_ev AS (
+        SELECT conv_id, ord, rel_src, rel_dst, rel_type,
+               substr(md5(rel_src), 1, 8) AS src_id,
+               substr(md5(rel_dst), 1, 8) AS dst_id,
+               rp_k, rp_v
+        FROM lines WHERE rm_ok),
+      rel_prop_last AS (
+        SELECT conv_id, ord, k, v FROM (
+          SELECT r.conv_id, r.ord, CAST(u.i AS INT) AS pair_idx,
+                 r.rp_k[CAST(u.i AS INT) + 1] AS k,
+                 regexp_replace(
+                   CASE WHEN starts_with(r.rp_v[CAST(u.i AS INT) + 1], '"')
+                         AND ends_with(r.rp_v[CAST(u.i AS INT) + 1], '"')
+                        THEN substr(r.rp_v[CAST(u.i AS INT) + 1], 2,
+                                    greatest(length(r.rp_v[CAST(u.i AS INT) + 1]) - 2, 0))
+                        ELSE r.rp_v[CAST(u.i AS INT) + 1] END,
+                   '^\s+|\s+$$', '', 'g') AS v
+          FROM rel_ev r, unnest(range(0, len(r.rp_k))) u(i))
+        QUALIFY row_number() OVER (PARTITION BY conv_id, ord, k
+                                   ORDER BY pair_idx DESC) = 1),
+      rel_fixed AS (
+        SELECT conv_id, ord,
+               max(CASE WHEN k = 'source' THEN v END) AS f_src,
+               max(CASE WHEN k = 'target' THEN v END) AS f_dst,
+               max(CASE WHEN k = 'type' THEN v END) AS f_type,
+               max(CASE WHEN k = '_o_source_' THEN v END) AS f_osrc,
+               max(CASE WHEN k = '_o_target_' THEN v END) AS f_odst
+        FROM rel_prop_last GROUP BY conv_id, ord),
+      edges AS (
+        SELECT r.conv_id,
+               coalesce(f.f_src, r.src_id) AS src,
+               coalesce(f.f_dst, r.dst_id) AS dst,
+               coalesce(f.f_type, r.rel_type) AS etype,
+               coalesce(f.f_osrc, r.rel_src) AS srcName,
+               coalesce(f.f_odst, r.rel_dst) AS dstName,
+               r.ord AS line_ord,
+               row_number() OVER (PARTITION BY r.conv_id ORDER BY r.ord) - 1 AS eord
+        FROM rel_ev r LEFT JOIN rel_fixed f
+          ON f.conv_id = r.conv_id AND f.ord = r.ord)"""
+  }
+
+  /** TTL class/individual split — generated from Exporters.ClassTypes
+    * (single source of truth, like the kg_mentions dictionary). */
+  private val ClassTypesInList: String =
+    graft.sources.Exporters.ClassTypes.toSeq.sorted
+      .map(t => s"'$t'").mkString(",")
+
+  /** kg_triples twin: relation triples by surface name + PARENT_OF from
+    * the per-conversation last-wins parent self-join, over the FULL
+    * transcript dump. */
+  private val KgTriplesTwinSql: String = transcriptFoldSql(None) + raw"""
+      SELECT conv_id, srcName AS subj, etype AS pred, dstName AS obj FROM edges
+      UNION ALL
+      SELECT c.conv_id, p.name AS subj, 'PARENT_OF' AS pred, c.name AS obj
+      FROM raw_nodes c JOIN raw_nodes p
+        ON p.conv_id = c.conv_id AND c.parent = p.id"""
+
+  /** kg_canonical twin: dedupNodes' min-conv survivor per id, props as
+    * the key-sorted canonical JSON the Spark query now emits. */
+  private val KgCanonicalTwinSql: String = transcriptFoldSql(Some(500)) + raw"""
+      SELECT conv_id, id, name, ntype, parent, props FROM raw_nodes
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY conv_id) = 1"""
+
+  /** kg_nodes_relational twin: the same fold (extractRelational is
+    * tested output-equal to the kernel), 200-conv subset. */
+  private val KgNodesRelationalTwinSql: String = transcriptFoldSql(Some(200)) + raw"""
+      SELECT conv_id, id, name, ntype, parent, props FROM raw_nodes"""
+
+  /** kg_ttl twin: Turtle serialization over the canonical tables —
+    * class/individual namespace split, rdfs:label lines, surviving
+    * props of the min-conv survivor, dangling-edge semi-joins. */
+  private val KgTtlTwinSql: String = transcriptFoldSql(Some(300)) + raw""",
+      canon AS (
+        SELECT * FROM raw_nodes
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY conv_id) = 1),
+      cedges AS (
+        SELECT * FROM edges
+        QUALIFY row_number() OVER (PARTITION BY src, dst, etype
+                                   ORDER BY conv_id, eord) = 1),
+      isc AS (
+        SELECT *, CASE WHEN ntype IN ($ClassTypesInList)
+                       THEN 'http://www.example.org/ontology#'
+                       ELSE 'http://www.example.org/data/' END AS ns,
+                  ntype IN ($ClassTypesInList) AS is_class
+        FROM canon),
+      node_lines AS (
+        SELECT '<' || ns || id || '> a ' ||
+               CASE WHEN is_class THEN 'owl:Class' ELSE 'owl:NamedIndividual' END ||
+               ' ; rdfs:label "' || replace(name, '"', '\"') || '" .' AS value
+        FROM isc),
+      prop_lines AS (
+        SELECT '<' || i.ns || i.id || '> <http://www.example.org/ontology#' ||
+               replace(replace(p.k, ':', '_'), ' ', '_') ||
+               '> "' || replace(p.v, '"', '\"') || '" .' AS value
+        FROM isc i JOIN props_last p ON p.conv_id = i.conv_id AND p.owner = i.id),
+      live AS (
+        SELECT e.* FROM cedges e
+        WHERE e.src IN (SELECT id FROM isc) AND e.dst IN (SELECT id FROM isc)),
+      edge_lines AS (
+        SELECT '<' || s.ns || e.src || '> <http://www.example.org/ontology#' ||
+               replace(replace(e.etype, ':', '_'), ' ', '_') ||
+               '> <' || d.ns || e.dst || '> .' AS value
+        FROM live e JOIN isc s ON s.id = e.src JOIN isc d ON d.id = e.dst)
+      SELECT value FROM node_lines
+      UNION ALL SELECT value FROM prop_lines
+      UNION ALL SELECT value FROM edge_lines"""
+
+  /** kg_jsonld twin: the jsonldSorted document built byte-for-byte —
+    * Jackson omits null fields (parent, rels) and emits compact
+    * `{"key":...,"value":...}` entry structs; DuckDB's to_json escapes
+    * identically for the string payloads involved. */
+  private val KgJsonldTwinSql: String = transcriptFoldSql(Some(300)) + raw""",
+      canon AS (
+        SELECT * FROM raw_nodes
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY conv_id) = 1),
+      cedges AS (
+        SELECT * FROM edges
+        QUALIFY row_number() OVER (PARTITION BY src, dst, etype
+                                   ORDER BY conv_id, eord) = 1),
+      objs AS (
+        SELECT e.src, e.etype,
+               '[' || string_agg(to_json('http://www.example.org/data/' || e.dst),
+                                 ',' ORDER BY e.dst) || ']' AS objs_json
+        FROM cedges e
+        WHERE e.dst IN (SELECT id FROM canon)
+        GROUP BY e.src, e.etype),
+      rels AS (
+        SELECT src,
+               '[' || string_agg('{"etype":' || to_json(etype) || ',"objs":' || objs_json || '}',
+                                 ',' ORDER BY etype) || ']' AS rels_json
+        FROM objs GROUP BY src),
+      pentries AS (
+        SELECT c.conv_id, c.id,
+               '[' || coalesce(string_agg(
+                 '{"key":' || to_json(p.k) || ',"value":' || to_json(p.v) || '}',
+                 ',' ORDER BY p.k), '') || ']' AS props_json
+        FROM canon c LEFT JOIN props_last p
+          ON p.conv_id = c.conv_id AND p.owner = c.id
+        GROUP BY c.conv_id, c.id)
+      SELECT c.id,
+        '{"@id":' || to_json('http://www.example.org/data/' || c.id) ||
+        ',"@type":' || to_json(c.ntype) ||
+        ',"name":' || to_json(c.name) ||
+        CASE WHEN c.parent IS NOT NULL
+             THEN ',"parent":' || to_json('http://www.example.org/data/' || c.parent)
+             ELSE '' END ||
+        ',"props":' || pe.props_json ||
+        coalesce(',"rels":' || r.rels_json, '') ||
+        '}' AS value
+      FROM canon c
+      JOIN pentries pe ON pe.conv_id = c.conv_id AND pe.id = c.id
+      LEFT JOIN rels r ON r.src = c.id"""
 
   /** Derandomized random-walk replay shared by g12_walks/g13_sgpairs:
     * the customer—nation—region symmetric closure, dst-sorted neighbor
@@ -4057,6 +4335,11 @@ object SparkEntry {
       FROM e GROUP BY src ORDER BY src"""),
 
     "kg_mentions" -> KgMentionsTwinSql,
+    "kg_triples" -> KgTriplesTwinSql,
+    "kg_canonical" -> KgCanonicalTwinSql,
+    "kg_nodes_relational" -> KgNodesRelationalTwinSql,
+    "kg_ttl" -> KgTtlTwinSql,
+    "kg_jsonld" -> KgJsonldTwinSql,
 
     // sorted-neighborhood rank + window-4 probe + Levenshtein verify
     "dedup_editdist" -> ("""
