@@ -1,0 +1,31 @@
+#!/bin/bash
+# North-rule cluster-shape evidence: the SAME job submitted via
+# spark-submit at two REAL multi-executor cluster sizes.
+# local-cluster[N,C,mem] launches N separate executor JVMs (C cores,
+# mem MB each) with real netty shuffle — each "node" brings its own
+# cores AND memory, like a physical cluster. Interleaved reps, paired
+# per rep by the caller (same discipline as ScalingBench).
+# Usage: scripts/spark_submit_cluster.sh [nConvs] [N execs] [cores/exec] [reps] [memMB/exec]
+set -e
+cd "$(dirname "$0")/.."
+NCONVS=${1:-100000}; N=${2:-2}; C=${3:-2}; REPS=${4:-2}; MEM=${5:-12288}
+JAR=target/scala-2.13/knowledgegraph__bhspark_2.13-0.1.0.jar
+[ -f "$JAR" ] || sbt -batch package -Dsbt.supershell=false >/dev/null
+
+run() { # $1 = number of executors
+  /opt/spark/bin/spark-submit \
+    --class graft.tools.ClusterBench \
+    --master "local-cluster[$1,$C,$MEM]" \
+    --driver-memory 8g \
+    --conf spark.executor.memory=$((MEM - 1024))m \
+    --conf spark.ui.enabled=false \
+    --conf spark.sql.session.timeZone=UTC \
+    "$JAR" "$NCONVS" "$1" 2>/dev/null | grep '"kind":"cluster_bench"'
+}
+
+for r in $(seq 1 "$REPS"); do
+  echo "# rep $r: N=$N executors" >&2
+  run "$N"
+  echo "# rep $r: 4N=$((N * 4)) executors" >&2
+  run $((N * 4))
+done

@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.fixtures.TranscriptGen
+import graft.operators.TripleExtract
+
+/** TRUE multi-executor north-rule evidence: the SAME extraction job,
+  * submitted via spark-submit, with the master decided by the
+  * submission (`--master local-cluster[N,cores,mem]` launches SEPARATE
+  * executor JVMs with real netty shuffle and block managers — the
+  * sandbox's closest analogue of an N-node vs 4N-node cluster, one
+  * step stronger than local[N] thread scaling: closures serialize, the
+  * app jar ships, shuffle blocks cross process boundaries).
+  *
+  * One invocation = one (cluster size, run); the companion script
+  * `scripts/spark_submit_cluster.sh` interleaves the two sizes and
+  * pairs them per rep. Prints ONE JSON line with the triple count, a
+  * content checksum (so output identity across cluster sizes is
+  * asserted on VALUES, not just cardinality), wall seconds and
+  * throughput.
+  *
+  * Usage: spark-submit --class graft.tools.ClusterBench
+  *          --master local-cluster[N,C,memMB] <jar> [nConvs] [expectedExecs]
+  */
+object ClusterBench {
+
+  def main(args: Array[String]): Unit = {
+    val nConvs = if (args.nonEmpty) args(0).toLong else 100000L
+    val expectedExecs = if (args.length > 1) args(1).toInt else 0
+    val spark = SparkSession.builder() // master comes from spark-submit
+      .appName("graft-cluster-bench")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
+
+    // wait for every executor to register before sizing shuffle
+    // partitions (defaultParallelism grows as executors come up)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    def execsUp: Int = sc.statusTracker.getExecutorInfos.length - 1 // minus driver row
+    while (expectedExecs > 0 && execsUp < expectedExecs && System.nanoTime() < deadline)
+      Thread.sleep(250)
+    val execs = execsUp
+    val cores = sc.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
+
+    val t = TranscriptGen.df(spark, nConvs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t.count()
+    // warm-up (JIT, codegen) untimed — a full pass, because unlike
+    // local[N] (one shared JVM) every executor here is a SEPARATE
+    // JIT-cold JVM; a one-partition slice would warm only one of them
+    // and the timed run would charge compilation to the big cluster
+    TripleExtract.extractUnion(t).count()
+
+    val t0 = System.nanoTime()
+    val union = TripleExtract.extractUnion(t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    union.count()
+    val (nodes, edges) = TripleExtract.splitUnion(union)
+    val row = TripleExtract.triples(nodes, edges).toDF()
+      .select(count(lit(1)).as("n"),
+        // per-row hash bounded to < 2^30 so the ANSI sum cannot
+        // overflow Long at any realistic row count
+        sum(pmod(xxhash64(col("conv_id"), col("subj"), col("pred"), col("obj")),
+          lit(1000000007L))).as("chk"))
+      .head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = row.getLong(0)
+    val chk = row.getLong(1)
+    println(f"""{"kind":"cluster_bench","nConvs":$nConvs,"executors":$execs,""" +
+      f""""cores":$cores,"triples":$n,"checksum":$chk,""" +
+      f""""sec":$sec%.2f,"thr":${n / sec}%.0f}""")
+    spark.stop()
+  }
+}
