@@ -3438,6 +3438,51 @@ object SparkEntry {
       JOIN pentries pe ON pe.conv_id = c.conv_id AND pe.id = c.id
       LEFT JOIN rels r ON r.src = c.id"""
 
+  /** kg_streaming twin: the streamed flatMapGroupsWithState fold's edge
+    * output over the ≤100-conv fixture slice must equal the text-level
+    * fold replay — the SAME edges CTE the batch twins use. (The query
+    * also self-asserts stream == batch internally; this makes the
+    * surface driver-verified too.) */
+  private val KgStreamingTwinSql: String = transcriptFoldSql(Some(100)) + raw"""
+      SELECT conv_id, src, dst, etype,
+             srcName AS "srcName", dstName AS "dstName",
+             CAST(eord AS BIGINT) AS ord
+      FROM edges"""
+
+  /** kg_prf twin: the north-rule P/R gate recomputed END-TO-END in
+    * DuckDB — `want` = the text-level grammar replay over the full
+    * transcript dump (the reference semantics, independently derived);
+    * `got` = the ENGINE's own dumped kg_triples output (__GRAFT_OUT__);
+    * precision/recall/F1 and the three set cardinalities are pure
+    * functions of the two distinct sets, exactly Metrics.triplePRF. */
+  private val KgPrfTwinSql: String = transcriptFoldSql(None) + raw""",
+      want AS (
+        SELECT DISTINCT conv_id, srcName AS subj, etype AS pred, dstName AS obj
+        FROM edges
+        UNION
+        SELECT c.conv_id, p.name AS subj, 'PARENT_OF' AS pred, c.name AS obj
+        FROM raw_nodes c JOIN raw_nodes p
+          ON p.conv_id = c.conv_id AND c.parent = p.id),
+      got AS (
+        SELECT DISTINCT conv_id, subj, pred, obj
+        FROM read_parquet('__GRAFT_OUT__/kg_triples/*.parquet')),
+      i AS (SELECT count(*) AS n FROM (SELECT * FROM got INTERSECT SELECT * FROM want)),
+      ng AS (SELECT count(*) AS n FROM got),
+      nw AS (SELECT count(*) AS n FROM want)
+      SELECT
+        CASE WHEN ng.n = 0 THEN 0.0 ELSE i.n / CAST(ng.n AS DOUBLE) END AS "precision",
+        CASE WHEN nw.n = 0 THEN 0.0 ELSE i.n / CAST(nw.n AS DOUBLE) END AS recall,
+        CASE WHEN (CASE WHEN ng.n = 0 THEN 0.0 ELSE i.n / CAST(ng.n AS DOUBLE) END)
+                + (CASE WHEN nw.n = 0 THEN 0.0 ELSE i.n / CAST(nw.n AS DOUBLE) END) = 0
+             THEN 0.0
+             ELSE 2 * (CASE WHEN ng.n = 0 THEN 0.0 ELSE i.n / CAST(ng.n AS DOUBLE) END)
+                    * (CASE WHEN nw.n = 0 THEN 0.0 ELSE i.n / CAST(nw.n AS DOUBLE) END)
+                  / ((CASE WHEN ng.n = 0 THEN 0.0 ELSE i.n / CAST(ng.n AS DOUBLE) END)
+                   + (CASE WHEN nw.n = 0 THEN 0.0 ELSE i.n / CAST(nw.n AS DOUBLE) END))
+        END AS f1,
+        ng.n AS engine_triples, nw.n AS oracle_triples, i.n AS "intersection"
+      FROM i, ng, nw"""
+
   /** Derandomized random-walk replay shared by g12_walks/g13_sgpairs:
     * the customer—nation—region symmetric closure, dst-sorted neighbor
     * index, and 3 unrolled steps picking neighbor
@@ -4340,6 +4385,8 @@ object SparkEntry {
     "kg_nodes_relational" -> KgNodesRelationalTwinSql,
     "kg_ttl" -> KgTtlTwinSql,
     "kg_jsonld" -> KgJsonldTwinSql,
+    "kg_streaming" -> KgStreamingTwinSql,
+    "kg_prf" -> KgPrfTwinSql,
 
     // sorted-neighborhood rank + window-4 probe + Levenshtein verify
     "dedup_editdist" -> ("""
