@@ -993,8 +993,18 @@ object SparkEntry {
           thresholdPpm = 600000L)
         .orderBy("a", "b")),
 
+    // DuckDB-oracled as of r6 (the ann_topk discipline): the REAL
+    // SimhashFold fingerprint expression + banding + hot-bucket star +
+    // popcount Hamming verify, with token hashes swapped from xxhash64
+    // to the md5 family so the twin can recompute them end-to-end; the
+    // production xxhash64 family stays covered by dedup_simhash_oracle
+    // (same fold) + DedupSpec.
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashPairsWith(tbl(s, dir, "documents"), "doc_id", "text",
+        c => graft.plans.SimhashFold.simhash_fold(
+          transform(split(lower(trim(c)), "\\s+"),
+            t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
+          32),
         bits = 32, bandBits = 8, maxDist = 3)),
 
     // exact duplicated-SPAN detection (r5, beyond-reference): k-token
@@ -5773,6 +5783,40 @@ object SparkEntry {
       SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b)
                                    ELSE 0 END) AS BIGINT) AS fp
       FROM bitsum GROUP BY doc_id ORDER BY doc_id"""),
+
+    // the full simhashPairsWith pipeline under the md5 family: 32-bit
+    // fold, 4x8-bit banding, bucketCap star for hot buckets, popcount
+    // Hamming <= maxDist — band/star/verify replayed end-to-end
+    "dedup_simhash_pairs" -> (raw"""
+      WITH toks AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                    FROM documents),
+      th AS (SELECT doc_id, list_sum(list_transform(range(1, 9),
+               i -> (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1) *
+                    ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i])) AS h
+             FROM toks),
+      bitsum AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+                 FROM th CROSS JOIN range(0, 32) t(b) GROUP BY doc_id, b),
+      fps AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b)
+                                           ELSE 0 END) AS BIGINT) AS fp
+              FROM bitsum GROUP BY doc_id),
+      banded AS (SELECT doc_id AS id, fp,
+                        ((fp >> (CAST(t.b AS INT) * 8)) & 255) * 100 + t.b AS bucket
+                 FROM fps CROSS JOIN range(0, 4) t(b)),
+      bc AS (SELECT bucket, count(*) AS n, min(id) AS rep FROM banded GROUP BY bucket),
+      normal AS (SELECT ba.* FROM banded ba
+                 JOIN bc ON bc.bucket = ba.bucket WHERE bc.n <= 1000),
+      star AS (SELECT bc.rep AS a, fr.fp AS fpa, ba.id AS b, ba.fp AS fpb
+               FROM banded ba
+               JOIN bc ON bc.bucket = ba.bucket AND bc.n > 1000
+               JOIN fps fr ON fr.doc_id = bc.rep
+               WHERE ba.id <> bc.rep),
+      pairs AS (SELECT x.id AS a, x.fp AS fpa, y.id AS b, y.fp AS fpb
+                FROM normal x JOIN normal y
+                  ON x.bucket = y.bucket AND x.id < y.id
+                UNION ALL SELECT * FROM star)
+      SELECT DISTINCT a, b, CAST(bit_count(xor(fpa, fpb)) AS INT) AS dist
+      FROM pairs WHERE bit_count(xor(fpa, fpb)) <= 3"""),
 
     "dedup_jaccard" -> ("""
       WITH t AS (SELECT doc_id,

@@ -746,8 +746,21 @@ object Dedup {
     * Hamming distance ≤ maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 32, bandBits: Int = 8, maxDist: Int = 2,
+      bucketCap: Int = 1000): DataFrame =
+    simhashPairsWith(df, idCol, textCol, simhash(_, bits),
+      bits, bandBits, maxDist, bucketCap)
+
+  /** [[simhashPairs]] generalized over the fingerprint family (the
+    * buildAnnIndexWith discipline): the caller supplies the
+    * fingerprint column — the production xxhash64 [[simhash]] or the
+    * driver-oracled md5 token-hash family — while the banding, the
+    * hot-bucket star with its count-gated broadcast, and the popcount
+    * Hamming verification are the same code path either way. */
+  def simhashPairsWith(df: DataFrame, idCol: String, textCol: String,
+      fpOf: Column => Column,
+      bits: Int = 32, bandBits: Int = 8, maxDist: Int = 2,
       bucketCap: Int = 1000): DataFrame = {
-    val withFp = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("fp"))
+    val withFp = df.select(col(idCol).as("id"), fpOf(col(textCol)).as("fp"))
     val bands = bits / bandBits
     val bandCols = array((0 until bands).map { b =>
       shiftright(col("fp"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)) * lit(100) + lit(b)
