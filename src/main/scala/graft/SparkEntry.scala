@@ -2567,7 +2567,9 @@ object SparkEntry {
           lit("\n")).as("md"))
       TextNorm.chunkDocs(md, "doc_id", "md", maxLength = 200, tolerance = 50)
         .select(col("doc_id"), col("chunk_idx"),
-          length(col("chunk")).as("chunk_chars"), md5(col("chunk")).as("chunk_md5"))
+          // BIGINT like the twin's DuckDB length() — Spark length() is INT
+          length(col("chunk")).cast("long").as("chunk_chars"),
+          md5(col("chunk")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
     }),
 

@@ -191,6 +191,11 @@ object TextNorm {
       maxLength: Int = 4096, tolerance: Int = 200): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the typed kernel pairs (string, string); the id round-trips
+    // through a string cast, so restore the INPUT column type on the
+    // way out — a BIGINT doc_id must leave as BIGINT (the r6
+    // text_chunks hash miss was exactly this cast never being undone)
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
     df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
       .as[(String, String)]
       .flatMap { case (id, text) =>
@@ -198,5 +203,6 @@ object TextNorm {
           .zipWithIndex.map { case (c, i) => (id, i, c) }
       }
       .toDF(idCol, "chunk_idx", "chunk")
+      .withColumn(idCol, col(idCol).cast(idType))
   }
 }

@@ -714,6 +714,15 @@ class DedupSpec extends SparkSpec {
     assert(viaOp === direct)
   }
 
+  test("chunkDocs preserves the input id column type (r6 text_chunks hash miss)") {
+    import graft.operators.TextNorm
+    import spark.implicits._
+    val df = Seq((7L, "# h\n\nbody text\n"), (9L, "plain")).toDF("doc_id", "text")
+    val out = TextNorm.chunkDocs(df, "doc_id", "text", 1000, 150)
+    assert(out.schema("doc_id").dataType === org.apache.spark.sql.types.LongType)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(7L, 9L))
+  }
+
   test("splitMdContent reassembles exactly across random docs and params (lossless split)") {
     import graft.operators.TextNorm
     import graft.fixtures.MdGen
