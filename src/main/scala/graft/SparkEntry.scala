@@ -130,10 +130,51 @@ object SparkEntry {
     df
   }
 
+  /** Scale-adaptive shuffle width for a BOUNDED streaming replay:
+    * stateful streaming exchanges are excluded from AQE coalescing
+    * (Spark disables AQE inside stateful workloads), so a few-thousand-
+    * row replay would otherwise spread over the full local[N] width —
+    * paying N state-store commits per stateful operator per micro-batch
+    * of pure fixed cost. Width is derived from the INPUT row count
+    * (one state partition per ~25k rows), capped at the session default
+    * so production-sized streams keep the full width; the session
+    * setting is restored afterwards. */
+  private def withStreamWidth[T](s: SparkSession, rows: Long)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val k = math.max(1L, math.min(prev.toLong, rows / 25000L + 1L))
+    s.conf.set(key, k.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
+  /** Transient per-query persist for a SMALL table an exporter
+    * references 3-5× (nodeLines/propLines/ids/srcNs/dstNs all re-derive
+    * from the canonical node table; per-branch column pruning makes the
+    * exchanges canonically different so ReusedExchange cannot dedupe
+    * them — the extractRelational memo note). Persisting shares ONE
+    * aggregation across the branches (guide §2.4); MEMORY_AND_DISK +
+    * LRU keeps it bounded like every other transient per-query persist. */
+  private def pin(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   private def transcripts(s: SparkSession, n: Long): DataFrame =
     ensureHot(tCache.getOrElseUpdate((s.sparkContext.applicationId, n), {
-      val df = TranscriptGen.df(s, n)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // conversation i is fully determined by (seed, i), so the n-conv
+      // corpus is EXACTLY the first n conversations of any larger
+      // cached corpus — derive it by filter instead of re-running the
+      // synthesizer + scramble sort (r6 setup built 200/300/500 as
+      // three full synth pipelines; kg_streaming built a 4th at n=100
+      // inside its timed region). Row order within the subset matches
+      // a direct synth too: both are the md5-scramble order restricted
+      // to the same rows, and every consumer restores (conv_id,
+      // turn_idx) order itself per the fixture contract.
+      val full = tCache.keys.collectFirst {
+        case k @ (app, m) if app == s.sparkContext.applicationId && m > n => tCache(k)
+      }
+      val df = (full match {
+        case Some(big) => ensureHot(big).filter(col("conv_id") < f"c$n%08d")
+        case None => TranscriptGen.df(s, n)
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
     }))
@@ -151,15 +192,92 @@ object SparkEntry {
       (name, (System.nanoTime() - t0) / 1e9)
     }
     val full = TranscriptGen.convsForSfDir(dir)
+    // full FIRST: the capped sets (and kg_streaming's 100-conv set) are
+    // prefixes of it by construction, so transcripts() derives them by
+    // filter from this one persisted corpus instead of re-running the
+    // synthesizer three more times (r6 setup cost 4 full synth builds)
     Seq(
+      timed("transcripts_full")(transcripts(s, full).count()),
       timed("transcripts_200")(transcripts(s, math.min(full, 200L)).count()),
       timed("transcripts_300")(transcripts(s, math.min(full, 300L)).count()),
       timed("transcripts_500")(transcripts(s, math.min(full, 500L)).count()),
-      timed("transcripts_full")(transcripts(s, full).count()),
       timed("cc_graph")(ccGraph(s, dir)),
       timed("fuzzy_pairs")(queries("kg_fuzzy_pairs")(s, dir).count()),
       timed("parsed_relational")(TripleExtract.extractRelational(
-        transcripts(s, math.min(full, 200L)))._1.toDF().count()))
+        transcripts(s, math.min(full, 200L)))._1.toDF().count()),
+      timed("streaming_warm")(streamingWarm(s)))
+  }
+
+  /** First-touch warmer for the Structured Streaming machinery: the
+    * micro-batch planner, state-store providers, and the stateful exec
+    * nodes (symmetric hash join, session/tumbling window aggregates,
+    * streaming dedup, flatMapGroupsWithState) cost ~4-5 s of one-time
+    * class-loading + JIT on this JVM — measured 6.3 s first vs 1.8 s
+    * warm for stream_join. Running 12-row synthetic replays of each
+    * shape in the labeled setup phase makes the battery's stream_*
+    * entries measure THEIR work, not Spark's first-touch (the same
+    * attribution rationale as the r6 prewarm itself; no query reads
+    * these rows or results — they exist only to load code). */
+  private def streamingWarm(s: SparkSession): Unit = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ts = (i: Int) => new java.sql.Timestamp(TranscriptGen.BaseEpochMs + i * 60000L)
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      q.awaitTermination(120000L); q.exception.foreach(e => throw e); q.stop()
+    }
+    withStreamWidth(s, 12L) {
+      // stream-stream interval join
+      val l = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val r = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      l.addData((1L to 6L).map(i => (i, i % 3, ts(i.toInt))))
+      r.addData((1L to 6L).map(i => (100 + i, i % 3, ts(i.toInt))))
+      drain(graft.streaming.StreamingJoin.intervalJoinStream(
+          l.toDF().toDF("a_id", "a_k", "a_ts"), r.toDF().toDF("b_id", "b_k", "b_ts"),
+          "a_k", "b_k", "a_ts", "b_ts", "1 hour")
+        .writeStream.format("memory").queryName("warm_sj").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
+      // session-window + tumbling-window aggregates
+      val ev = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      ev.addData((1L to 11L).map(i => (i % 2, i, ts(i.toInt))) :+
+        ((99L, 99L, new java.sql.Timestamp(1893456000000L))))
+      drain(graft.streaming.StreamingSessions.sessionStatsStream(
+          ev.toDF().toDF("user_id", "event_id", "ts"),
+          "user_id", "ts", "event_id", "6 hours")
+        .writeStream.format("memory").queryName("warm_ss").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
+      val ev2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, java.sql.Timestamp)]
+      ev2.addData((1L to 11L).map(i => (s"t${i % 2}", i, ts(i.toInt))) :+
+        (("__wm__", -1L, new java.sql.Timestamp(1893456000000L))))
+      drain(graft.streaming.StreamingWindowCounts.windowCountsStream(
+          ev2.toDF().toDF("event_type", "event_id", "ts"),
+          "event_type", "ts", "event_id", "1 hour")
+        .writeStream.format("memory").queryName("warm_sw").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
+      // keyed first-arrival dedup
+      val dd = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.StreamingDedup.Doc]
+      dd.addData((1 to 12).map(i =>
+        graft.streaming.StreamingDedup.Doc(i.toString, s"warm ${i % 3}")))
+      drain(graft.streaming.StreamingDedup.firstArrivals(dd.toDF(), "id", "text")
+        .writeStream.format("memory").queryName("warm_sd").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
+      // flatMapGroupsWithState extraction fold
+      val tn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.model.Turn]
+      tn.addData(TranscriptGen.genConv(42L, 0L) :+ graft.model.Turn(
+        "c00000000", Int.MaxValue, "user",
+        graft.streaming.StreamingExtract.EocMarker, null, ts(0)))
+      drain(graft.streaming.StreamingExtract
+        .extractStream(tn.toDF(), convTimeoutMs = 0L)
+        .writeStream.format("memory").queryName("warm_se").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
+    }
+    Seq("warm_sj", "warm_ss", "warm_sw", "warm_sd", "warm_se")
+      .foreach(v => s.catalog.dropTempView(v))
   }
 
   private val PropPat = "([a-zA-Z0-9_]+)\\s*=\\s*([^\\s=]+|\"[^\"]+\")"
@@ -226,7 +344,7 @@ object SparkEntry {
       val t = transcripts(s, math.min(TranscriptGen.convsForSfDir(dir), 300L))
       val (nodes, edges, _) = KgPipeline.runLite(t) // exporters consume CANONICAL tables
       graft.sources.Exporters.ttlLines(
-        nodes.as[graft.model.Node], edges.as[graft.model.Edge])
+        pin(nodes).as[graft.model.Node], pin(edges).as[graft.model.Edge])
     }),
     // DuckDB-oracled as of r6 via the canonical serialization
     // (jsonldSorted: key-sorted prop entries, deterministic field
@@ -238,7 +356,7 @@ object SparkEntry {
       val t = transcripts(s, math.min(TranscriptGen.convsForSfDir(dir), 300L))
       val (nodes, edges, _) = KgPipeline.runLite(t)
       graft.sources.Exporters.jsonldSorted(
-        nodes.as[graft.model.Node], edges.as[graft.model.Edge])
+        pin(nodes).as[graft.model.Node], pin(edges).as[graft.model.Edge])
     }),
     // north-rule P/R gate, self-reported: engine triples vs the
     // reference-replay oracle on the same conversations (rows-only for
@@ -314,8 +432,8 @@ object SparkEntry {
       val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
       val (nodes, edges, _) = TripleExtract.extractShared(corpus)
       graft.sources.Exporters.ttlLines(
-          Canonicalize.dedupNodes(nodes).as[graft.model.Node],
-          Canonicalize.dedupEdges(edges).as[graft.model.Edge])
+          pin(Canonicalize.dedupNodes(nodes)).as[graft.model.Node],
+          pin(Canonicalize.dedupEdges(edges)).as[graft.model.Edge])
         .orderBy("value")
     }),
     // A6/A7 JSON-LD relation grouping (objects deduped + sorted per
@@ -358,8 +476,8 @@ object SparkEntry {
       val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
       val (nodes, edges, _) = TripleExtract.extractShared(corpus)
       graft.sources.Exporters.jsonldSorted(
-          Canonicalize.dedupNodes(nodes).as[graft.model.Node],
-          Canonicalize.dedupEdges(edges).as[graft.model.Edge])
+          pin(Canonicalize.dedupNodes(nodes)).as[graft.model.Node],
+          pin(Canonicalize.dedupEdges(edges)).as[graft.model.Edge])
         .orderBy("id")
     }),
     // X5 partially oracled: the REAL BIOES decode kernel runs over a
@@ -462,13 +580,16 @@ object SparkEntry {
         .MemoryStream[graft.model.Turn]
       source.addData(turns ++ eoc)
       val sink = s"kg_streaming_sink_${streamSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingExtract
-        .extractStream(source.toDF(), convTimeoutMs = 0L)
-        .writeStream.format("memory").queryName(sink).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      val finished = q.awaitTermination(300000L)
-      q.exception.foreach(e => throw e)
-      q.stop()
+      val finished = withStreamWidth(s, turns.size + eoc.size) {
+        val q = graft.streaming.StreamingExtract
+          .extractStream(source.toDF(), convTimeoutMs = 0L)
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        val fin = q.awaitTermination(300000L)
+        q.exception.foreach(e => throw e)
+        q.stop()
+        fin
+      }
       // distinguish a hung stream from a fold divergence: a timeout here
       // must NOT be reported as the equality assertion below failing
       require(finished, "kg_streaming: streaming query did not finish within 300s")
@@ -483,13 +604,17 @@ object SparkEntry {
       val sNodes = streamed.filter(col("kind") === "node")
         .select(col("conv_id"), col("id"), col("name"), col("ntype"),
           col("parent"), propsJoined(col("props")).as("props"))
-      val (bn, be) = TripleExtract.extract(transcripts(s, n))
+      // persist the batch fold: the four exceptAll probes below each
+      // reference both sides, so an unpersisted extract would replay
+      // the parse+fold once per probe (4×)
+      val (bn, be, bUnion) = TripleExtract.extractShared(transcripts(s, n))
       val bEdges = be.toDF().select(col("conv_id"), col("src"), col("dst"),
         col("etype"), col("srcName"), col("dstName"), col("ord"))
       val bNodes = bn.toDF().select(col("conv_id"), col("id"), col("name"),
         col("ntype"), col("parent"), propsJoined(col("props")).as("props"))
       val edgeDiff = sEdges.exceptAll(bEdges).count() + bEdges.exceptAll(sEdges).count()
       val nodeDiff = sNodes.exceptAll(bNodes).count() + bNodes.exceptAll(sNodes).count()
+      bUnion.unpersist()
       require(edgeDiff == 0 && nodeDiff == 0,
         s"streaming fold diverged from batch kernel: edgeDiff=$edgeDiff nodeDiff=$nodeDiff")
       // materialize the (fixture-bounded, ≤100-conversation) result as a
@@ -523,13 +648,16 @@ object SparkEntry {
         .MemoryStream[graft.streaming.StreamingDedup.Doc]
       source.addData(docs)
       val sink = s"stream_dedup_sink_${streamSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingDedup
-        .firstArrivals(source.toDF(), "id", "text")
-        .writeStream.format("memory").queryName(sink).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      val finished = q.awaitTermination(300000L)
-      q.exception.foreach(e => throw e)
-      q.stop()
+      val finished = withStreamWidth(s, docs.size) {
+        val q = graft.streaming.StreamingDedup
+          .firstArrivals(source.toDF(), "id", "text")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        val fin = q.awaitTermination(300000L)
+        q.exception.foreach(e => throw e)
+        q.stop()
+        fin
+      }
       require(finished, "stream_dedup: streaming query did not finish within 300s")
       val outRows = s.table(sink)
         .select(col("id").cast("long").as("doc_id"),
@@ -568,14 +696,17 @@ object SparkEntry {
         .MemoryStream[(Long, Long, java.sql.Timestamp)]
       source.addData(rows :+ sentinel)
       val sink = s"stream_sessions_sink_${streamSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingSessions.sessionStatsStream(
-          source.toDF().toDF("user_id", "event_id", "ts"),
-          "user_id", "ts", "event_id", "6 hours")
-        .writeStream.format("memory").queryName(sink).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      val finished = q.awaitTermination(300000L)
-      q.exception.foreach(e => throw e)
-      q.stop()
+      val finished = withStreamWidth(s, rows.size + 1) {
+        val q = graft.streaming.StreamingSessions.sessionStatsStream(
+            source.toDF().toDF("user_id", "event_id", "ts"),
+            "user_id", "ts", "event_id", "6 hours")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        val fin = q.awaitTermination(300000L)
+        q.exception.foreach(e => throw e)
+        q.stop()
+        fin
+      }
       require(finished, "stream_sessions: streaming query did not finish within 300s")
       val proj = s.table(sink).filter(col("user_id") >= 0)
         .select(col("user_id"),
@@ -611,14 +742,17 @@ object SparkEntry {
         .MemoryStream[(String, Long, java.sql.Timestamp)]
       source.addData(rows :+ sentinel)
       val sink = s"stream_windows_sink_${streamSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingWindowCounts.windowCountsStream(
-          source.toDF().toDF("event_type", "event_id", "ts"),
-          "event_type", "ts", "event_id", "1 hour")
-        .writeStream.format("memory").queryName(sink).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      val finished = q.awaitTermination(300000L)
-      q.exception.foreach(e => throw e)
-      q.stop()
+      val finished = withStreamWidth(s, rows.size + 1) {
+        val q = graft.streaming.StreamingWindowCounts.windowCountsStream(
+            source.toDF().toDF("event_type", "event_id", "ts"),
+            "event_type", "ts", "event_id", "1 hour")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        val fin = q.awaitTermination(300000L)
+        q.exception.foreach(e => throw e)
+        q.stop()
+        fin
+      }
       require(finished, "stream_windows: streaming query did not finish within 300s")
       val proj = s.table(sink).filter(col("first_ord") >= 0)
         .select(col("event_type"),
@@ -654,15 +788,18 @@ object SparkEntry {
         .MemoryStream[(Long, Long, java.sql.Timestamp)]
       vs.addData(vrows); cs.addData(crows)
       val sink = s"stream_join_sink_${streamSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingJoin.intervalJoinStream(
-          vs.toDF().toDF("view_id", "v_user", "vts"),
-          cs.toDF().toDF("click_id", "c_user", "cts"),
-          "v_user", "c_user", "vts", "cts", "1 hour")
-        .writeStream.format("memory").queryName(sink).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      val finished = q.awaitTermination(300000L)
-      q.exception.foreach(e => throw e)
-      q.stop()
+      val finished = withStreamWidth(s, vrows.size + crows.size) {
+        val q = graft.streaming.StreamingJoin.intervalJoinStream(
+            vs.toDF().toDF("view_id", "v_user", "vts"),
+            cs.toDF().toDF("click_id", "c_user", "cts"),
+            "v_user", "c_user", "vts", "cts", "1 hour")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        val fin = q.awaitTermination(300000L)
+        q.exception.foreach(e => throw e)
+        q.stop()
+        fin
+      }
       require(finished, "stream_join: streaming query did not finish within 300s")
       val proj = s.table(sink)
         .select(col("view_id"), col("click_id"), col("v_user").as("user_id"),
@@ -1393,8 +1530,11 @@ object SparkEntry {
       import s.implicits._
       val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
       val (nodes, _) = TripleExtract.extract(corpus)
+      // pinned: neo4jNodeLines consumes the canonical table twice (the
+      // collected prop-key header pass + the row pass), and without
+      // extractShared the whole parse fold would also replay per pass
       graft.sources.Exporters.neo4jNodeLines(
-        Canonicalize.dedupNodes(nodes).as[graft.model.Node]).orderBy("value")
+        pin(Canonicalize.dedupNodes(nodes)).as[graft.model.Node]).orderBy("value")
     }),
     // S16, DRIVER-ORACLED exactly-once resume: a bucketed resumable run
     // (Checkpoint.runResumable — the Spark-scale form of the reference's
@@ -1478,8 +1618,8 @@ object SparkEntry {
       val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
       val (nodes, edges, _) = TripleExtract.extractShared(corpus)
       graft.sources.Exporters.owlXmlLines(
-          Canonicalize.dedupNodes(nodes).as[graft.model.Node],
-          Canonicalize.dedupEdges(edges).as[graft.model.Edge])
+          pin(Canonicalize.dedupNodes(nodes)).as[graft.model.Node],
+          pin(Canonicalize.dedupEdges(edges)).as[graft.model.Edge])
         .orderBy("value")
     }),
     // S15, DRIVER-ORACLED: the DOT preview's body lines (knowledge
@@ -1491,8 +1631,8 @@ object SparkEntry {
       val corpus = GrammarCorpus.fromEvents(tbl(s, dir, "events"))
       val (nodes, edges, _) = TripleExtract.extractShared(corpus)
       graft.sources.Exporters.dotLines(
-          Canonicalize.dedupNodes(nodes).as[graft.model.Node],
-          Canonicalize.dedupEdges(edges).as[graft.model.Edge])
+          pin(Canonicalize.dedupNodes(nodes)).as[graft.model.Node],
+          pin(Canonicalize.dedupEdges(edges)).as[graft.model.Edge])
         .orderBy("value")
     }),
     // X7: char→id tokenization with [UNK] default, a plan-shipped map

@@ -137,7 +137,13 @@ object Canonicalize {
       while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
+    // coalesce before streaming: toLocalIterator schedules ONE JOB PER
+    // PARTITION sequentially, so a 32-partition pair set costs 32
+    // round-trips of scheduler latency for ≤ localLimit tiny rows.
+    // 4 partitions keeps the stream chunked (peak driver memory is
+    // still the vertex map + one partition) at 1/8th the job count.
     val it = edgesAB.select(col("a").cast("string"), col("b").cast("string"))
+      .coalesce(4)
       .toLocalIterator()
     while (it.hasNext) {
       val row = it.next()

@@ -380,15 +380,25 @@ object GraphAnalytics {
   }
 
   /** One synchronous h-index round: every vertex reads its neighbors'
-    * current values and takes the h-index. max(least(rank, value))
-    * over the descending sort IS the h-index; both factors are longs
-    * so the max is exact. */
+    * current values and takes the h-index — computed from GROUPED
+    * counts, not a per-neighbor rank. For the descending sort
+    * v₁ ≥ v₂ ≥ …, H = maxᵢ min(i, vᵢ); within a run of equal values
+    * the max of min(rank, v) is min(cum, v) at the run's end, so
+    * H = max over distinct values c of min(cum_c, c) with
+    * cum_c = #neighbors of value ≥ c — identical integers, but the
+    * per-(vertex, value) census is PARTIAL-AGGREGABLE (map-side
+    * combine), so the window sees one row per (vertex, distinct value)
+    * instead of one per edge (guide §2.3: aggregate before you
+    * shuffle — the former row_number window shuffled and sorted the
+    * full symmetrized edge list every round). */
   private def corenessRound(sym: DataFrame, state: DataFrame): DataFrame = {
     val w = Window.partitionBy("src").orderBy(desc("core"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     sym.join(state.withColumnRenamed("id", "dst"), "dst")
-      .withColumn("__rn", row_number().over(w).cast("long"))
+      .groupBy(col("src"), col("core")).agg(count(lit(1)).as("__n"))
+      .withColumn("__cum", sum(col("__n")).over(w))
       .groupBy(col("src").as("id"))
-      .agg(max(least(col("__rn"), col("core"))).as("core"))
+      .agg(max(least(col("__cum"), col("core"))).as("core"))
   }
 
   /** Per-vertex triangle participation + undirected degree — the

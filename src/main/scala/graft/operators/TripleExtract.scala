@@ -177,8 +177,17 @@ object TripleExtract {
   def extractUnion(transcripts: DataFrame, partitions: Int = 0): Dataset[KgOut] = {
     val spark = transcripts.sparkSession
     import spark.implicits._
-    // shed the raw text before the shuffle — only structured fields travel
+    // shed the raw text before the shuffle — only structured fields
+    // travel — and drop grammar-INERT lines entirely: a line that is
+    // no header, defines no concept, matches no relation, and carries
+    // no prop pair is a provable no-op in ConvState.feed (all four
+    // branches test exactly these fields), so it cannot change the
+    // fold state or output. Filtering on the scan side shrinks the
+    // conv_id exchange and the in-partition sort to grammar-active
+    // rows only (guide §2.3 — ~40% of fixture lines are filler prose).
     val p = parsed(transcripts).withColumn("line", lit("")).as[ParsedLine]
+      .filter(col("isHeader") || col("cIndent") > 0 ||
+        col("relType") =!= "" || size(col("propKeys")) > 0)
     val n = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
     p.repartition(n, col("conv_id"))

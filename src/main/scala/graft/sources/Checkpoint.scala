@@ -69,6 +69,19 @@ object Checkpoint {
       out.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket")
         .parquet(s"$outDir/data_tmp_${group.head}")
+      // marker row counts re-read from the WRITTEN parquet (committed
+      // evidence, never the in-flight DataFrame) — in ONE read of the
+      // whole group instead of a read-back job per bucket (the rename
+      // below moves these same files; a bucket absent from the written
+      // set commits as an empty dir with rows=0, as before)
+      val writtenRows: Map[Int, Long] =
+        if (f.exists(new Path(s"$outDir/data_tmp_${group.head}")) &&
+            f.listStatus(new Path(s"$outDir/data_tmp_${group.head}"))
+              .exists(_.getPath.getName.startsWith("bucket=")))
+          spark.read.parquet(s"$outDir/data_tmp_${group.head}")
+            .groupBy("bucket").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        else Map.empty
       // atomic-ish commit: move each bucket dir into place, then marker
       group.foreach { b =>
         val src = new Path(s"$outDir/data_tmp_${group.head}/bucket=$b")
@@ -78,8 +91,7 @@ object Checkpoint {
         if (f.exists(dst)) f.delete(dst, true)
         if (f.exists(src)) f.rename(src, dst)
         else f.mkdirs(dst) // empty bucket still gets committed
-        val rows = if (f.exists(dst))
-          spark.read.parquet(s"$outDir/data/bucket=$b").count() else 0L
+        val rows = writtenRows.getOrElse(b, 0L)
         val marker = new Path(s"$outDir/_done_$b.json")
         val tmp = new Path(s"$outDir/._done_$b.json.tmp")
         val os = f.create(tmp, true)

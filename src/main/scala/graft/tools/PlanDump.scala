@@ -1,0 +1,39 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: write `.explain("formatted")` of named SparkEntry queries
+  * to <outDir>/<query>_<suffix>.txt — the before/after plan evidence
+  * files for optimization rounds (plans/r07/...).
+  * Usage: PlanDump <outDir> <suffix> <query> [query...]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0); val suffix = args(1); val names = args.drop(2)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.write(Paths.get(s"$outDir/${name}_$suffix.txt"),
+          plan.getBytes("UTF-8"))
+        println(s"[plandump] wrote $name ($suffix)")
+      } catch { case e: Throwable =>
+        println(s"[plandump] $name FAILED: $e")
+      }
+    }
+    spark.stop()
+  }
+}
