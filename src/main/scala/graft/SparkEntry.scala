@@ -952,9 +952,7 @@ object SparkEntry {
       val sigs = names.distinct()
         .withColumn("sh", EntityLinking.shingles(col("name"), 2))
         .filter(size(col("sh")) > 0)
-        .withColumn("sig", array((0 until 4).map { i =>
-          array_min(transform(col("sh"), w => md5(concat(lit(s"$i|"), w))))
-        }: _*))
+        .withColumn("sig", graft.plans.Md5MinSig.md5_min_sig(col("sh"), 4))
       val banded = sigs.select(col("name").as("id"), explode(
         transform(sequence(lit(0), lit(3)), i =>
           concat(i.cast("string"), lit("|"), get(col("sig"), i)))).as("bucket"))
@@ -1194,16 +1192,20 @@ object SparkEntry {
     "dedup_cc_oracle" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id").cast("string").as("id"), col("text"))
+      // codegen one-pass twins of the former interpreted
+      // wordShingles + per-seed array_min(transform(md5)) — byte-
+      // identical values (see plans.Md5Shingles), 4.7 s → sub-second
+      // of this query's 5.7 s total (BenchExtra, guide §1.4)
       val withSet = docs
-        .select(col("id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+        .select(col("id"), graft.plans.WordShingleStrings.word_shingle_strings(
+          split(lower(trim(col("text"))), "\\s+"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
       // persisted like the production minhashLshWithHandle: banded
       // references it four times (hot agg, both self-join sides, star
       // branch) and the verify step twice more — unpersisted, the
       // shingle+minhash pipeline would run six times
-      val sig = withSet.withColumn("sig", array((0 until 4).map { i =>
-        array_min(transform(col("sh"), w => md5(concat(lit(s"$i|"), w))))
-      }: _*)).persist()
+      val sig = withSet.withColumn("sig",
+        graft.plans.Md5MinSig.md5_min_sig(col("sh"), 4)).persist()
       val banded = sig.select(col("id"), explode(
         transform(sequence(lit(0), lit(3)), i =>
           concat(i.cast("string"), lit("|"), get(col("sig"), i)))).as("bucket"))
@@ -1236,11 +1238,10 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id").cast("string").as("id"), col("text"))
       def sigOf(d: DataFrame) = d
-        .select(col("id"), Dedup.wordShingles(col("text"), 3).as("hs"))
+        .select(col("id"), graft.plans.WordShingleStrings.word_shingle_strings(
+          split(lower(trim(col("text"))), "\\s+"), 3).as("hs"))
         .filter(size(col("hs")) > 0)
-        .withColumn("sig", array((0 until 4).map { i =>
-          array_min(transform(col("hs"), w => md5(concat(lit(s"$i|"), w))))
-        }: _*))
+        .withColumn("sig", graft.plans.Md5MinSig.md5_min_sig(col("hs"), 4))
       val store = sigOf(docs.filter(col("id").cast("long") % 2 === 0)).persist()
       val batch = sigOf(docs.filter(col("id").cast("long") % 2 === 1)).persist()
       def banded(sig: DataFrame) = sig.select(col("id"), explode(
@@ -3068,11 +3069,11 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id").cast("string").as("id"), col("text"))
       val sig = docs
-        .select(col("id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+        .select(col("id"), graft.plans.WordShingleStrings.word_shingle_strings(
+          split(lower(trim(col("text"))), "\\s+"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
-        .withColumn("sig", array((0 until 4).map { i =>
-          array_min(transform(col("sh"), w => md5(concat(lit(s"$i|"), w))))
-        }: _*)).persist()
+        .withColumn("sig",
+          graft.plans.Md5MinSig.md5_min_sig(col("sh"), 4)).persist()
       val banded = sig.select(col("id"), explode(
         transform(sequence(lit(0), lit(3)), i =>
           concat(i.cast("string"), lit("|"), get(col("sig"), i)))).as("bucket"))

@@ -27,6 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnalytics {
 
+  /** Broadcast gate for the per-round state side of the iterative
+    * operators (guide §3.1: pick the join strategy deliberately). Each
+    * round joins the big cached edge list with the small (one row per
+    * vertex) state table; planned as sort-merge, that re-sorts the
+    * full edge list EVERY round. When the MEASURED vertex count is
+    * below this bound the state is broadcast instead — no exchange, no
+    * per-round sort of the edges — and above it rounds fall back to
+    * the shuffle join (a billion-vertex state cannot be broadcast).
+    * The gate is data-derived, never a function of local core count;
+    * results are identical either way (same rows; the downstream
+    * aggregates are integer min/sum/count — order-free). */
+  private val BroadcastStateRows = 2000000L
+  private def stateSide(df: DataFrame, vertices: Long): DataFrame =
+    if (vertices <= BroadcastStateRows) broadcast(df) else df
+
   /** Integer-scaled PageRank with a fixed iteration count.
     *
     * Ranks live in units of `scale⁻¹` (default 1e-12): the total mass
@@ -60,10 +75,10 @@ object GraphAnalytics {
     var ranks = verts.withColumn("rank", lit(init))
       .localCheckpoint(eager = true)
     for (i <- 0 until iterations) {
-      val sums = ed.join(ranks.withColumnRenamed("id", "src"), "src")
+      val sums = ed.join(stateSide(ranks.withColumnRenamed("id", "src"), n), "src")
         .select(col("dst").as("id"), expr("rank div od").as("contrib"))
         .groupBy("id").agg(sum("contrib").as("m"))
-      val next = verts.join(sums, Seq("id"), "left")
+      val next = verts.join(stateSide(sums, n), Seq("id"), "left")
         .select(col("id"),
           expr(s"${base}L + (${dampingPct}L * coalesce(m, 0L)) div 100L")
             .as("rank"))
@@ -113,14 +128,15 @@ object GraphAnalytics {
       .join(src, Seq("id"), "left")
       .select(col("id"), coalesce(col("__s"), lit(0)).as("__s"))
       .persist()
+    val nV = verts.count()
     var ranks = verts
       .withColumn("rank", when(col("__s") === 1, lit(init)).otherwise(lit(0L)))
       .select("id", "rank").localCheckpoint(eager = true)
     for (_ <- 0 until iterations) {
-      val sums = ed.join(ranks.withColumnRenamed("id", "src"), "src")
+      val sums = ed.join(stateSide(ranks.withColumnRenamed("id", "src"), nV), "src")
         .select(col("dst").as("id"), expr("rank div od").as("contrib"))
         .groupBy("id").agg(sum("contrib").as("m"))
-      ranks = verts.join(sums, Seq("id"), "left")
+      ranks = verts.join(stateSide(sums, nV), Seq("id"), "left")
         .select(col("id"),
           (when(col("__s") === 1, lit(base)).otherwise(lit(0L)) +
             expr(s"(${dampingPct}L * coalesce(m, 0L)) div 100L")).as("rank"))
@@ -154,9 +170,10 @@ object GraphAnalytics {
     val verts = sym.select(col("v").as("id")).distinct()
     var labels = verts.withColumn("label", col("id"))
       .localCheckpoint(eager = true)
+    val nV = labels.count() // checkpointed blocks — near-free
     val top1 = Window.partitionBy("v").orderBy(desc("cnt"), asc("label"))
     for (_ <- 0 until rounds) {
-      val pick = sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+      val pick = sym.join(stateSide(labels.withColumnRenamed("id", "nbr"), nV), "nbr")
         .groupBy("v", "label").agg(count(lit(1)).as("cnt"))
         .withColumn("__rn", row_number().over(top1))
         .filter(col("__rn") === 1)
@@ -244,8 +261,9 @@ object GraphAnalytics {
       .distinct().persist()
     var state = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("core"))
       .localCheckpoint(eager = true)
+    val nV = state.count() // checkpointed blocks — near-free
     for (_ <- 0 until rounds)
-      state = corenessRound(sym, state).localCheckpoint(eager = true)
+      state = corenessRound(sym, state, nV).localCheckpoint(eager = true)
     sym.unpersist()
     state
   }
@@ -265,10 +283,11 @@ object GraphAnalytics {
       .distinct().persist()
     var state = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("core"))
       .localCheckpoint(eager = true)
+    val nV = state.count() // checkpointed blocks — near-free
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = corenessRound(sym, state).localCheckpoint(eager = true)
+      val next = corenessRound(sym, state, nV).localCheckpoint(eager = true)
       // monotone non-increasing ⇒ "changed" ≡ "any value strictly fell"
       converged = next.withColumnRenamed("core", "c2")
         .join(state, "id").filter(col("c2") < col("core")).isEmpty
@@ -304,10 +323,13 @@ object GraphAnalytics {
     require(rounds >= 0)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .persist()
+    // conservative broadcast gate: |dist| ≤ |V| ≤ 2m, so a small edge
+    // count bounds the state side too
+    val m = e.count()
     var dist = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(eager = true)
     for (_ <- 0 until rounds) {
-      val relax = e.join(dist.withColumnRenamed("id", "src"), "src")
+      val relax = e.join(stateSide(dist.withColumnRenamed("id", "src"), 2 * m), "src")
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(relax).groupBy("id").agg(min("dist").as("dist"))
         .localCheckpoint(eager = true)
@@ -391,10 +413,11 @@ object GraphAnalytics {
     * instead of one per edge (guide §2.3: aggregate before you
     * shuffle — the former row_number window shuffled and sorted the
     * full symmetrized edge list every round). */
-  private def corenessRound(sym: DataFrame, state: DataFrame): DataFrame = {
+  private def corenessRound(sym: DataFrame, state: DataFrame,
+      vertices: Long): DataFrame = {
     val w = Window.partitionBy("src").orderBy(desc("core"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    sym.join(state.withColumnRenamed("id", "dst"), "dst")
+    sym.join(stateSide(state.withColumnRenamed("id", "dst"), vertices), "dst")
       .groupBy(col("src"), col("core")).agg(count(lit(1)).as("__n"))
       .withColumn("__cum", sum(col("__n")).over(w))
       .groupBy(col("src").as("id"))

@@ -1,0 +1,226 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen twins of the md5-oracle-family shingle pipeline (the DuckDB-
+  * replayable hash family used by dedup_cc_oracle / split_leakage /
+  * dedup_incr_oracle). The former DataFrame formulation —
+  *
+  *   sh  = array_distinct(filter(transform(sequence(...), i =>
+  *           concat_ws(" ", slice(toks, i+1, n))), s => s =!= ""))
+  *   sig = array(array_min(transform(sh, w => md5(concat("i|", w)))) ...)
+  *
+  * walks the token array once per window through interpreted
+  * higher-order lambdas (every slice + concat_ws allocates) and then
+  * walks the shingle array numHashes more times, one interpreted md5 +
+  * string concat per element per seed — measured 4.7 s of the 5.7 s
+  * dedup_cc_oracle total at sf0.1 (BenchExtra, guide §1.4). These two
+  * expressions produce BYTE-IDENTICAL values in one pass each:
+  *
+  *  - [[WordShingleStrings]]: one walk with a reusable buffer, distinct
+  *    via an insertion-ordered set (array_distinct keeps first
+  *    occurrence; the empty-string filter runs BEFORE distinct exactly
+  *    like the interpreted form);
+  *  - [[Md5MinSig]]: one walk, MessageDigest updated with the "i|"
+  *    prefix and the shingle bytes (no concat allocation), minima
+  *    tracked on RAW DIGEST BYTES — unsigned-lexicographic byte order
+  *    equals the lexicographic order of lowercase-hex strings, so the
+  *    minimum is the same element array_min picks — hex-encoded once at
+  *    the end. Property-tested equal to the interpreted formulation in
+  *    DedupSpec.
+  */
+case class WordShingleStrings(tokens: Expression, nExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = nExpr
+  override def nullIntolerant: Boolean = true
+
+  private lazy val n: Int = nExpr.eval(null).asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!tokens.dataType.isInstanceOf[ArrayType] ||
+        tokens.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"tokens must be array<string>, got ${tokens.dataType.simpleString}")
+    else if (!nExpr.foldable || nExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("n must be a foldable int literal")
+    else if (n < 1 || n > 64)
+      TypeCheckResult.TypeCheckFailure("n must be in [1, 64]")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = tokens.nullable
+
+  protected override def nullSafeEval(t: Any, _n: Any): Any =
+    WordShingleStrings.compute(t.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      val cls = WordShingleStrings.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($t, $n);"
+    })
+
+  override def prettyName: String = "word_shingle_strings"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(tokens = l, nExpr = r)
+}
+
+object WordShingleStrings {
+  /** One-pass twin of array_distinct(filter(transform(...))) — see the
+    * class doc for the exact interpreted form. Null tokens cannot occur
+    * (split() output) but are rendered like concat_ws: skipped, with no
+    * separator contribution. */
+  def compute(toks: ArrayData, n: Int): GenericArrayData = {
+    val m = toks.numElements()
+    val windows = math.max(m - n, 0) // inclusive last start index
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= windows) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, m)
+      var first = true
+      while (j < end) {
+        if (!toks.isNullAt(j)) { // concat_ws skips nulls AND their separator
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      if (sb.length > 0) // the s =!= "" filter, applied pre-distinct
+        seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def word_shingle_strings(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      WordShingleStrings(
+        org.apache.spark.sql.graft.shims.toExpression(tokens),
+        Literal(n, IntegerType)))
+}
+
+case class Md5MinSig(shingles: Expression, numExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = shingles
+  override def right: Expression = numExpr
+  override def nullIntolerant: Boolean = true
+
+  private lazy val num: Int = numExpr.eval(null).asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!shingles.dataType.isInstanceOf[ArrayType] ||
+        shingles.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"shingles must be array<string>, got ${shingles.dataType.simpleString}")
+    else if (!numExpr.foldable || numExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("num must be a foldable int literal")
+    else if (num < 1 || num > 64)
+      TypeCheckResult.TypeCheckFailure("num must be in [1, 64]")
+    else TypeCheckResult.TypeCheckSuccess
+
+  // array_min over an empty/all-null array is null → element nullable
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = shingles.nullable
+
+  protected override def nullSafeEval(sh: Any, _n: Any): Any =
+    Md5MinSig.compute(sh.asInstanceOf[ArrayData], num)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, _) => {
+      val cls = Md5MinSig.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($sh, $num);"
+    })
+
+  override def prettyName: String = "md5_min_sig"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(shingles = l, numExpr = r)
+}
+
+object Md5MinSig {
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Per seed i: min over shingles of md5("i|" + shingle), minimum taken
+    * on raw digest bytes (== hex-string order), hex-encoded once. Null
+    * shingle elements are skipped (transform maps them to null and
+    * array_min ignores nulls); a seed with no non-null element yields
+    * null, exactly like array_min of an empty array. */
+  def compute(sh: ArrayData, num: Int): GenericArrayData = {
+    val m = sh.numElements()
+    val md = mdLocal.get()
+    val mins = new Array[Array[Byte]](num)
+    val prefixes = new Array[Array[Byte]](num)
+    var k = 0
+    while (k < num) { prefixes(k) = (k.toString + "|").getBytes("UTF-8"); k += 1 }
+    var i = 0
+    while (i < m) {
+      if (!sh.isNullAt(i)) {
+        val w = sh.getUTF8String(i).getBytes
+        k = 0
+        while (k < num) {
+          md.reset()
+          md.update(prefixes(k))
+          md.update(w)
+          val d = md.digest()
+          if (mins(k) == null || unsignedLess(d, mins(k))) mins(k) = d
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](num)
+    k = 0
+    while (k < num) {
+      out(k) = if (mins(k) == null) null else hex(mins(k))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val cs = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      cs(2 * i) = HexChars((d(i) >> 4) & 0xf).toByte
+      cs(2 * i + 1) = HexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(cs)
+  }
+
+  def md5_min_sig(shingles: Column, num: Int): Column =
+    org.apache.spark.sql.graft.shims.toColumn(
+      Md5MinSig(
+        org.apache.spark.sql.graft.shims.toExpression(shingles),
+        Literal(num, IntegerType)))
+}

@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Extra measurement main (guide §1.4): noop-sink isolation of the
+  * sub-stages inside the heaviest battery queries, so optimization
+  * work targets the stage that actually costs, not the query total.
+  * NOT part of the driver contract — Bench.scala is the frozen
+  * harness; numbers from here are cited in OPTIMIZATION_r07.md only.
+  * Usage: BenchExtra [reps]; env SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS.
+  */
+object BenchExtra {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 2
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def tbl(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+
+    def timed(name: String)(f: => Unit): Unit = {
+      spark.sparkContext.setJobDescription(name)
+      val t0 = System.nanoTime()
+      f
+      println(f"EXTRA $name%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    for (rep <- 1 to reps) {
+      println(s"--- rep $rep ---")
+      // dedup_cc_oracle / split_leakage shared shape: md5-family sig
+      val docs = tbl("documents")
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      val sigExpr = array((0 until 4).map { i =>
+        array_min(transform(col("sh"), w => md5(concat(lit(s"$i|"), w))))
+      }: _*)
+      timed("cc: shingle+md5 sig build") {
+        noop(docs.select(col("id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0).withColumn("sig", sigExpr))
+      }
+      val sig = docs.select(col("id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0).withColumn("sig", sigExpr).persist()
+      timed("cc: banded self-join pairs (via cache)") {
+        val banded = sig.select(col("id"), explode(
+          transform(sequence(lit(0), lit(3)), i =>
+            concat(i.cast("string"), lit("|"), get(col("sig"), i)))).as("bucket"))
+        noop(banded.as("x").join(banded.as("y"),
+            col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b")).distinct())
+      }
+      val banded = sig.select(col("id"), explode(
+        transform(sequence(lit(0), lit(3)), i =>
+          concat(i.cast("string"), lit("|"), get(col("sig"), i)))).as("bucket"))
+      val pairs = banded.as("x").join(banded.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b")).distinct().persist()
+      pairs.count()
+      timed("cc: jaccard verify (pairs+sig cached)") {
+        noop(pairs
+          .join(sig.select(col("id").as("a"), col("sh").as("shA")), Seq("a"))
+          .join(sig.select(col("id").as("b"), col("sh").as("shB")), Seq("b"))
+          .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
+          .filter(col("inter") /
+            (size(col("shA")) + size(col("shB")) - col("inter")) >= 0.5)
+          .select(col("a"), col("b")))
+      }
+      val verified = pairs
+        .join(sig.select(col("id").as("a"), col("sh").as("shA")), Seq("a"))
+        .join(sig.select(col("id").as("b"), col("sh").as("shB")), Seq("b"))
+        .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
+        .filter(col("inter") /
+          (size(col("shA")) + size(col("shB")) - col("inter")) >= 0.5)
+        .select(col("a"), col("b")).persist()
+      verified.count()
+      timed("cc: componentsAuto (pairs cached)") {
+        noop(Canonicalize.componentsAuto(verified))
+      }
+      verified.unpersist(); pairs.unpersist(); sig.unpersist()
+
+      // g7_pagerank stages
+      val cs = tbl("orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val sn = tbl("supplier").select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      val nr = tbl("nation").select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"))
+      val pe = cs.union(sn).union(nr)
+      timed("g7: edge build + distinct") {
+        noop(pe.select(col("src"), col("dst")).distinct())
+      }
+      timed("g7: full pageRank 3 iters") {
+        noop(GraphAnalytics.pageRank(pe, iterations = 3))
+      }
+      timed("g10: full coreness 3 rounds") {
+        val cn = tbl("customer").select(
+          concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("n"), col("c_nationkey")).as("dst"))
+        noop(GraphAnalytics.coreness(cs.union(sn).union(cn), rounds = 3))
+      }
+      timed("g14: full linkFeatures") {
+        noop(GraphAnalytics.linkFeatures(cs, maxWedgeDeg = 64L))
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -714,6 +714,39 @@ class DedupSpec extends SparkSpec {
     assert(viaOp === direct)
   }
 
+  test("codegen WordShingleStrings/Md5MinSig equal the interpreted md5-family forms") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // adversarial corpus: empty, whitespace-only, short (< n tokens),
+    // unicode, repeated shingles, many tokens
+    val docs = Seq(
+      "", "   ", "one", "one two", "one two three four five",
+      "the the the the", "神经网络 梯度 下降 神经网络 梯度 下降",
+      "a b c a b c a b c", "x\ty\nz  w", "solo",
+      (1 to 60).map(i => s"tok${i % 7}").mkString(" ")
+    ).zipWithIndex.map { case (t, i) => (i.toString, t) }.toDF("id", "text")
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val interpSh = Dedup.wordShingles(col("text"), 3)
+    val fastSh = graft.plans.WordShingleStrings.word_shingle_strings(toks, 3)
+    val interpSig = array((0 until 4).map { i =>
+      array_min(transform(col("sh"), w => md5(concat(lit(s"$i|"), w))))
+    }: _*)
+    val both = docs.select(col("id"), interpSh.as("a"), fastSh.as("b"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"sh mismatch id=${r.getString(0)}")
+    }
+    val sigBoth = docs.select(col("id"), interpSh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), interpSig.as("a"),
+        graft.plans.Md5MinSig.md5_min_sig(col("sh"), 4).as("b"))
+      .collect()
+    assert(sigBoth.nonEmpty)
+    sigBoth.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"sig mismatch id=${r.getString(0)}")
+    }
+  }
+
   test("chunkDocs preserves the input id column type (r6 text_chunks hash miss)") {
     import graft.operators.TextNorm
     import spark.implicits._
