@@ -20,7 +20,8 @@ run() { # $1 = number of executors
     --conf spark.executor.memory=$((MEM - 1024))m \
     --conf spark.ui.enabled=false \
     --conf spark.sql.session.timeZone=UTC \
-    "$JAR" "$NCONVS" "$1" 2>/dev/null | grep '"kind":"cluster_bench"'
+    "$JAR" "$NCONVS" "$1" 2>>"${CLUSTER_BENCH_ERR:-/tmp/cluster_bench.err}" \
+    | grep '"kind":"cluster_bench"'
 }
 
 for r in $(seq 1 "$REPS"); do

@@ -3335,9 +3335,14 @@ object SparkEntry {
     * definition), per-line relation props with the fixed-key
     * `relation.update()` override, and the truncated-quote unquote
     * quirk — fully independent of the engine's Catalyst expressions
-    * and mapPartitions fold. Input-class assumption (documented, holds
+    * and mapPartitions fold. Input-class assumptions (documented, hold
     * for TranscriptGen): whitespace in the text is ASCII, so RE2's
-    * ASCII `\s` equals Python's Unicode `\s` here.
+    * ASCII `\s` equals Python's Unicode `\s` here; and the `\w` →
+    * `[\p{L}\p{N}_]` translation additionally assumes no combining
+    * marks (Mn/Mc/Me) and no connector punctuation beyond `_` in
+    * names/prop keys — Java's `(?U)\w` matches those, the RE2 class
+    * does not, so decomposed accents in fixture text would diverge
+    * the twin (r6 ADVICE item).
     * `cap` filters to the conv subset the Spark query consumes
     * (None = the full dump; conv ids are `c%08d`). */
   private def transcriptFoldSql(cap: Option[Int]): String = {
