@@ -65,11 +65,13 @@ object GraphAnalytics {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
     require(checkpointEvery >= 1)
     val e = edges.select(col("src"), col("dst")).distinct().persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    val ed = e.join(deg, "src").persist()
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
     val n = verts.count()
+    // deg has ≤ n rows — with n measured, the degree attach can
+    // broadcast instead of sort-merging the full edge list (§3.1)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val ed = e.join(stateSide(deg, n), "src").persist()
     val init = scale / n
     val base = ((100L - dampingPct) * init) / 100L
     var ranks = verts.withColumn("rank", lit(init))
@@ -115,8 +117,6 @@ object GraphAnalytics {
       scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val e = edges.select(col("src"), col("dst")).distinct().persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    val ed = e.join(deg, "src").persist()
     val src = sources.select(col("id")).distinct()
       .withColumn("__s", lit(1)).persist()
     val nS = src.count()
@@ -129,6 +129,9 @@ object GraphAnalytics {
       .select(col("id"), coalesce(col("__s"), lit(0)).as("__s"))
       .persist()
     val nV = verts.count()
+    // degree attach gated like the per-round state joins (§3.1)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val ed = e.join(stateSide(deg, nV), "src").persist()
     var ranks = verts
       .withColumn("rank", when(col("__s") === 1, lit(init)).otherwise(lit(0L)))
       .select("id", "rank").localCheckpoint(eager = true)
@@ -373,6 +376,11 @@ object GraphAnalytics {
       .distinct().persist()
     val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
       .persist()
+    // one row per vertex — measured once, the three degree joins below
+    // (wedge-center attach + the two output-degree attaches) broadcast
+    // under the same §3.1 gate as the iterative operators instead of
+    // sort-merging the edge list / the 2-hop pair set
+    val nD = deg.count()
     // Adamic–Adar weight per DISTINCT degree value (log once per value)
     val lw = Retrieval.withLog2fp(
       deg.select(col("d")).distinct()
@@ -381,7 +389,7 @@ object GraphAnalytics {
       "__x", "__l", fracBits)
       .select(col("d"), expr(s"${1L << (2 * fracBits)}L div __l").as("w"))
     val cj = sym.select(col("src").as("x"), col("dst").as("n"))
-      .join(deg.select(col("v").as("x"), col("d")), "x")
+      .join(stateSide(deg.select(col("v").as("x"), col("d")), nD), "x")
       .filter(col("d") >= 2 && col("d") <= maxWedgeDeg)
       .join(broadcast(lw), "d")
       .select(col("x"), col("n"), col("w"))
@@ -394,8 +402,8 @@ object GraphAnalytics {
         Seq("u", "v"), "left_anti")
     else pairs
     cand
-      .join(deg.select(col("v").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("v").as("v"), col("d").as("dv")), "v")
+      .join(stateSide(deg.select(col("v").as("u"), col("d").as("du")), nD), "u")
+      .join(stateSide(deg.select(col("v").as("v"), col("d").as("dv")), nD), "v")
       .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
         expr("1000000L * cn div (du + dv - cn)").as("jaccard_ppm"),
         col("aa_fp"))

@@ -44,12 +44,19 @@ object GraphWalks {
       .select(concat(col("v"), lit("#"), col("i")).as("walk_id"), col("v"),
         lit(0).as("step"))
       .localCheckpoint(eager = true)
+    // live walks only ever shrink from here (dead ends drop out), so
+    // the initial frontier count gates broadcasting the frontier side
+    // of both per-step joins (guide §3.1) — no per-step re-sort of the
+    // neighbor index; above the bound steps fall back to shuffle joins
+    val nW = frontier.count() // checkpointed blocks — near-free
+    val small = nW <= 2000000L
+    def walkSide(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val out = ArrayBuffer(frontier)
     for (st <- 0 until steps) {
       val h = conv(substring(md5(concat(col("walk_id"), lit(s":$st"))), 1, 8),
         16, 10).cast("long")
-      frontier = frontier.join(deg, "v")
-        .withColumn("pick", pmod(h, col("d")))
+      frontier = walkSide(frontier.join(walkSide(deg), "v")
+        .withColumn("pick", pmod(h, col("d"))))
         .join(idx, col("v") === col("iv") && col("pick") === col("rn"))
         .select(col("walk_id"), col("dst").as("v"), lit(st + 1).as("step"))
         .localCheckpoint(eager = true)
