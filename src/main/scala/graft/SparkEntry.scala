@@ -61,6 +61,26 @@ object SparkEntry {
       when(dot > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Internal vertex-id narrowing for the ORDER-FREE graph queries
+    * (guide §2.3, narrower types): the layered TPC-H graphs label
+    * vertices "c<custkey>"/"s<suppkey>"/"n<nationkey>"/"r<regionkey>".
+    * Inside pageRank / personalizedPageRank / coreness / shortestPaths
+    * every id-touching step is a join / distinct / partial-aggregable
+    * min·sum·count — none depends on id ORDER — so the engine can run
+    * them on `key·4 + tag` longs (injective: key spaces are disjoint by
+    * tag) and decode to the contract strings afterwards; shuffles then
+    * carry 8-byte longs instead of ~10-char strings. Proven
+    * bit-identical output vs the string path (tools.G7Probe, diff 0
+    * rows at sf0.1). NOT applied to g8 (min-label tie-break IS string
+    * order), g12/g13 (dst-SORTED neighbor pick), g14/g9 (u<v /
+    * orientation comparisons on string ids). */
+  private def vidLong(tag: Int)(key: Column): Column =
+    key.cast("long") * 4 + tag
+  private val vidTags = Array("c", "s", "n", "r")
+  private def vidStr(c: Column): Column =
+    concat(element_at(lit(vidTags), (pmod(c, lit(4)) + 1).cast("int")),
+      shiftright(c, 2))
+
   /** Scratch path for the file round-trip queries (S1/S2/S4/S6): keyed
     * by (appId, sf dir) like the ANN index so concurrent JVMs and
     * multiple sf dirs can't collide, and registered for recursive
@@ -2765,19 +2785,23 @@ object SparkEntry {
     // damping), so the DuckDB twin's chained CTEs replay it bit-exactly
     // — see GraphAnalytics.pageRank for the determinism contract.
     "g7_pagerank" -> ((s, dir) => {
+      // internal long vertex ids (vidLong/vidStr): rank updates are
+      // order-free integer sums, so the narrow-id run is bit-identical
+      // to the string-id run (G7Probe) — only shuffle bytes change
       val cs = tbl(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select(vidLong(0)(col("o_custkey")).as("src"),
+          vidLong(1)(col("l_suppkey")).as("dst"))
       val sn = tbl(s, dir, "supplier").select(
-        concat(lit("s"), col("s_suppkey")).as("src"),
-        concat(lit("n"), col("s_nationkey")).as("dst"))
+        vidLong(1)(col("s_suppkey")).as("src"),
+        vidLong(2)(col("s_nationkey")).as("dst"))
       val nr = tbl(s, dir, "nation").select(
-        concat(lit("n"), col("n_nationkey")).as("src"),
-        concat(lit("r"), col("n_regionkey")).as("dst"))
+        vidLong(2)(col("n_nationkey")).as("src"),
+        vidLong(3)(col("n_regionkey")).as("dst"))
       GraphAnalytics.pageRank(cs.union(sn).union(nr), iterations = 3)
+        .select(vidStr(col("id")).as("id"), col("rank"))
         .orderBy("id")
     }),
 
@@ -2827,19 +2851,23 @@ object SparkEntry {
     // Integer census + row_number + max(least) per round, so the twin
     // replays every intermediate value bit-exactly.
     "g10_kcore" -> ((s, dir) => {
+      // internal long vertex ids: the h-index round is value-based
+      // (census + max(least)) — id order never enters, so the narrow
+      // run is bit-identical (see vidLong doc)
       val cs = tbl(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select(vidLong(0)(col("o_custkey")).as("src"),
+          vidLong(1)(col("l_suppkey")).as("dst"))
       val sn = tbl(s, dir, "supplier").select(
-        concat(lit("s"), col("s_suppkey")).as("src"),
-        concat(lit("n"), col("s_nationkey")).as("dst"))
+        vidLong(1)(col("s_suppkey")).as("src"),
+        vidLong(2)(col("s_nationkey")).as("dst"))
       val cn = tbl(s, dir, "customer").select(
-        concat(lit("c"), col("c_custkey")).as("src"),
-        concat(lit("n"), col("c_nationkey")).as("dst"))
+        vidLong(0)(col("c_custkey")).as("src"),
+        vidLong(2)(col("c_nationkey")).as("dst"))
       GraphAnalytics.coreness(cs.union(sn).union(cn), rounds = 3)
+        .select(vidStr(col("id")).as("id"), col("core"))
         .orderBy("id")
     }),
 
@@ -2851,12 +2879,15 @@ object SparkEntry {
     // the twin's unrolled relax CTEs replay it bit-exactly. Customers
     // with no orders are unreached and absent by contract.
     "g11_sssp" -> ((s, dir) => {
+      // internal long vertex ids: min-plus relaxation is order-free
+      // (min is associative/commutative), so the narrow run is
+      // bit-identical (see vidLong doc)
       val rn = tbl(s, dir, "nation").select(
-        concat(lit("r"), col("n_regionkey")).as("src"),
-        concat(lit("n"), col("n_nationkey")).as("dst"), lit(1L).as("w"))
+        vidLong(3)(col("n_regionkey")).as("src"),
+        vidLong(2)(col("n_nationkey")).as("dst"), lit(1L).as("w"))
       val ns = tbl(s, dir, "supplier").select(
-        concat(lit("n"), col("s_nationkey")).as("src"),
-        concat(lit("s"), col("s_suppkey")).as("dst"),
+        vidLong(2)(col("s_nationkey")).as("src"),
+        vidLong(1)(col("s_suppkey")).as("dst"),
         (pmod(col("s_suppkey"), lit(7)) + 1).cast("long").as("w"))
       val sc = tbl(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
@@ -2864,11 +2895,12 @@ object SparkEntry {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_suppkey"), col("o_custkey"))
         .agg(count(lit(1)).as("w"))
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"), col("w"))
+        .select(vidLong(1)(col("l_suppkey")).as("src"),
+          vidLong(0)(col("o_custkey")).as("dst"), col("w"))
       val srcs = tbl(s, dir, "region")
-        .select(concat(lit("r"), col("r_regionkey")).as("id"))
+        .select(vidLong(3)(col("r_regionkey")).as("id"))
       GraphAnalytics.shortestPaths(rn.union(ns).union(sc), srcs, rounds = 3)
+        .select(vidStr(col("id")).as("id"), col("dist"))
         .orderBy("id")
     }),
 
@@ -2878,22 +2910,25 @@ object SparkEntry {
     // related-entity recommendation score; teleport only to sources,
     // 3 iterations, same integer discipline as g7
     "g15_ppr" -> ((s, dir) => {
+      // internal long vertex ids: same order-free rank arithmetic as
+      // g7 — bit-identical narrow run (see vidLong doc)
       val nr = tbl(s, dir, "nation").select(
-        concat(lit("r"), col("n_regionkey")).as("src"),
-        concat(lit("n"), col("n_nationkey")).as("dst"))
+        vidLong(3)(col("n_regionkey")).as("src"),
+        vidLong(2)(col("n_nationkey")).as("dst"))
       val sn = tbl(s, dir, "supplier").select(
-        concat(lit("n"), col("s_nationkey")).as("src"),
-        concat(lit("s"), col("s_suppkey")).as("dst"))
+        vidLong(2)(col("s_nationkey")).as("src"),
+        vidLong(1)(col("s_suppkey")).as("dst"))
       val cs = tbl(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"))
+        .select(vidLong(1)(col("l_suppkey")).as("src"),
+          vidLong(0)(col("o_custkey")).as("dst"))
       val srcs = tbl(s, dir, "region")
-        .select(concat(lit("r"), col("r_regionkey")).as("id"))
+        .select(vidLong(3)(col("r_regionkey")).as("id"))
       GraphAnalytics.personalizedPageRank(nr.union(sn).union(cs), srcs,
           iterations = 3)
+        .select(vidStr(col("id")).as("id"), col("rank"))
         .orderBy("id")
     }),
 

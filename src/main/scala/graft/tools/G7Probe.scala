@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.GraphAnalytics
+
+/** Dev probe (guide §1): where does g7_pagerank's time go inside the
+  * operator, and what would internal long vertex ids buy? Times the
+  * string-id path stage by stage, then runs the same graph through an
+  * id-encoded long path and asserts the DECODED output is row-identical
+  * — the narrower-types lever of guide §2.3 is only adoptable if the
+  * result set provably cannot move. NOT part of the driver contract.
+  */
+object G7Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def tbl(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    for (rep <- 1 to 2) {
+      println(s"--- rep $rep ---")
+      // string-id edges exactly as the g7 query builds them
+      val csS = tbl("orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val snS = tbl("supplier").select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      val nrS = tbl("nation").select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"))
+      val edgesS = csS.union(snS).union(nrS)
+
+      // stage-by-stage string path (mirrors GraphAnalytics.pageRank)
+      val e = t("str: e.distinct.persist+count") {
+        val e0 = edgesS.select(col("src"), col("dst")).distinct().persist()
+        e0.count(); e0
+      }
+      val verts = t("str: verts distinct persist+count") {
+        val v = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct().persist()
+        v.count(); v
+      }
+      val n = verts.count()
+      val ed = t("str: ed=e⋈deg persist+count") {
+        val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+        val d = e.join(broadcast(deg), "src").persist()
+        d.count(); d
+      }
+      val init = 1000000000000L / n
+      val base = (15L * init) / 100L
+      var ranks = t("str: init checkpoint") {
+        verts.withColumn("rank", lit(init)).localCheckpoint(eager = true)
+      }
+      for (i <- 0 until 3) {
+        ranks = t(s"str: round $i") {
+          val sums = ed.join(broadcast(ranks.withColumnRenamed("id", "src")), "src")
+            .select(col("dst").as("id"), expr("rank div od").as("contrib"))
+            .groupBy("id").agg(sum("contrib").as("m"))
+          verts.join(broadcast(sums), Seq("id"), "left")
+            .select(col("id"),
+              expr(s"${base}L + (85L * coalesce(m, 0L)) div 100L").as("rank"))
+            .localCheckpoint(eager = true)
+        }
+      }
+      val strOut = ranks
+      e.unpersist(); ed.unpersist(); verts.unpersist()
+
+      // long-id edges: same graph, ids encoded key*4+tag
+      val csL = tbl("orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey").cast("long") * 4).as("src"),
+          (col("l_suppkey").cast("long") * 4 + 1).as("dst"))
+      val snL = tbl("supplier").select(
+        (col("s_suppkey").cast("long") * 4 + 1).as("src"),
+        (col("s_nationkey").cast("long") * 4 + 2).as("dst"))
+      val nrL = tbl("nation").select(
+        (col("n_nationkey").cast("long") * 4 + 2).as("src"),
+        (col("n_regionkey").cast("long") * 4 + 3).as("dst"))
+      val edgesL = csL.union(snL).union(nrL)
+      val longOut = t("long: full pageRank 3 iters") {
+        val r = GraphAnalytics.pageRank(edgesL, iterations = 3)
+        r.count(); r
+      }
+      val decoded = longOut.select(
+        concat(element_at(lit(Array("c", "s", "n", "r")),
+            (pmod(col("id"), lit(4)) + 1).cast("int")),
+          (col("id") / 4).cast("long")).as("id"),
+        col("rank"))
+      val diff = t("diff decoded vs string output") {
+        decoded.exceptAll(strOut).count() + strOut.exceptAll(decoded).count()
+      }
+      println(s"IDENTITY diff rows = $diff (must be 0)")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -47,6 +47,41 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(a.values.sum <= 1000000000000L)
   }
 
+  test("order-free operators are id-representation invariant (long ids ≡ string ids)") {
+    // The g7/g10/g11/g15 queries run pageRank / coreness /
+    // shortestPaths / PPR on key·4+tag LONG vertex ids and decode to
+    // the contract strings afterwards (SparkEntry.vidLong/vidStr,
+    // guide §2.3 narrower types). That is sound ONLY because these
+    // updates never consult id ORDER — this test pins the invariance:
+    // an order-scrambling relabeling of the vertex ids must produce
+    // the relabeled-but-equal result. ("v2" < "v10" as longs 2 < 10,
+    // but "v10" < "v2" as strings — the map below crosses that order.)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, udf}
+    val n = 40
+    val raw = (0 until 300).map(i => (i % n, (i * 13 + 7) % n))
+    val eStr = raw.map { case (a, b) => (s"v$a", s"v$b") }.toDF("src", "dst")
+    val eLong = raw.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+    val dec = udf((x: Long) => s"v$x")
+    def decoded(df: org.apache.spark.sql.DataFrame, v: String) =
+      df.select(dec(col("id")).as("id"), col(v)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(decoded(GraphAnalytics.pageRank(eLong, iterations = 3), "rank") ==
+      ranksOf(GraphAnalytics.pageRank(eStr, iterations = 3)))
+    assert(decoded(GraphAnalytics.coreness(eLong, rounds = 3), "core") ==
+      ranksOf(GraphAnalytics.coreness(eStr, rounds = 3)))
+    val wL = eLong.withColumn("w", (col("src") % 5 + 1).cast("long"))
+    val wS = eStr.withColumn("w",
+      (expr("cast(substring(src, 2) as long)") % 5 + 1).cast("long"))
+    val srcL = Seq(0L, 1L).toDF("id")
+    val srcS = Seq("v0", "v1").toDF("id")
+    assert(decoded(GraphAnalytics.shortestPaths(wL, srcL, rounds = 3), "dist") ==
+      ranksOf(GraphAnalytics.shortestPaths(wS, srcS, rounds = 3)))
+    assert(decoded(
+        GraphAnalytics.personalizedPageRank(eLong, srcL, iterations = 3), "rank") ==
+      ranksOf(GraphAnalytics.personalizedPageRank(eStr, srcS, iterations = 3)))
+  }
+
   test("labelPropagation: synchronous star update with min-label ties") {
     import spark.implicits._
     val e = Seq(("c", "l1"), ("c", "l2"), ("c", "l3")).toDF("src", "dst")
