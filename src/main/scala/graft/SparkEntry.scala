@@ -71,9 +71,12 @@ object SparkEntry {
     * tag) and decode to the contract strings afterwards; shuffles then
     * carry 8-byte longs instead of ~10-char strings. Proven
     * bit-identical output vs the string path (tools.G7Probe, diff 0
-    * rows at sf0.1). NOT applied to g8 (min-label tie-break IS string
-    * order), g12/g13 (dst-SORTED neighbor pick), g14/g9 (u<v /
-    * orientation comparisons on string ids). */
+    * rows at sf0.1; GraphAnalyticsSpec invariance test). Also applied
+    * to g9 (per-vertex triangle counts are orientation-invariant) and
+    * g14 (symmetric pair stats, orientation re-canonicalized in the
+    * output projection — see those queries' comments). NOT applied to
+    * g8 (min-label tie-break IS string order) or g12/g13 (dst-SORTED
+    * neighbor pick): there id ORDER is semantics. */
   private def vidLong(tag: Int)(key: Column): Column =
     key.cast("long") * 4 + tag
   private val vidTags = Array("c", "s", "n", "r")
@@ -2828,19 +2831,27 @@ object SparkEntry {
     // Degree-oriented enumeration (the O(m^1.5) trick), pure integer
     // joins — the twin replays it verbatim.
     "g9_triangles" -> ((s, dir) => {
+      // internal long vertex ids: the (degree, id) orientation is an
+      // acyclic tournament under ANY total id order, so every triangle
+      // still materializes exactly once and the PER-VERTEX counts this
+      // query emits are orientation-invariant (the corner ROWS of the
+      // raw enumeration are not — which is why `triangles` itself
+      // would need string ids, but vertexTriangles only counts
+      // memberships). See vidLong doc.
       val cs = tbl(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select(vidLong(0)(col("o_custkey")).as("src"),
+          vidLong(1)(col("l_suppkey")).as("dst"))
       val sn = tbl(s, dir, "supplier").select(
-        concat(lit("s"), col("s_suppkey")).as("src"),
-        concat(lit("n"), col("s_nationkey")).as("dst"))
+        vidLong(1)(col("s_suppkey")).as("src"),
+        vidLong(2)(col("s_nationkey")).as("dst"))
       val cn = tbl(s, dir, "customer").select(
-        concat(lit("c"), col("c_custkey")).as("src"),
-        concat(lit("n"), col("c_nationkey")).as("dst"))
+        vidLong(0)(col("c_custkey")).as("src"),
+        vidLong(2)(col("c_nationkey")).as("dst"))
       GraphAnalytics.vertexTriangles(cs.union(sn).union(cn))
+        .select(vidStr(col("id")).as("id"), col("n_tri"), col("deg"))
         .orderBy("id")
     }),
 
@@ -2940,13 +2951,27 @@ object SparkEntry {
     // are SF-invariant, so the output never empties). Bipartite, so
     // excludeExisting never fires here — kept on for the contract.
     "g14_linkpred" -> ((s, dir) => {
+      // internal long vertex ids: every per-pair stat is SYMMETRIC
+      // (cn and aa_fp sum over shared centers; jaccard's denominator
+      // du+dv−cn is swap-invariant) and the exclude-existing anti-join
+      // probes the SYMMETRIZED edge set, so the unordered pair set and
+      // its stats are identical under any id order — only the EMITTED
+      // orientation follows a.n < b.n. The projection below decodes
+      // and re-canonicalizes each pair to the contract's string order,
+      // swapping du/dv with their endpoints. See vidLong doc.
       val cs = tbl(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select(vidLong(0)(col("o_custkey")).as("src"),
+          vidLong(1)(col("l_suppkey")).as("dst"))
+      val us = vidStr(col("u")); val vs = vidStr(col("v"))
       GraphAnalytics.linkFeatures(cs, maxWedgeDeg = 64L)
+        .select(least(us, vs).as("u"), greatest(us, vs).as("v"),
+          col("cn"),
+          when(us <= vs, col("du")).otherwise(col("dv")).as("du"),
+          when(us <= vs, col("dv")).otherwise(col("du")).as("dv"),
+          col("jaccard_ppm"), col("aa_fp"))
         .orderBy("u", "v")
     }),
 

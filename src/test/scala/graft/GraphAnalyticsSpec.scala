@@ -80,6 +80,32 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(decoded(
         GraphAnalytics.personalizedPageRank(eLong, srcL, iterations = 3), "rank") ==
       ranksOf(GraphAnalytics.personalizedPageRank(eStr, srcS, iterations = 3)))
+    // vertexTriangles: the (degree, id) orientation differs between the
+    // two label spaces wherever string and numeric order disagree, but
+    // every triangle still materializes at exactly one corner under ANY
+    // total order, so PER-VERTEX counts are invariant (g9's contract)
+    val triL = GraphAnalytics.vertexTriangles(eLong)
+      .select(dec(col("id")).as("id"), col("n_tri"), col("deg")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val triS = GraphAnalytics.vertexTriangles(eStr).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(triL == triS)
+    // linkFeatures: pair stats are symmetric and the anti-join probes
+    // the symmetrized edge set, so after decoding + re-canonicalizing
+    // the orientation to string order (swapping du/dv with their
+    // endpoints — the g14 projection) the rows are identical
+    import org.apache.spark.sql.functions.{greatest, least, when}
+    def lfRows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val us = dec(col("u")); val vs = dec(col("v"))
+    val lfL = lfRows(GraphAnalytics.linkFeatures(eLong, maxWedgeDeg = 10L)
+      .select(least(us, vs).as("u"), greatest(us, vs).as("v"), col("cn"),
+        when(us <= vs, col("du")).otherwise(col("dv")).as("du"),
+        when(us <= vs, col("dv")).otherwise(col("du")).as("dv"),
+        col("jaccard_ppm"), col("aa_fp")))
+    val lfS = lfRows(GraphAnalytics.linkFeatures(eStr, maxWedgeDeg = 10L))
+    assert(lfL == lfS && lfL.nonEmpty)
   }
 
   test("labelPropagation: synchronous star update with min-label ties") {
