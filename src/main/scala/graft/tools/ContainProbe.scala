@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev probe (guide §1.4): noop-sink isolation of the sub-stages of
+  * Dedup.containmentPairs (the dedup_containment query) — window-hash
+  * build, rare-window census, candidate self-join, exact verify — so
+  * any further optimization targets the stage that costs. NOT part of
+  * the driver contract. */
+object ContainProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def t(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"CPROBE $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (rep <- 1 to 2) {
+      println(s"--- rep $rep ---")
+      val whs = docs.select(col("doc_id").as("id"),
+          graft.plans.ShingleHashes.shingle_hashes(
+            split(lower(trim(col("text"))), "\\s+"), 3).as("__hs"))
+        .filter(size(col("__hs")) > 0)
+        .select(col("id"), array_distinct(col("__hs")).as("hs"))
+        .persist()
+      t("whs build (persist+count)") { whs.count() }
+      val ex = whs.select(col("id"), explode(col("hs")).as("h"))
+      t("explode size") { noop(ex) }
+      val rare = ex.groupBy("h").agg(count(lit(1)).as("__dfc"))
+        .filter(col("__dfc") >= 2 && col("__dfc") <= 64L)
+        .select("h")
+      t("rare census") { noop(rare) }
+      val keyed = ex.join(rare, "h")
+      val pairs = keyed.select(col("h"), col("id").as("a"))
+        .join(keyed.select(col("h"), col("id").as("b")), "h")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      t("candidate self-join + distinct") { noop(pairs) }
+      val out = pairs
+        .join(whs.select(col("id").as("a"), col("hs").as("hsA")), "a")
+        .join(whs.select(col("id").as("b"), col("hs").as("hsB")), "b")
+        .withColumn("inter", size(array_intersect(col("hsA"), col("hsB"))).cast("long"))
+        .withColumn("n_a", size(col("hsA")).cast("long"))
+        .withColumn("n_b", size(col("hsB")).cast("long"))
+        .withColumn("cont_a_ppm", expr("1000000L * inter div n_a"))
+        .withColumn("cont_b_ppm", expr("1000000L * inter div n_b"))
+        .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 600000L)
+        .select("a", "b", "n_a", "n_b", "inter", "cont_a_ppm", "cont_b_ppm")
+      t("verify joins + containment") { noop(out) }
+      t("full query end-to-end") {
+        noop(graft.operators.Dedup.containmentPairs(
+          docs, "doc_id", "text", thresholdPpm = 600000L).orderBy("a", "b"))
+      }
+      whs.unpersist()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -1045,6 +1045,29 @@ class DedupSpec extends SparkSpec {
     assert(rep == Set((1L, 2L)))
   }
 
+  test("containmentPairs pre-verify gate is lossless when HOT windows carry the overlap") {
+    import spark.implicits._
+    // shingleN=1 → windows are single tokens; dfCap=2 makes "wh"
+    // (df=3) HOT. The (A,B) candidate comes from the one shared RARE
+    // window "w1" (__ir = 1), but its true intersection is {w1, wh} —
+    // the hot window contributes — so containment B→A∩B = 2/2 = 1.0.
+    // A gate that ignored the hot-side bound min(hot_a, hot_b) would
+    // compute U = 1 and 10⁶·1 < 9·10⁵·min(3,2) and WRONGLY drop the
+    // pair; the lossless U = __ir + min(hot) keeps it.
+    val docs = Seq(
+      (1L, "w1 wh x"),
+      (2L, "w1 wh"),
+      (3L, "wh q")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 1, thresholdPpm = 900000L, dfCap = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // (1,3) shares ONLY the hot window → never a candidate (unchanged
+    // boilerplate semantics); (1,2) survives with the exact integers
+    assert(got == Map((1L, 2L) -> ((3L, 2L, 2L, 666666L, 1000000L))))
+  }
+
   test("editDistancePairs: SNM candidates, thresholded Levenshtein verify") {
     import spark.implicits._
     val docs = Seq(
